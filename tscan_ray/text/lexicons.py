@@ -1,0 +1,390 @@
+"""Deterministic mini-lexicons + lexicon-backed tagger state.
+
+The reference loads ~20 lexicon files once at startup into a read-only
+global (`settingData`, reference src/tscan.cxx:101-162, loaders at
+src/tscan.cxx:223-860).  The engine re-expresses that as a frozen
+:class:`Lexicons` bundle built once **per map_batches actor** in
+``__init__`` (or broadcast via ``ray.put`` and fetched there) — never
+re-shipped per batch.
+
+The default bundle is generated deterministically in code (no files, no
+network): a closed Dutch-ish vocabulary engineered so every feature
+family of SURVEY.md §2.2 fires, plus the synthetic-testdata English
+vocabulary with deterministically assigned attributes so the
+``documents`` table exercises frequency/semantic features too.
+
+Word-list constants that define reference behavior (negatives, pronoun
+classes, nominalization suffixes) are reproduced from the cited
+reference locations — they are the published semantics of the features,
+not engine code.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+# ---------------------------------------------------------------------------
+# Behavior constants (reference-cited)
+# ---------------------------------------------------------------------------
+
+# Proper negatives (reference src/wordstats.cxx:254-261)
+NEGATIVES = frozenset({
+    "geeneens", "geenszins", "kwijt", "nergens", "niet", "niets", "nooit",
+    "allerminst", "allesbehalve", "amper", "behalve", "contra", "evenmin",
+    "geen", "generlei", "nauwelijks", "niemand", "niemendal", "nihil",
+    "niks", "nimmer", "nimmermeer", "noch", "ongeacht", "slechts", "tenzij",
+    "ternauwernood", "uitgezonderd", "weinig", "zelden", "zeldzaam", "zonder",
+})
+# Negation morphemes / infix markers (reference src/wordstats.cxx:265-272)
+NEG_MORPHS = frozenset({"mis", "de", "non", "on"})
+NEG_MINUS = ("mis-", "non-", "niet-", "anti-", "ex-", "on-", "oud-")
+
+# Nominalization morph suffixes (reference src/wordstats.cxx:61-66)
+NOMINAL_MORPHS = frozenset({
+    "ing", "sel", "nis", "enis", "heid", "te", "schap", "dom", "sie", "ie",
+    "iek", "iteit", "isme", "age", "atie", "esse", "name",
+})
+NOMINAL_TAILS = ("ose", "ase", "ese", "isme", "sie", "tie")
+
+# Connective types (reference include/tscan/conn.h)
+CONN_TYPES = ("TEMPOREEL", "OPSOMMEND_WG", "OPSOMMEND_ZIN", "CONTRASTIEF",
+              "COMPARATIEF", "CAUSAAL")
+# Situation types (reference include/tscan/situation.h)
+SIT_TYPES = ("TIME_SIT", "CAUSAL_SIT", "SPACE_SIT", "EMO_SIT")
+
+# Top-k frequency bands (reference fill_topvals src/tscan.cxx:492-534)
+TOP_BANDS = (1000, 2000, 3000, 5000, 10000, 20000)
+
+
+@dataclass(frozen=True)
+class PosInfo:
+    """Per-word annotation the reference gets from Frog (POS + features +
+    lemma + morphemes); here: a deterministic lexicon entry."""
+    tag: str  # CGN main tag: N WW ADJ BW VNW LID VG VZ TW TSW SPEC LET
+    lemma: str
+    morphemes: tuple[str, ...]
+    feats: tuple[tuple[str, str], ...] = ()  # (wvorm, pvtijd, vwtype, persoon, conjtype, ...)
+
+    def feat(self, name: str) -> str:
+        for k, v in self.feats:
+            if k == name:
+                return v
+        return ""
+
+
+@dataclass
+class Lexicons:
+    """Frozen lexicon bundle — the engine's `settingData` equivalent."""
+    pos: dict[str, PosInfo] = field(default_factory=dict)
+    word_freq: dict[str, int] = field(default_factory=dict)
+    word_total: int = 1
+    lemma_freq: dict[str, int] = field(default_factory=dict)
+    lemma_total: int = 1
+    top_freq: dict[str, int] = field(default_factory=dict)  # word -> band (1000..20000)
+    prevalence: dict[str, tuple[float, float]] = field(default_factory=dict)  # lemma -> (pct, z)
+    staph_freq: dict[str, float] = field(default_factory=dict)
+    noun_sem: dict[str, str] = field(default_factory=dict)  # lemma -> semtype
+    adj_sem: dict[str, str] = field(default_factory=dict)
+    verb_sem: dict[str, str] = field(default_factory=dict)
+    compounds: dict[str, tuple[str, str, int]] = field(default_factory=dict)  # lemma -> (head, sat, n_parts)
+    # connectives: per type, single-word lemma sets + multiword (space-joined, 2-3 grams)
+    conn_single: dict[str, str] = field(default_factory=dict)  # lemma -> conn type
+    conn_multi: dict[str, str] = field(default_factory=dict)  # "a b [c]" -> conn type
+    sit_single: dict[str, str] = field(default_factory=dict)  # lemma -> sit type
+    sit_multi: dict[str, str] = field(default_factory=dict)  # lemma 2-4 grams
+    intensify: dict[str, str] = field(default_factory=dict)  # lemma -> intensify cat
+    intensify_multi: dict[str, str] = field(default_factory=dict)
+    formal: dict[str, str] = field(default_factory=dict)
+    formal_multi: dict[str, str] = field(default_factory=dict)
+    general_nouns: dict[str, str] = field(default_factory=dict)
+    general_verbs: dict[str, str] = field(default_factory=dict)
+    adverbs: dict[str, tuple[str, str]] = field(default_factory=dict)  # word -> (type, subtype)
+    afkos: dict[str, str] = field(default_factory=dict)  # abbreviation -> domain
+    stop_lemmata: set[str] = field(default_factory=set)
+    my_classification: dict[str, str] = field(default_factory=dict)
+    vzexpr: set[str] = field(default_factory=set)  # prep expressions, 2-4 grams space-joined
+
+    def max_conn_multi(self) -> int:
+        return max((s.count(" ") + 1 for s in self.conn_multi), default=0)
+
+
+def _stable_int(s: str, mod: int) -> int:
+    return int.from_bytes(hashlib.sha1(s.encode()).digest()[:8], "big") % mod
+
+
+# ---------------------------------------------------------------------------
+# Default deterministic vocabulary
+# ---------------------------------------------------------------------------
+
+def _dutch_entries() -> dict[str, PosInfo]:
+    e: dict[str, PosInfo] = {}
+
+    def add(word, tag, lemma=None, morphs=None, **feats):
+        e[word] = PosInfo(tag, lemma or word, tuple(morphs or [word]),
+                          tuple(sorted(feats.items())))
+
+    # determiners / pronouns (drive pronoun-person props + overlap classes)
+    add("de", "LID", "de"); add("het", "LID", "het"); add("een", "LID", "een")
+    for w, pers in [("ik", "1"), ("mij", "1"), ("me", "1"), ("mijn", "1"),
+                    ("jij", "2"), ("je", "2"), ("jou", "2"), ("jouw", "2"),
+                    ("hij", "3"), ("hem", "3"), ("zij", "3"), ("ze", "3"),
+                    ("haar", "3"), ("wij", "1"), ("we", "1"), ("ons", "1"),
+                    ("onze", "1"), ("jullie", "2"), ("hen", "3"), ("hun", "3")]:
+        add(w, "VNW", w, vwtype="pers", persoon=pers)
+    add("zijn2", "VNW", "zijn", vwtype="bez", persoon="3")  # unused alias
+    for w in ("deze", "die", "dit", "dat"):
+        add(w, "VNW", w, vwtype="aanw")
+    add("welke", "VNW", "welke", vwtype="vb")
+    add("men", "VNW", "men", vwtype="pers", persoon="3")
+
+    # verbs: finite present/past, infinitive, participle
+    verbs = [("loopt", "lopen", "pv", "tgw"), ("liep", "lopen", "pv", "verl"),
+             ("lopen", "lopen", "inf", ""), ("gelopen", "lopen", "vd", ""),
+             ("ziet", "zien", "pv", "tgw"), ("zag", "zien", "pv", "verl"),
+             ("zien", "zien", "inf", ""), ("gezien", "zien", "vd", ""),
+             ("maakt", "maken", "pv", "tgw"), ("maakte", "maken", "pv", "verl"),
+             ("maken", "maken", "inf", ""), ("gemaakt", "maken", "vd", ""),
+             ("denkt", "denken", "pv", "tgw"), ("denken", "denken", "inf", ""),
+             ("werkt", "werken", "pv", "tgw"), ("werken", "werken", "inf", ""),
+             ("groeit", "groeien", "pv", "tgw"), ("groeien", "groeien", "inf", "")]
+    for w, lem, wv, tijd in verbs:
+        feats = {"wvorm": wv}
+        if tijd:
+            feats["pvtijd"] = tijd
+        add(w, "WW", lem, [lem], **feats)
+    # copula / modal / time auxiliaries (classifyVerb lexical approximation)
+    for w, lem, tijd in [("is", "zijn", "tgw"), ("was", "zijn", "verl"),
+                         ("zijn", "zijn", "tgw"), ("waren", "zijn", "verl"),
+                         ("wordt", "worden", "tgw"), ("werd", "worden", "verl"),
+                         ("kan", "kunnen", "tgw"), ("moet", "moeten", "tgw"),
+                         ("mag", "mogen", "tgw"), ("wil", "willen", "tgw"),
+                         ("zal", "zullen", "tgw"), ("heeft", "hebben", "tgw"),
+                         ("had", "hebben", "verl"), ("hebben", "hebben", "tgw"),
+                         ("blijft", "blijven", "tgw"), ("lijkt", "lijken", "tgw")]:
+        add(w, "WW", lem, [lem], wvorm="pv", pvtijd=tijd)
+
+    # nouns (with morphemes for nominalization + compounds)
+    nouns = [("huis", ["huis"]), ("huizen", ["huis", "en"]),
+             ("kat", ["kat"]), ("katten", ["kat", "en"]),
+             ("man", ["man"]), ("vrouw", ["vrouw"]), ("kind", ["kind"]),
+             ("stad", ["stad"]), ("land", ["land"]), ("water", ["water"]),
+             ("werking", ["werk", "ing"]), ("groeisel", ["groei", "sel"]),
+             ("waarheid", ["waar", "heid"]), ("vriendschap", ["vriend", "schap"]),
+             ("politie", ["politie"]), ("organisatie", ["organis", "atie"]),
+             ("ding", ["ding"]), ("deel", ["deel"]), ("boekenkast", ["boeken", "kast"]),
+             ("kast", ["kast"]), ("boek", ["boek"]), ("tafel", ["tafel"]),
+             ("idee", ["idee"]), ("gevoel", ["gevoel"]), ("reden", ["reden"]),
+             ("oorzaak", ["oorzaak"]), ("gevolg", ["gevolg"]), ("tijd", ["tijd"])]
+    for w, m in nouns:
+        lem = m[0] if len(m) > 1 and m[1] in ("en", "s", "n") else w
+        add(w, "N", lem, m)
+
+    # adjectives
+    for w, lem in [("groot", "groot"), ("grote", "groot"), ("klein", "klein"),
+                   ("kleine", "klein"), ("mooi", "mooi"), ("mooie", "mooi"),
+                   ("snel", "snel"), ("snelle", "snel"), ("oud", "oud"),
+                   ("nieuw", "nieuw"), ("goed", "goed"), ("onmogelijk", "onmogelijk"),
+                   ("blij", "blij"), ("boos", "boos"), ("bang", "bang")]:
+        add(w, "ADJ", lem)
+    e["onmogelijk"] = PosInfo("ADJ", "onmogelijk", ("on", "mogelijk"))
+
+    # adverbs
+    for w in ("niet", "nooit", "altijd", "vandaag", "morgen", "gisteren",
+              "hier", "daar", "nu", "dan", "snel2", "erg", "heel", "zeer",
+              "misschien", "moeilijk", "weg", "samen", "graag", "vaak",
+              "bovendien", "echter", "daarna", "vervolgens", "daardoor",
+              "daarnaast", "verder", "toch", "dus", "ook", "zo", "net",
+              "zowel", "evenmin"):
+        add(w, "BW", w)
+
+    # conjunctions
+    for w, ct in [("en", "neven"), ("of", "neven"), ("maar", "neven"),
+                  ("want", "neven"), ("omdat", "onder"), ("terwijl", "onder"),
+                  ("hoewel", "onder"), ("voordat", "onder"), ("doordat", "onder"),
+                  ("als", "onder"), ("toen", "onder"), ("zoals", "onder"),
+                  ("tenzij", "onder")]:
+        add(w, "VG", w, conjtype=ct)
+
+    # prepositions
+    for w in ("in", "op", "aan", "van", "met", "voor", "naar", "uit", "bij",
+              "over", "door", "tot", "zonder", "tussen", "onder2", "per"):
+        add(w, "VZ", w)
+
+    # numerals, punctuation handled by tokenizer; abbreviations
+    for w in ("twee", "drie", "vier", "vijf", "tien", "honderd"):
+        add(w, "TW", w)
+    for w in ("bv", "enz", "ca", "nl", "dhr", "mw"):
+        add(w, "SPEC", w)
+
+    return e
+
+
+def _testdata_entries() -> dict[str, PosInfo]:
+    """Deterministic attributes for the synthetic-testdata English vocab so
+    `documents.text` exercises every lookup family."""
+    e: dict[str, PosInfo] = {}
+    det = {"the", "a"}
+    adj = {"fast", "slow", "small", "big"}
+    verb = {"sort", "merge", "join", "scan", "filter", "group"}
+    for w in ("the a fast key order sort table scan merge part window small "
+              "hash join batch stream spark group query row data slow filter "
+              "customer line value big column vector agg dup").split():
+        if w in det:
+            e[w] = PosInfo("LID", w, (w,))
+        elif w in adj:
+            e[w] = PosInfo("ADJ", w, (w,))
+        elif w in verb:
+            e[w] = PosInfo("WW", w, (w,), (("wvorm", "pv"), ("pvtijd", "tgw")))
+        else:
+            e[w] = PosInfo("N", w, (w,))
+    return e
+
+
+def build_default_lexicons() -> Lexicons:
+    """Build the deterministic default lexicon bundle (seeded by word text,
+    no RNG state)."""
+    pos = _dutch_entries()
+    pos.update(_testdata_entries())
+    # drop helper aliases that were only needed for construction
+    for alias in ("zijn2", "snel2", "onder2"):
+        pos.pop(alias, None)
+
+    lex = Lexicons(pos=pos)
+
+    # frequencies: deterministic per-word counts spread over several orders
+    # of magnitude (drives freq_log + top-k bands + staph bands)
+    for w, info in pos.items():
+        c = 10 ** (1 + _stable_int("wf:" + w, 5)) + _stable_int("wfo:" + w, 900)
+        lex.word_freq[w] = c
+        lex.lemma_freq[info.lemma] = lex.lemma_freq.get(info.lemma, 0) + c
+    lex.word_total = sum(lex.word_freq.values())
+    lex.lemma_total = sum(lex.lemma_freq.values())
+
+    # top-k bands: assign deterministically; frequent words -> lower bands
+    ranked = sorted(lex.word_freq, key=lambda w: (-lex.word_freq[w], w))
+    for i, w in enumerate(ranked):
+        frac = (i + 1) / len(ranked)
+        band = TOP_BANDS[min(int(frac * len(TOP_BANDS)), len(TOP_BANDS) - 1)]
+        if frac <= 0.85:  # leave a deterministic tail out of the top-20k list
+            lex.top_freq[w] = band
+
+    # prevalence: percentage in [60, 100), z in [-2, 2)
+    for lem in sorted({i.lemma for i in pos.values()}):
+        pct = 60.0 + _stable_int("prev:" + lem, 4000) / 100.0
+        z = -2.0 + _stable_int("prevz:" + lem, 400) / 100.0
+        lex.prevalence[lem] = (pct, z)
+
+    # staphorsius: freq values over [30, 100) so bands <=50/65/77/80 all fire
+    for w in sorted(pos):
+        lex.staph_freq[w] = 30.0 + _stable_int("staph:" + w, 7000) / 100.0
+
+    # semantic types
+    sem_noun_types = ("concrete_other", "human", "nonhuman", "artefact",
+                      "abstract", "place", "time", "measure", "institut",
+                      "undefined")
+    for lem in sorted({i.lemma for i in pos.values() if i.tag == "N"}):
+        lex.noun_sem[lem] = sem_noun_types[_stable_int("ns:" + lem, len(sem_noun_types))]
+    lex.noun_sem.update({"man": "human", "vrouw": "human", "kind": "human",
+                         "huis": "artefact", "kat": "nonhuman", "stad": "place",
+                         "tijd": "time", "idee": "abstract", "gevoel": "abstract",
+                         "politie": "institut", "customer": "human"})
+    for lem in sorted({i.lemma for i in pos.values() if i.tag == "ADJ"}):
+        lex.adj_sem[lem] = ("concrete", "abstract", "emotion", "time",
+                            "place")[_stable_int("as:" + lem, 5)]
+    for lem in sorted({i.lemma for i in pos.values() if i.tag == "WW"}):
+        lex.verb_sem[lem] = ("concrete", "abstract", "state", "action",
+                             "process", "undefined")[_stable_int("vs:" + lem, 6)]
+
+    # compounds: lemma -> (head, satellite, parts)
+    lex.compounds["boekenkast"] = ("kast", "boeken", 2)
+
+    # connectives (single, per SURVEY W6; POS-gated to VG/VZ/BW at use site)
+    lex.conn_single.update({
+        "toen": "TEMPOREEL", "daarna": "TEMPOREEL", "voordat": "TEMPOREEL",
+        "terwijl": "TEMPOREEL", "vervolgens": "TEMPOREEL",
+        "en": "OPSOMMEND_WG", "of": "OPSOMMEND_WG", "ook": "OPSOMMEND_WG",
+        "bovendien": "OPSOMMEND_ZIN", "verder": "OPSOMMEND_ZIN",
+        "daarnaast": "OPSOMMEND_ZIN",
+        "maar": "CONTRASTIEF", "echter": "CONTRASTIEF", "hoewel": "CONTRASTIEF",
+        "toch": "CONTRASTIEF",
+        "zoals": "COMPARATIEF", "als": "COMPARATIEF", "dan": "COMPARATIEF",
+        "omdat": "CAUSAAL", "want": "CAUSAAL", "dus": "CAUSAAL",
+        "daardoor": "CAUSAAL", "doordat": "CAUSAAL",
+    })
+    lex.conn_multi.update({
+        "ten slotte": "OPSOMMEND_ZIN", "onder andere": "OPSOMMEND_WG",
+        "met andere woorden": "COMPARATIEF", "als gevolg van": "CAUSAAL",
+        "aan de andere kant": "CONTRASTIEF", "in de eerste plaats": "OPSOMMEND_ZIN",
+        "zowel als": "COMPARATIEF",
+    })
+
+    # situations (lemma-based, per SURVEY W7/T3)
+    lex.sit_single.update({
+        "vandaag": "TIME_SIT", "morgen": "TIME_SIT", "gisteren": "TIME_SIT",
+        "nu": "TIME_SIT", "altijd": "TIME_SIT", "tijd": "TIME_SIT",
+        "hier": "SPACE_SIT", "daar": "SPACE_SIT", "stad": "SPACE_SIT",
+        "reden": "CAUSAL_SIT", "oorzaak": "CAUSAL_SIT", "gevolg": "CAUSAL_SIT",
+        "blij": "EMO_SIT", "boos": "EMO_SIT", "bang": "EMO_SIT",
+        "gevoel": "EMO_SIT",
+    })
+    lex.sit_multi.update({
+        "op dit moment": "TIME_SIT", "van tijd tot tijd": "TIME_SIT",
+        "aan de kant": "SPACE_SIT", "om deze reden": "CAUSAL_SIT",
+    })
+
+    # intensifiers
+    lex.intensify.update({"erg": "BVBW", "heel": "BVBW", "zeer": "BVBW",
+                          "enorm": "BVBW", "vaak": "FREQ"})
+    lex.intensify_multi.update({"heel erg": "BVBW", "in hoge mate": "STRONG"})
+
+    # formal words
+    lex.formal.update({"tevens": "BW", "gaarne": "BW", "reeds": "BW",
+                       "omtrent": "VZ", "aangaande": "VZ", "geschieden": "WW",
+                       "organisatie": "N"})
+    lex.formal_multi.update({"ten behoeve van": "VZ", "met betrekking tot": "VZ"})
+
+    # general nouns/verbs
+    lex.general_nouns.update({"ding": "separate", "deel": "related",
+                              "idee": "knowledge", "reden": "discussion",
+                              "gevolg": "development", "data": "knowledge",
+                              "value": "separate"})
+    lex.general_verbs.update({"maken": "acting", "denken": "knowledge",
+                              "werken": "acting", "groeien": "development",
+                              "zien": "knowledge"})
+
+    # adverbs: type GENERAL/SPECIFIC x subtype (MANNER gates strict content)
+    lex.adverbs.update({
+        "snel": ("SPECIFIC", "MANNER"), "samen": ("SPECIFIC", "MANNER"),
+        "graag": ("SPECIFIC", "MANNER"), "zo": ("GENERAL", "MANNER"),
+        "hier": ("SPECIFIC", "PLACE"), "daar": ("SPECIFIC", "PLACE"),
+        "nu": ("SPECIFIC", "TIME"), "dan": ("GENERAL", "TIME"),
+        "vandaag": ("SPECIFIC", "TIME"), "morgen": ("SPECIFIC", "TIME"),
+        "misschien": ("GENERAL", "MODAL"), "vaak": ("SPECIFIC", "FREQUENCY"),
+        "altijd": ("SPECIFIC", "FREQUENCY"), "ook": ("GENERAL", "FOCUS"),
+        "niet": ("GENERAL", "NEGATION"), "nooit": ("SPECIFIC", "NEGATION"),
+    })
+
+    # abbreviations -> domain (reference fill afkos, 8 domains)
+    lex.afkos.update({"bv": "generic", "enz": "generic", "ca": "measure",
+                      "nl": "geo", "dhr": "person", "mw": "person"})
+
+    lex.stop_lemmata.update({"de", "het", "een", "the", "a"})
+    lex.my_classification.update({"spark": "tech", "ray": "tech", "data": "tech"})
+
+    # prepositional expressions (2-4 grams, reference src/tscan.cxx:2967-2995)
+    lex.vzexpr.update({"op grond van", "aan de hand van", "in plaats van",
+                       "met behulp van", "ten opzichte van", "naar aanleiding van"})
+
+    return lex
+
+
+_DEFAULT: Lexicons | None = None
+
+
+def default_lexicons() -> Lexicons:
+    """Process-level cached default bundle (built once per actor/worker)."""
+    global _DEFAULT
+    if _DEFAULT is None:
+        _DEFAULT = build_default_lexicons()
+    return _DEFAULT

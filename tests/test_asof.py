@@ -1,0 +1,119 @@
+"""As-of join vs DuckDB ASOF JOIN oracle + leakage property test."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"create view events as select * from '{SF_DIR}/events.parquet'")
+    return c
+
+
+def _sides():
+    ev = rd.read_parquet(f"{SF_DIR}/events.parquet")
+    left = ev.filter(expr="event_type == 'view'")
+    right = ev.filter(expr="event_type == 'purchase'")
+    return left, right
+
+
+ORACLE_SQL = """
+with l as (select * from events where event_type = 'view'),
+     rdedup as (
+       select user_id, ts, value,
+              row_number() over (partition by user_id, ts order by event_id desc) as rn
+       from events where event_type = 'purchase')
+, r as (select user_id, ts, value from rdedup where rn = 1)
+select l.event_id, l.user_id, l.ts, r.ts as ts_r, r.value as value_r
+from l asof join r on l.user_id = r.user_id and l.ts >= r.ts
+"""
+
+
+class TestAsofJoin:
+    def test_matches_duckdb_asof(self, con):
+        from tscan_ray.ops.asof import asof_join
+
+        left, right = _sides()
+        out = asof_join(left, right, key="user_id", ts="ts",
+                        right_value_cols=["value"], order_col="event_id",
+                        how="inner", num_buckets=4).to_pandas()
+        oracle = con.execute(ORACLE_SQL).df()
+        m = out[["event_id", "ts_r", "value_r"]].sort_values("event_id").reset_index(drop=True)
+        o = oracle[["event_id", "ts_r", "value_r"]].sort_values("event_id").reset_index(drop=True)
+        assert len(m) == len(o)
+        assert (m["ts_r"].to_numpy() == o["ts_r"].to_numpy()).all()
+        assert np.allclose(m["value_r"], o["value_r"])
+
+    def test_left_join_keeps_unmatched(self):
+        from tscan_ray.ops.asof import asof_join
+
+        left, right = _sides()
+        out = asof_join(left, right, key="user_id", ts="ts",
+                        right_value_cols=["value"], order_col="event_id",
+                        how="left", num_buckets=4).to_pandas()
+        assert len(out) == left.count()
+
+    def test_tolerance(self):
+        from tscan_ray.ops.asof import asof_join
+
+        left, right = _sides()
+        hour_us = 3_600_000_000
+        out = asof_join(left, right, key="user_id", ts="ts",
+                        right_value_cols=["value"], order_col="event_id",
+                        how="inner", tolerance_us=hour_us, num_buckets=4).to_pandas()
+        gap = (out["ts"] - out["ts_r"]).dt.total_seconds()
+        assert (gap <= 3600).all()
+        assert (gap >= 0).all()
+
+    def test_zero_leakage(self):
+        """Matched right ts never exceeds left ts; and removing future rows
+        does not change past matches."""
+        from tscan_ray.ops.asof import asof_join
+
+        left, right = _sides()
+        full = asof_join(left, right, key="user_id", ts="ts",
+                         right_value_cols=["value"], order_col="event_id",
+                         how="left", num_buckets=4).to_pandas()
+        assert (full["ts_r"].dropna() <= full.loc[full["ts_r"].notna(), "ts"]).all()
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cutoff = pd.Timestamp("2024-01-03")
+
+        def cut(ds):
+            return ds.map_batches(
+                lambda t: t.filter(pc.less_equal(t["ts"], pa.scalar(cutoff))),
+                batch_format="pyarrow",
+            )
+
+        lcut, rcut = cut(left), cut(right)
+        trimmed = asof_join(lcut, rcut, key="user_id", ts="ts",
+                            right_value_cols=["value"], order_col="event_id",
+                            how="left", num_buckets=4).to_pandas()
+        f = full[full["ts"] <= cutoff].sort_values("event_id").reset_index(drop=True)
+        t = trimmed.sort_values("event_id").reset_index(drop=True)
+        assert len(f) == len(t)
+        assert np.allclose(f["value_r"], t["value_r"], equal_nan=True)
+
+    def test_bucket_count_invariance(self):
+        """Results must not depend on the shuffle partitioning."""
+        from tscan_ray.ops.asof import asof_join
+
+        left, right = _sides()
+        a = asof_join(left, right, key="user_id", ts="ts",
+                      right_value_cols=["value"], order_col="event_id",
+                      how="inner", num_buckets=2).to_pandas()
+        b = asof_join(left, right, key="user_id", ts="ts",
+                      right_value_cols=["value"], order_col="event_id",
+                      how="inner", num_buckets=16).to_pandas()
+        a = a.sort_values("event_id").reset_index(drop=True)
+        b = b.sort_values("event_id").reset_index(drop=True)
+        assert len(a) == len(b)
+        assert np.allclose(a["value_r"], b["value_r"])

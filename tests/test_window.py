@@ -1,0 +1,177 @@
+"""Point-in-time window operators vs a DuckDB oracle on the events table
+(mirrors the driver's correctness gate)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_ds():
+    return rd.read_parquet(f"{SF_DIR}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"create view events as select * from '{SF_DIR}/events.parquet'")
+    return c
+
+
+def _sorted(df, cols):
+    return df.sort_values(cols).reset_index(drop=True)
+
+
+class TestLagLead:
+    def test_lag_matches_sql(self, events_ds, con):
+        from tscan_ray.ops.window import lag_lead
+
+        out = lag_lead(events_ds, "user_id", "ts", ["value"], [1, -1],
+                       order_col="event_id", num_buckets=4).to_pandas()
+        oracle = con.execute(
+            """
+            select event_id,
+                   lag(value)  over (partition by user_id order by ts, event_id) as value_lag1,
+                   lead(value) over (partition by user_id order by ts, event_id) as value_lead1
+            from events
+            """
+        ).df()
+        m = _sorted(out[["event_id", "value_lag1", "value_lead1"]], ["event_id"])
+        o = _sorted(oracle, ["event_id"])
+        assert np.allclose(m["value_lag1"], o["value_lag1"], equal_nan=True)
+        assert np.allclose(m["value_lead1"], o["value_lead1"], equal_nan=True)
+
+    def test_lag_is_strictly_past(self, events_ds):
+        """Zero temporal leakage: recomputing with all rows after a cutoff
+        removed must not change lag features at/before the cutoff."""
+        from tscan_ray.ops.window import lag_lead
+
+        full = lag_lead(events_ds, "user_id", "ts", ["value"], [1],
+                        order_col="event_id", num_buckets=4).to_pandas()
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cutoff = pd.Timestamp("2024-01-03")
+        trimmed_ds = events_ds.map_batches(
+            lambda t: t.filter(pc.less_equal(t["ts"], pa.scalar(cutoff))),
+            batch_format="pyarrow",
+        )
+        trimmed = lag_lead(trimmed_ds, "user_id", "ts", ["value"], [1],
+                           order_col="event_id", num_buckets=4).to_pandas()
+        f = _sorted(full[full["ts"] <= cutoff][["event_id", "value_lag1"]], ["event_id"])
+        t = _sorted(trimmed[["event_id", "value_lag1"]], ["event_id"])
+        assert len(f) == len(t)
+        assert np.allclose(f["value_lag1"], t["value_lag1"], equal_nan=True)
+
+
+class TestFill:
+    def test_ffill_matches_sql(self, events_ds, con):
+        from tscan_ray.ops.window import fill
+
+        # mask: value only on purchases, ffill the rest from the past
+        masked = events_ds.map_batches(
+            lambda df: df.assign(
+                pv=df["value"].where(df["event_type"] == "purchase")
+            ),
+            batch_format="pandas",
+        )
+        out = fill(masked, "user_id", "ts", ["pv"], method="ffill",
+                   order_col="event_id", num_buckets=4).to_pandas()
+        oracle = con.execute(
+            """
+            select event_id,
+                   last_value(case when event_type = 'purchase' then value end ignore nulls)
+                     over (partition by user_id order by ts, event_id
+                           rows between unbounded preceding and current row) as pv_filled
+            from events
+            """
+        ).df()
+        m = _sorted(out[["event_id", "pv_filled"]], ["event_id"])
+        o = _sorted(oracle, ["event_id"])
+        assert np.allclose(m["pv_filled"], o["pv_filled"], equal_nan=True)
+
+
+class TestSessionize:
+    GAP_US = 30 * 60 * 1_000_000
+
+    def test_sessionize_matches_sql(self, events_ds, con):
+        from tscan_ray.ops.window import sessionize
+
+        out = sessionize(events_ds, "user_id", "ts", gap_us=self.GAP_US,
+                         order_col="event_id", num_buckets=4).to_pandas()
+        oracle = con.execute(
+            """
+            with gaps as (
+              select event_id, user_id, ts,
+                     lag(ts) over (partition by user_id order by ts, event_id) as prev_ts
+              from events
+            )
+            select event_id,
+                   sum(case when prev_ts is null or ts - prev_ts > interval 30 minute
+                            then 1 else 0 end)
+                     over (partition by user_id order by ts, event_id
+                           rows between unbounded preceding and current row) - 1 as session_id
+            from gaps
+            """
+        ).df()
+        m = _sorted(out[["event_id", "session_id"]], ["event_id"])
+        o = _sorted(oracle, ["event_id"])
+        assert (m["session_id"].to_numpy() == o["session_id"].to_numpy()).all()
+
+    def test_session_stats(self, events_ds):
+        from tscan_ray.ops.window import session_stats, sessionize
+
+        sess = sessionize(events_ds, "user_id", "ts", gap_us=self.GAP_US,
+                          order_col="event_id", num_buckets=4).to_pandas()
+        stats = session_stats(events_ds, "user_id", "ts", value_col="value",
+                              gap_us=self.GAP_US, order_col="event_id",
+                              num_buckets=4).to_pandas()
+        # session count per user must agree
+        per_user = sess.groupby("user_id")["session_id"].max() + 1
+        per_user2 = stats.groupby("user_id")["session_id"].nunique()
+        assert per_user.sort_index().equals(per_user2.sort_index())
+        assert (stats["n_events"] >= 1).all()
+        assert (stats["duration_sec"] >= 0).all()
+
+
+class TestTumblingWindow:
+    def test_matches_sql(self, events_ds, con):
+        from tscan_ray.ops.window import tumbling_window
+
+        hour_us = 3_600_000_000
+        out = tumbling_window(events_ds, "user_id", "ts", "value",
+                              width_us=hour_us, num_buckets=4).to_pandas()
+        oracle = con.execute(
+            """
+            select user_id, date_trunc('hour', ts) as w, count(*) as n, sum(value) as sum_value
+            from events group by 1, 2
+            """
+        ).df()
+        m = out.assign(w=pd.to_datetime(out["window_start"], unit="us"))
+        m = _sorted(m[["user_id", "w", "n", "sum_value"]], ["user_id", "w"])
+        o = _sorted(oracle, ["user_id", "w"])
+        assert len(m) == len(o)
+        assert (m["n"].to_numpy() == o["n"].to_numpy()).all()
+        assert np.allclose(m["sum_value"], o["sum_value"])
+
+
+class TestRollingMean:
+    def test_rolling(self, events_ds):
+        from tscan_ray.ops.window import rolling_mean
+
+        out = rolling_mean(events_ds, "user_id", "ts", ["value"], window=3,
+                           order_col="event_id", num_buckets=4).to_pandas()
+        # naive pandas oracle
+        pdf = pd.read_parquet(f"{SF_DIR}/events.parquet").sort_values(
+            ["user_id", "ts", "event_id"]
+        )
+        pdf["exp"] = pdf.groupby("user_id")["value"].transform(
+            lambda s: s.rolling(3, min_periods=1).mean()
+        )
+        m = _sorted(out[["event_id", "value_rmean3"]], ["event_id"])
+        o = _sorted(pdf[["event_id", "exp"]], ["event_id"])
+        assert np.allclose(m["value_rmean3"], o["exp"])

@@ -1,0 +1,143 @@
+"""Point-in-time (as-of) join — the engine's flagship relational operator.
+
+For each left row (key, ts), find the latest right row of the same key
+with ``ts_r <= ts`` (backward direction; ``allow_exact_matches`` keeps
+the <= inclusive, which is the leakage-safe convention: a feature known
+AT ts is usable AT ts).  Optional tolerance bounds the lookback.
+
+Ray-Data-native design (north rule; no counterpart in the reference —
+its only joins are broadcast lexicon lookups, SURVEY.md §2.5):
+
+1. both sides get the SAME deterministic key-hash bucket column
+   (ops/keyed.py) in a vectorized ``map_batches``;
+2. sides are tagged and schema-aligned (missing columns -> nulls), then
+   ``union``-ed — Ray's streaming executor interleaves both scans;
+3. ONE ``groupby(bucket)`` exchange co-locates each key's left and right
+   rows;
+4. inside the bucket UDF: split by side, sort each frame by (ts,
+   order_col), ``pd.merge_asof(by=key)`` — a sorted-merge with
+   binary-search galloping over contiguous numpy arrays, vectorized
+   across all keys in the bucket.
+
+Determinism: right-side duplicates on (key, ts) are reduced to the row
+with the greatest ``order_col`` (latest-writer-wins) so the match is
+unique under retries; ties on the left are preserved as independent rows.
+
+Scale notes: the exchange moves each row exactly once; bucket count is
+sized via ops/keyed.py.  If one side is tiny, prefer a broadcast lookup
+(ray.put + searchsorted in map_batches) instead of this shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from tscan_ray.config import DEFAULT_CONFIG
+from tscan_ray.ops.keyed import BUCKET_COL, with_bucket
+
+_SIDE = "__side__"
+
+
+def asof_join(
+    left,
+    right,
+    key: str,
+    ts: str,
+    right_value_cols: list[str],
+    order_col: str | None = None,
+    tolerance_us: int | None = None,
+    right_suffix: str = "_r",
+    how: str = "left",
+    num_buckets: int = DEFAULT_CONFIG.num_key_buckets,
+):
+    """As-of join two Datasets on (key, ts).
+
+    Returns the left schema + ``{ts}{right_suffix}`` (matched right
+    timestamp) + each right value column renamed ``{col}{right_suffix}``.
+    ``how='inner'`` drops left rows with no match.
+    """
+    left_schema = left.schema()
+    left_cols = list(left_schema.names)
+    right_keep = [key, ts] + ([order_col] if order_col and order_col not in (key, ts) else [])
+    right_keep += [c for c in right_value_cols if c not in right_keep]
+
+    right = right.select_columns(right_keep)
+
+    # align schemas for union: every column of both sides, missing -> null
+    l_b = with_bucket(left, key, num_buckets)
+    r_b = with_bucket(right, key, num_buckets)
+
+    right_schema = right.schema()
+    all_cols: dict[str, pa.DataType] = dict(zip(left_schema.names, left_schema.types))
+    # normalized right column names inside the exchange (avoid collisions)
+    r_rename = {
+        name: ("__r_" + name if name in left_cols and name not in (key, ts) else name)
+        for name in right_schema.names
+    }
+    for name, typ in zip(right_schema.names, right_schema.types):
+        all_cols.setdefault(r_rename[name], typ)
+
+    union_names = list(all_cols.keys()) + [BUCKET_COL, _SIDE]
+
+    def pad(side: int, rename: dict[str, str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {}
+            present = {rename.get(name, name): batch.column(name) for name in batch.column_names}
+            for name in union_names:
+                if name == _SIDE:
+                    cols[name] = pa.array(np.full(n, side, dtype=np.int8))
+                elif name in present:
+                    cols[name] = present[name]
+                else:
+                    cols[name] = pa.nulls(n, type=all_cols[name])
+            return pa.table(cols)
+
+        return fn
+
+    l_p = l_b.map_batches(pad(0, {}), batch_format="pyarrow", zero_copy_batch=True)
+    r_p = r_b.map_batches(pad(1, r_rename), batch_format="pyarrow", zero_copy_batch=True)
+    both = l_p.union(r_p)
+
+    rv_cols = [r_rename.get(c, c) for c in right_value_cols]
+    out_rename = {c: right_value_cols[i] + right_suffix for i, c in enumerate(rv_cols)}
+    sort_extra = [order_col] if order_col else []
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if BUCKET_COL in df.columns:
+            df = df.drop(columns=[BUCKET_COL])
+        ldf = df[df[_SIDE] == 0][left_cols].copy()
+        rcols = list(dict.fromkeys([key, ts] + rv_cols + sort_extra))
+        rdf = df[df[_SIDE] == 1][rcols].copy()
+        # deterministic dedup of right rows on (key, ts): latest order wins
+        rdf = rdf.sort_values([key, ts] + sort_extra, kind="mergesort")
+        rdf = rdf.drop_duplicates([key, ts], keep="last")
+        if order_col and order_col in rdf.columns and order_col not in (key, ts):
+            rdf = rdf.drop(columns=[order_col])
+        rdf = rdf.rename(columns={ts: ts + right_suffix, **out_rename})
+        ldf = ldf.sort_values([ts] + [c for c in sort_extra if c in ldf.columns],
+                              kind="mergesort")
+        rdf = rdf.sort_values(ts + right_suffix, kind="mergesort")
+        kwargs = {}
+        if tolerance_us is not None:
+            tol = tolerance_us
+            if np.issubdtype(ldf[ts].dtype, np.datetime64):
+                tol = pd.Timedelta(microseconds=tolerance_us)
+            kwargs["tolerance"] = tol
+        out = pd.merge_asof(
+            ldf,
+            rdf,
+            left_on=ts,
+            right_on=ts + right_suffix,
+            by=key,
+            direction="backward",
+            allow_exact_matches=True,
+            **kwargs,
+        )
+        if how == "inner":
+            out = out[out[ts + right_suffix].notna()]
+        return out
+
+    return both.groupby(BUCKET_COL).map_groups(merge, batch_format="pandas")

@@ -1,0 +1,203 @@
+"""Windowed timeline operators: lag/lead, forward/backward fill,
+sessionization, tumbling-window aggregates.
+
+The reference's only sequence state is document-scoped (prev-sentence
+buffer T5, 50-word ring T6 — SURVEY.md §2.9); the engine generalizes
+those to the entity-timeline level per the north rule.  All operators:
+
+* establish order explicitly — sort by (key, ts, order_col) *within* a
+  key-hash bucket (see ops/keyed.py); never rely on arrival order;
+* zero temporal leakage by construction: lag/ffill read only rows with
+  ts' < ts (strict) resp. ts' <= ts; lead/bfill are the declared
+  forward-looking duals;
+* deterministic tie-breaks: equal timestamps are ordered by
+  ``order_col`` (e.g. event_id) — required for reproducible retries.
+
+Everything inside the bucket UDF is vectorized pandas ``groupby``
+transforms over all keys at once — no per-entity Python loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from tscan_ray.config import DEFAULT_CONFIG
+from tscan_ray.ops.keyed import grouped_apply
+
+
+def _sort_cols(key: str, ts: str, order_col: str | None) -> list[str]:
+    return [key, ts] + ([order_col] if order_col else [])
+
+
+def _ts_us(s: pd.Series) -> pd.Series:
+    """Timestamp column -> int64 microseconds, unit-safe (pandas may hold
+    datetime64[us] from Arrow or datetime64[ns]); integer columns are
+    assumed to already be microseconds."""
+    if np.issubdtype(s.dtype, np.datetime64):
+        return s.astype("datetime64[us]").astype("int64")
+    return s.astype("int64")
+
+
+def lag_lead(
+    ds,
+    key: str,
+    ts: str,
+    cols: list[str],
+    shifts: list[int],
+    order_col: str | None = None,
+    num_buckets: int = DEFAULT_CONFIG.num_key_buckets,
+):
+    """Shift ``cols`` by each k in ``shifts`` within the (key, ts) timeline.
+
+    Positive k = lag (value from k rows earlier: strictly past, leakage-
+    free); negative k = lead.  New columns: ``{col}_lag{k}`` / ``{col}_lead{-k}``.
+    """
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(_sort_cols(key, ts, order_col), kind="mergesort")
+        g = df.groupby(key, sort=False)
+        for k in shifts:
+            name = f"_lag{k}" if k > 0 else f"_lead{-k}"
+            for c in cols:
+                df[c + name] = g[c].shift(k)
+        return df
+
+    return grouped_apply(ds, key, fn, num_buckets)
+
+
+def fill(
+    ds,
+    key: str,
+    ts: str,
+    cols: list[str],
+    method: str = "ffill",
+    order_col: str | None = None,
+    num_buckets: int = DEFAULT_CONFIG.num_key_buckets,
+    suffix: str = "_filled",
+):
+    """Forward-fill (from the entity's past only) or backward-fill nulls."""
+    if method not in ("ffill", "bfill"):
+        raise ValueError(method)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(_sort_cols(key, ts, order_col), kind="mergesort")
+        g = df.groupby(key, sort=False)
+        for c in cols:
+            df[c + suffix] = g[c].ffill() if method == "ffill" else g[c].bfill()
+        return df
+
+    return grouped_apply(ds, key, fn, num_buckets)
+
+
+def sessionize(
+    ds,
+    key: str,
+    ts: str,
+    gap_us: int = DEFAULT_CONFIG.session_gap_us,
+    order_col: str | None = None,
+    num_buckets: int = DEFAULT_CONFIG.num_key_buckets,
+    out_col: str = "session_id",
+):
+    """Gap-based sessionization: a new session starts when the gap to the
+    entity's previous event exceeds ``gap_us``.  ``session_id`` is 0-based
+    per entity (deterministic given (key, ts, order_col) ordering).
+    """
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(_sort_cols(key, ts, order_col), kind="mergesort")
+        tsv = _ts_us(df[ts])
+        prev = tsv.groupby(df[key], sort=False).shift(1)
+        new_session = prev.isna() | ((tsv - prev) > gap_us)
+        df[out_col] = new_session.groupby(df[key], sort=False).cumsum().astype("int64") - 1
+        return df
+
+    return grouped_apply(ds, key, fn, num_buckets)
+
+
+def session_stats(
+    ds,
+    key: str,
+    ts: str,
+    value_col: str | None = None,
+    gap_us: int = DEFAULT_CONFIG.session_gap_us,
+    order_col: str | None = None,
+    num_buckets: int = DEFAULT_CONFIG.num_key_buckets,
+):
+    """Sessionize then aggregate per (key, session_id): event count, start,
+    end, duration (sec), sum(value).  One shuffle total — the per-session
+    aggregate happens inside the same bucket UDF (an entity's sessions
+    never span buckets), so no second exchange is needed."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(_sort_cols(key, ts, order_col), kind="mergesort")
+        tsv = _ts_us(df[ts])
+        prev = tsv.groupby(df[key], sort=False).shift(1)
+        new_session = prev.isna() | ((tsv - prev) > gap_us)
+        df = df.assign(session_id=new_session.groupby(df[key], sort=False).cumsum().astype("int64") - 1)
+        aggs = {"n_events": (ts, "size"), "start_ts": (ts, "min"), "end_ts": (ts, "max")}
+        if value_col:
+            aggs["sum_value"] = (value_col, "sum")
+        out = df.groupby([key, "session_id"], sort=False).agg(**aggs).reset_index()
+        out["duration_sec"] = (
+            (out["end_ts"] - out["start_ts"]).dt.total_seconds()
+            if np.issubdtype(df[ts].dtype, np.datetime64)
+            else (out["end_ts"] - out["start_ts"]) / 1e6
+        )
+        return out
+
+    return grouped_apply(ds, key, fn, num_buckets)
+
+
+def tumbling_window(
+    ds,
+    key: str,
+    ts: str,
+    value_col: str,
+    width_us: int,
+    num_buckets: int = DEFAULT_CONFIG.num_key_buckets,
+):
+    """Per-entity tumbling-window aggregate: count + sum + mean of
+    ``value_col`` per (key, floor(ts/width)).  Pre-aggregates inside the
+    bucket UDF — the shuffle moves raw rows once; output is one row per
+    (key, window)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        micros = _ts_us(df[ts])
+        df = df.assign(window_start=(micros // width_us) * width_us)
+        out = (
+            df.groupby([key, "window_start"], sort=False)
+            .agg(n=(value_col, "size"), sum_value=(value_col, "sum"),
+                 mean_value=(value_col, "mean"))
+            .reset_index()
+        )
+        return out
+
+    return grouped_apply(ds, key, fn, num_buckets)
+
+
+def rolling_mean(
+    ds,
+    key: str,
+    ts: str,
+    cols: list[str],
+    window: int,
+    order_col: str | None = None,
+    num_buckets: int = DEFAULT_CONFIG.num_key_buckets,
+    min_periods: int = 1,
+    suffix: str | None = None,
+):
+    """Trailing rolling mean over the last ``window`` rows of the entity's
+    timeline INCLUDING the current row (ts' <= ts: point-in-time safe)."""
+    suffix = suffix or f"_rmean{window}"
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(_sort_cols(key, ts, order_col), kind="mergesort")
+        g = df.groupby(key, sort=False)
+        for c in cols:
+            df[c + suffix] = g[c].transform(
+                lambda s: s.rolling(window, min_periods=min_periods).mean()
+            )
+        return df
+
+    return grouped_apply(ds, key, fn, num_buckets)

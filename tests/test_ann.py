@@ -1,0 +1,74 @@
+"""Similarity-search tests vs DuckDB list_cosine_similarity oracle."""
+
+import duckdb
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb():
+    return rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _query_vec():
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    return np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
+
+
+class TestTopkCosine:
+    def test_matches_duckdb(self, emb):
+        from tscan_ray.ops.ann import topk_cosine
+
+        q = _query_vec()
+        out = topk_cosine(emb, q, k=10).to_pandas()
+        con = duckdb.connect()
+        oracle = con.execute(
+            f"""
+            with q as (select embedding as qv from '{SF_DIR}/embeddings.parquet' where vec_id = 0)
+            select vec_id,
+                   round(list_cosine_similarity(embedding, (select qv from q)), 6) as cosine
+            from '{SF_DIR}/embeddings.parquet'
+            order by cosine desc, vec_id limit 10
+            """
+        ).df()
+        assert list(out["vec_id"]) == list(oracle["vec_id"])
+        assert np.allclose(out["cosine"], oracle["cosine"], atol=1e-6)
+
+    def test_self_is_top(self, emb):
+        from tscan_ray.ops.ann import topk_cosine
+
+        out = topk_cosine(emb, _query_vec(), k=1).to_pandas()
+        assert out["vec_id"].iloc[0] == 0
+        assert out["cosine"].iloc[0] == pytest.approx(1.0)
+
+
+class TestLsh:
+    def test_lsh_topk_reasonable_recall(self, emb):
+        from tscan_ray.ops.ann import topk_cosine, topk_cosine_lsh
+
+        q = _query_vec()
+        exact = set(topk_cosine(emb, q, k=10).to_pandas()["vec_id"])
+        approx = set(topk_cosine_lsh(emb, q, k=10, nbits=6, multiprobe=1)
+                     .to_pandas()["vec_id"])
+        assert 0 in approx  # the query vector itself lands in its own bucket
+        assert len(exact & approx) >= 3  # decent recall on 500 vectors
+
+    def test_neardup_pairs_planted(self, emb):
+        """Plant exact-duplicate vectors; they must pair at cosine 1."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from tscan_ray.ops.ann import cosine_neardup_pairs
+
+        t = pq.read_table(f"{SF_DIR}/embeddings.parquet").slice(0, 50).to_pandas()
+        dup = t.iloc[[0]].assign(vec_id=10_000)
+        ds = rd.from_pandas(pd.concat([t, dup], ignore_index=True))
+        pairs = cosine_neardup_pairs(ds, threshold=0.9999, nbits=6).to_pandas()
+        assert len(pairs) >= 1
+        assert (pairs["id_a"] < pairs["id_b"]).all()
+        assert (pairs["cosine"] >= 0.9999).all()
+        assert {(0, 10_000)} <= set(zip(pairs["id_a"], pairs["id_b"]))

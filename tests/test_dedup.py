@@ -1,0 +1,106 @@
+"""Dedup family tests on the documents table (+ DuckDB oracle for exact)."""
+
+import duckdb
+import numpy as np
+import pytest
+import ray.data as rd
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return rd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+class TestExactDedup:
+    def test_matches_sql(self, docs):
+        from tscan_ray.ops.dedup import dedup_exact
+
+        out = dedup_exact(docs, "text", "doc_id").to_pandas()
+        con = duckdb.connect()
+        oracle = con.execute(
+            f"""
+            select min(doc_id) as doc_id, count(*) as n, text
+            from '{SF_DIR}/documents.parquet' group by text
+            """
+        ).df()
+        m = out.sort_values("doc_id").reset_index(drop=True)
+        o = oracle.sort_values("doc_id").reset_index(drop=True)
+        assert len(m) == len(o)
+        assert (m["doc_id"].to_numpy() == o["doc_id"].to_numpy()).all()
+        assert (m["n"].to_numpy() == o["n"].to_numpy()).all()
+
+
+class TestMinhash:
+    def test_signature_properties(self):
+        from tscan_ray.ops.dedup import _minhash_params, minhash_signature, shingles
+
+        a, b = _minhash_params(64)
+        s1 = minhash_signature(shingles("the quick brown fox jumps over the dog", 3), a, b)
+        s2 = minhash_signature(shingles("the quick brown fox jumps over the dog", 3), a, b)
+        assert (s1 == s2).all()
+        # near-identical texts share most minima
+        s3 = minhash_signature(shingles("the quick brown fox jumps over the cat", 3), a, b)
+        agree = (s1 == s3).mean()
+        assert 0.2 < agree < 1.0
+
+    def test_lsh_finds_planted_dups(self):
+        """Planted exact + near duplicates must surface; unrelated texts
+        must not pair at a high threshold."""
+        import pandas as pd
+
+        from tscan_ray.ops.dedup import minhash_lsh_pairs
+
+        base = ("the quick brown fox jumps over the lazy dog while the cat "
+                "watches from the warm stone wall near the old garden gate")
+        near = base.replace("dog", "hound")
+        other = ("completely different content about distributed data "
+                 "processing engines and arrow columnar batch execution")
+        rows = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [base, base, near, other, other + " with extra words"],
+        })
+        pairs = minhash_lsh_pairs(rd.from_pandas(rows), "text", "doc_id",
+                                  jaccard_threshold=0.5).to_pandas()
+        got = set(zip(pairs["id_a"], pairs["id_b"]))
+        assert (1, 2) in got  # exact dup can never be missed by LSH
+        assert (1, 3) in got or (2, 3) in got  # near dup at jaccard ~0.7
+        assert (1, 4) not in got and (2, 4) not in got
+        j12 = pairs.set_index(["id_a", "id_b"]).loc[(1, 2), "jaccard"]
+        assert j12 == pytest.approx(1.0)
+
+    def test_no_pairs_on_all_distinct(self, docs):
+        from tscan_ray.ops.dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(docs.limit(100), "text", "doc_id",
+                                  jaccard_threshold=0.99).to_pandas()
+        # sf0.001 documents have no exact dups (verified vs DuckDB) -> empty
+        assert len(pairs) == 0
+
+    def test_jaccard_kernel(self):
+        from tscan_ray.ops.dedup import ngram_jaccard
+
+        assert ngram_jaccard("a b c d", "a b c d") == 1.0
+        assert ngram_jaccard("a b c d", "x y z w") == 0.0
+        assert 0.0 < ngram_jaccard("a b c d e", "a b c d x") < 1.0
+
+
+class TestSimhash:
+    def test_deterministic_and_near(self):
+        from tscan_ray.ops.dedup import hamming64, simhash64
+
+        a = simhash64("the quick brown fox jumps over the lazy dog again and again")
+        b = simhash64("the quick brown fox jumps over the lazy dog again and again")
+        assert a == b
+        c = simhash64("the quick brown fox jumps over the lazy cat again and again")
+        assert hamming64(a, c) <= 16
+        d = simhash64("completely different words entirely unrelated content here")
+        assert hamming64(a, d) > hamming64(a, c)
+
+    def test_stage(self, docs):
+        from tscan_ray.ops.dedup import add_simhash
+
+        out = add_simhash(docs.limit(20), "text").to_pandas()
+        assert "simhash" in out.columns
+        assert out["simhash"].nunique() > 1

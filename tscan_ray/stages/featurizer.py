@@ -84,9 +84,9 @@ def featurize(
     keep_columns: list[str] | None = None,
 ):
     """Attach the feature-vector columns to a Dataset (actor-pool stage)."""
-    kwargs = {}
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
+    # Ray requires an explicit actor-pool size for callable classes; default
+    # to an autoscaling pool rather than crashing when the caller omits it.
+    kwargs = {"concurrency": concurrency if concurrency is not None else (1, 8)}
     return ds.map_batches(
         CaptionFeaturizer,
         fn_constructor_kwargs={

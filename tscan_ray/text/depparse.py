@@ -1,0 +1,389 @@
+"""Deterministic reduced dependency annotator (parse-derived features).
+
+The reference obtains a full Alpino dependency tree per sentence over a
+TCP service (reference src/tscan.cxx:3237-3298) and derives from it:
+dependency distances per relation type (T12, src/Alpino.cxx:269-614),
+AL means (A8, src/Alpino.cxx:29-67), the D-level ladder (T7,
+src/Alpino.cxx:728-954), clause counts (src/sentstats.cxx:684-691),
+NP/modifier stats (T11, src/Alpino.cxx:987-996) and the imperative
+check (W24, src/Alpino.cxx:956-966).
+
+The sandbox has no Alpino, and the north rule demands reproducibility,
+so per SURVEY.md §7.0 this module is a *deterministic reduced parser*:
+a rule cascade over the CGN tag sequence that assigns head->dependent
+edges for the same 17 ``DD_type`` relations (include/tscan/Alpino.h:45-48).
+The *derived math* — punctuation-corrected distances, per-type pooled
+means, mean-of-sentence-means AL rollup, the D-level decision ladder,
+``correctedClauseCnt = max(1, clauses)`` — mirrors the reference
+formulas exactly (file:line cited per function); only the tree itself
+is the documented approximation.
+
+Pure Python over one sentence (captions are short: O(n) rules);
+executed inside the featurizer actor's batch UDF — never touches Ray.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+# include/tscan/Alpino.h:45-48
+DD_TYPES = (
+    "SUB_VERB", "OBJ1_VERB", "OBJ2_VERB", "VERB_PP", "VERB_VC",
+    "VERB_COMP", "NOUN_DET", "PREP_OBJ1", "CRD_CNJ", "COMP_BODY",
+    "NOUN_VC", "VERB_SVP", "VERB_PREDC_N", "VERB_PREDC_A",
+    "VERB_MOD_BW", "VERB_MOD_A", "VERB_NOUN",
+)
+
+_FINITE_PROPS = frozenset({"ISPVTGW", "ISPVVERL", "ISSUBJ"})
+_NONFINITE_PROPS = frozenset({"ISINF", "ISVD", "ISOD"})
+_REL_PRONOUNS = frozenset({"die", "dat", "welke"})
+_NOUNISH_TAGS = frozenset({"N", "SPEC"})
+
+
+@dataclass
+class Clause:
+    start: int
+    end: int  # exclusive
+    kind: str  # "main" | "coord" | "sub"
+    conj_idx: int = -1  # index of the introducing VG (-1 for the first clause)
+
+
+@dataclass
+class SentParse:
+    """Parse-derived per-sentence record (the engine's alpino-resolution
+    output: what sentStats pulls out of the Alpino DOM)."""
+
+    distances: dict[str, list[int]] = field(default_factory=dict)
+    al_gem: float = float("nan")  # sentStats::getMeanAL (src/sentstats.cxx:244-255)
+    al_max: float = 0.0  # sentStats::getHighestAL (src/sentstats.cxx:257-264): 0 if empty
+    d_level: int = -1
+    d_level_gt4: int = 0
+    smain_cnt: int = 0
+    ssub_cnt: int = 0
+    sv1_cnt: int = 0
+    clause_cnt: int = 0
+    corrected_clause_cnt: int = 1
+    np_cnt: int = 0
+    indef_np_cnt: int = 0
+    np_size_sum: int = 0
+    np_mod_cnt: int = 0
+    adj_np_mod_cnt: int = 0
+    betr_cnt: int = 0  # relative clauses (rel-pronoun directly after a noun)
+    imperative_idx: int = -1  # token index of the imperative finite verb, -1 none
+
+    def all_distances(self) -> list[int]:
+        out: list[int] = []
+        for v in self.distances.values():
+            out.extend(v)
+        return out
+
+
+def _store(parse: SentParse, typ: str, p1: int, p2: int, puncts: set[int]) -> None:
+    """store_result (src/Alpino.cxx:274-292): dist = pos2-pos1-1 minus the
+    number of punctuation tokens in [pos1, pos2]; only dist >= 0 stored."""
+    if p1 > p2:
+        p1, p2 = p2, p1
+    dist = p2 - p1 - 1
+    for i in range(p1, p2 + 1):
+        if i in puncts:
+            dist -= 1
+    if dist >= 0:
+        parse.distances.setdefault(typ, []).append(dist)
+
+
+def _is_finite(ann) -> bool:
+    return ann.tag == "WW" and ann.prop in _FINITE_PROPS
+
+
+def _is_nounish(ann) -> bool:
+    return ann.tag in _NOUNISH_TAGS or ann.prop == "ISNAME"
+
+
+def _is_su_candidate(ann) -> bool:
+    return _is_nounish(ann) or (
+        ann.tag == "VNW" and ann.prop in ("ISPPRON1", "ISPPRON2", "ISPPRON3")
+    )
+
+
+def _split_clauses(anns: list) -> list[Clause]:
+    """Clause segmentation: a VG token closes the current clause and opens
+    a new one — ``neven`` (coordinating) opens a peer main clause,
+    ``onder`` (subordinating) opens an embedded clause (the reduced stand-
+    in for Alpino's smain/ssub bracketing)."""
+    clauses: list[Clause] = []
+    start = 0
+    kind = "main"
+    conj = -1
+    for i, a in enumerate(anns):
+        if a.tag == "VG":
+            if i > start:
+                clauses.append(Clause(start, i, kind, conj))
+            kind = "sub" if a.conjtype == "onder" else "coord"
+            conj = i
+            start = i + 1
+    if start < len(anns):
+        clauses.append(Clause(start, len(anns), kind, conj))
+    if not clauses:
+        clauses.append(Clause(0, len(anns), "main", -1))
+    return clauses
+
+
+def parse_sentence(anns: list) -> SentParse:
+    """Run the reduced parser over one sentence of ``WordAnn`` records.
+
+    Rule cascade (deterministic, left-to-right):
+
+    * per clause: first finite verb = clause head; first noun/pronoun
+      before it = subject (SUB_VERB); post-verb scan assigns OBJ1/OBJ2
+      (PREDC_N under a copula), PPs (VERB_PP + PREP_OBJ1), adverbial
+      modifiers (VERB_MOD_BW), free adjectives (PREDC_A under copula,
+      else VERB_MOD_A) and verb clusters (VERB_VC);
+    * NPs: maximal [LID]? [ADJ]* N+ runs (NOUN_DET, np/mod counters);
+    * conjunctions: CRD_CNJ / COMP_BODY to the next clause's verb.
+    """
+    parse = SentParse()
+    n = len(anns)
+    puncts = {i for i, a in enumerate(anns) if a.prop == "ISLET"}
+
+    clauses = _split_clauses(anns)
+
+    # ---- NP scan over the whole sentence (mod_stats, src/Alpino.cxx:987-996;
+    # np counts src/tscan.cxx:2105-2124) ------------------------------------
+    i = 0
+    while i < n:
+        a = anns[i]
+        if a.tag == "LID" or a.tag == "ADJ" or _is_nounish(a):
+            j = i
+            saw_noun = False
+            adj_mods = 0
+            size = 0
+            det_idx = -1
+            while j < n:
+                b = anns[j]
+                if b.tag == "LID" and not saw_noun and det_idx < 0 and size == 0:
+                    det_idx = j
+                elif b.tag == "ADJ" and not saw_noun:
+                    adj_mods += 1
+                elif _is_nounish(b):
+                    saw_noun = True
+                    if det_idx >= 0:
+                        _store(parse, "NOUN_DET", det_idx, j, puncts)
+                        det_idx = -1
+                else:
+                    break
+                size += 1
+                j += 1
+            if saw_noun:
+                parse.np_cnt += 1
+                parse.np_size_sum += size
+                parse.np_mod_cnt += adj_mods
+                parse.adj_np_mod_cnt += adj_mods
+                if anns[i].tag == "LID" and anns[i].lword == "een":
+                    parse.indef_np_cnt += 1
+                i = j
+                continue
+        i += 1
+
+    # ---- relative clauses: rel-pronoun directly after a noun --------------
+    # (reduced proxy for Alpino cat="rel"; drives betrCnt and D-level 6/3)
+    rel_after_noun: list[tuple[int, int]] = []  # (noun_idx, pron_idx)
+    for i in range(1, n):
+        a = anns[i]
+        prev_idx = i - 1
+        if prev_idx in puncts and i >= 2:  # "de man , die ..."
+            prev_idx = i - 2
+        if (
+            a.tag == "VNW"
+            and a.lword in _REL_PRONOUNS
+            and _is_nounish(anns[prev_idx])
+        ):
+            rel_after_noun.append((prev_idx, i))
+    parse.betr_cnt = len(rel_after_noun)
+
+    # ---- per-clause verb frame ---------------------------------------------
+    main_verb_idx = -1  # first main-clause finite verb (for d-level 6 vs 3)
+    for ci, cl in enumerate(clauses):
+        idxs = [i for i in range(cl.start, cl.end) if i not in puncts]
+        if not idxs:
+            continue
+        finites = [i for i in idxs if _is_finite(anns[i])]
+        verbs = [i for i in idxs if anns[i].tag == "WW"]
+        verb = finites[0] if finites else (verbs[0] if verbs else -1)
+
+        # clause-type counters (resolveFiniteVerbs, src/sentstats.cxx:684-691)
+        if finites:
+            verb_first = idxs[0] == finites[0]
+            su = next((i for i in idxs if i < verb and _is_su_candidate(anns[i])), -1)
+            if cl.kind == "sub":
+                parse.ssub_cnt += 1
+            elif verb_first and su < 0:
+                # finite verb with no subject sibling -> sv1 (imperative /
+                # verb-initial; checkImp src/Alpino.cxx:956-966)
+                parse.sv1_cnt += 1
+                if ci == 0:
+                    parse.imperative_idx = finites[0]
+            else:
+                parse.smain_cnt += 1
+                if main_verb_idx < 0:
+                    main_verb_idx = finites[0]
+        if verb < 0:
+            continue
+
+        is_copula = anns[verb].wwform == "COPULA"
+
+        # subject edge
+        su = next((i for i in idxs if i < verb and _is_su_candidate(anns[i])), -1)
+        if su >= 0:
+            _store(parse, "SUB_VERB", verb, su, puncts)
+
+        # verb cluster: later verbs in the clause hang under the first
+        for w in verbs:
+            if w != verb and anns[w].prop in _NONFINITE_PROPS:
+                _store(parse, "VERB_VC", verb, w, puncts)
+
+        # conjunction edges to this clause's verb
+        if cl.conj_idx >= 0:
+            typ = "COMP_BODY" if cl.kind == "sub" else "CRD_CNJ"
+            _store(parse, typ, cl.conj_idx, verb, puncts)
+
+        # post-verb scan
+        in_pp_until = -1
+        saw_obj1 = False
+        j = verb + 1
+        while j < cl.end:
+            if j in puncts:
+                j += 1
+                continue
+            b = anns[j]
+            if b.tag == "VZ":
+                _store(parse, "VERB_PP", verb, j, puncts)
+                # object of the preposition: next nounish token before the
+                # next VZ/WW
+                k = j + 1
+                while k < cl.end and anns[k].tag not in ("VZ", "WW"):
+                    if _is_nounish(anns[k]) or anns[k].tag == "VNW":
+                        _store(parse, "PREP_OBJ1", j, k, puncts)
+                        in_pp_until = k
+                        break
+                    k += 1
+            elif _is_nounish(b) and j > in_pp_until:
+                if not saw_obj1:
+                    _store(parse, "VERB_PREDC_N" if is_copula else "OBJ1_VERB",
+                           verb, j, puncts)
+                    saw_obj1 = True
+                elif is_copula is False:
+                    _store(parse, "OBJ2_VERB", verb, j, puncts)
+            elif b.tag == "BW":
+                _store(parse, "VERB_MOD_BW", verb, j, puncts)
+            elif b.tag == "ADJ":
+                nxt = j + 1
+                prenominal = nxt < cl.end and (
+                    _is_nounish(anns[nxt]) or anns[nxt].tag == "ADJ"
+                )
+                if not prenominal:
+                    _store(parse, "VERB_PREDC_A" if is_copula else "VERB_MOD_A",
+                           verb, j, puncts)
+            j += 1
+
+    # ---- AL aggregates (sentStats::getMeanAL/getHighestAL,
+    #      src/sentstats.cxx:244-264) ---------------------------------------
+    dists = parse.all_distances()
+    if dists:
+        parse.al_gem = sum(dists) / len(dists)
+        parse.al_max = float(max(dists))
+    # else: al_gem NaN, al_max 0.0 (reference defaults)
+
+    parse.clause_cnt = parse.smain_cnt + parse.ssub_cnt + parse.sv1_cnt
+    parse.corrected_clause_cnt = parse.clause_cnt if parse.clause_cnt > 0 else 1
+
+    parse.d_level = _d_level(anns, clauses, rel_after_noun, main_verb_idx, puncts)
+    parse.d_level_gt4 = 1 if parse.d_level > 4 else 0
+    return parse
+
+
+def _d_level(
+    anns: list,
+    clauses: list[Clause],
+    rel_after_noun: list[tuple[int, int]],
+    main_verb_idx: int,
+    puncts: set[int],
+) -> int:
+    """D-level ladder (get_d_level, src/Alpino.cxx:728-954) — the decision
+    ORDER and counters are the reference's; the tree probes are replaced by
+    the reduced parser's proxies (documented per step)."""
+    pv_counter = sum(1 for a in anns if _is_finite(a))
+    neven_counter = sum(1 for a in anns if a.tag == "VG" and a.conjtype == "neven")
+
+    # level 7: multiple embedded clauses (coordinated ones don't count)
+    if pv_counter - neven_counter > 2:
+        return 7
+
+    # level 6: relative clause modifying the SUBJECT (rel-pronoun after a
+    # noun that precedes the main verb)
+    for noun_idx, _pron in rel_after_noun:
+        if main_verb_idx >= 0 and noun_idx < main_verb_idx:
+            return 6
+
+    # level 5: subordinating conjunction other than "dat"
+    for a in anns:
+        if a.tag == "VG" and a.conjtype == "onder" and a.lword != "dat":
+            return 5
+
+    # level 4: object of comparison (obcomp) — comparative "dan"/"als"
+    # within 3 tokens after an adjective
+    for i, a in enumerate(anns):
+        if a.tag == "ADJ":
+            for j in range(i + 1, min(i + 4, len(anns))):
+                if anns[j].lword in ("dan", "als") and anns[j].tag in ("BW", "VG", "VNW"):
+                    return 4
+
+    # level 3: object-modifying relative clause, complement clause
+    # ("dat"-VG), or subject extraposition
+    for noun_idx, _pron in rel_after_noun:
+        if main_verb_idx >= 0 and noun_idx > main_verb_idx:
+            return 3
+    for a in anns:
+        if a.tag == "VG" and a.conjtype == "onder" and a.lword == "dat":
+            return 3
+
+    # level 2: coordination
+    if neven_counter > 0:
+        return 2
+
+    # level 1: "te" + infinitive sharing the main subject
+    for i in range(len(anns) - 1):
+        if anns[i].lword == "te" and anns[i + 1].tag == "WW" and anns[i + 1].prop == "ISINF":
+            return 1
+
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# document-level rollups (mean-of-means semantics, SURVEY.md §7.4)
+# ---------------------------------------------------------------------------
+
+def doc_mean_al(per_sent_values: list[float]) -> float:
+    """structStats::getMeanAL / getHighestAL (src/structstats.cxx:28-54):
+    sum the non-NaN per-sentence values, divide by the TOTAL number of
+    sentences; the reference returns NaN when the sum is exactly 0."""
+    if not per_sent_values:
+        return float("nan")
+    total = 0.0
+    for v in per_sent_values:
+        if not math.isnan(v):
+            total += v
+    if total == 0:
+        return float("nan")
+    return total / len(per_sent_values)
+
+
+def merge_d_level(levels: list[int]) -> int:
+    """dLevel merge with the -1 sentinel (src/structstats.cxx:1620-1625):
+    -1 means 'no parse'; the merged value sums only non-sentinel levels and
+    stays -1 if every child was -1."""
+    out = -1
+    for lv in levels:
+        if lv >= 0:
+            out = lv if out < 0 else out + lv
+    return out

@@ -38,7 +38,8 @@ from collections import Counter
 from dataclasses import dataclass, field
 
 from tscan_ray.config import DEFAULT_CONFIG, EngineConfig
-from tscan_ray.text import kernels
+from tscan_ray.text import depparse, kernels
+from tscan_ray.text.depparse import DD_TYPES, SentParse
 from tscan_ray.text.kernels import NA, density, proportion
 from tscan_ray.text.lexicons import (
     NEG_MINUS,
@@ -78,6 +79,7 @@ class WordAnn:
     lword: str
     lemma: str
     tag: str
+    conjtype: str = ""  # VG: "neven" | "onder" (drives clause split + d-level)
     prop: str = ""  # ISLET ISNAME ISVD ISINF ISOD ISPVTGW ISPVVERL ISPPRON1/2/3 ISAANW
     position: str = ""  # NOMIN PRENOM VRIJ
     wwform: str = ""  # HEAD_VERB PASSIVE_VERB MODAL_VERB TIME_VERB COPULA
@@ -163,6 +165,8 @@ def analyze_word(token: str, sent_initial: bool, lex: Lexicons) -> WordAnn:
         )
         _set_cgn_props(ann, info)
         _set_sem_type(ann, lex)
+        if ann.tag == "VG":
+            ann.conjtype = info.feat("conjtype")
 
     ann.char_cnt = len(token)
     ann.morph_cnt = max(1, len(ann.morphemes))
@@ -352,8 +356,18 @@ _COUNT_KEYS = (
     "tempConnCnt opsomWgConnCnt opsomZinConnCnt contrastConnCnt "
     "comparConnCnt causeConnCnt timeSitCnt causalSitCnt spaceSitCnt "
     "emoSitCnt prepExprCnt wordOverlapCnt lemmaOverlapCnt nerCnt "
-    "humanCnt uncoveredNounCnt uncoveredAdjCnt uncoveredVerbCnt"
+    "humanCnt uncoveredNounCnt uncoveredAdjCnt uncoveredVerbCnt broadNounCnt "
+    "smainCnt ssubCnt sv1Cnt clauseCnt correctedClauseCnt npCnt indefNpCnt "
+    "npSizeSum npModCnt adjNpModCnt betrCnt dLevelGt4Cnt"
 ).split()
+
+# broad-concrete noun semtypes (reference broadNounCnt: every covered noun
+# type that is not abstract/undefined feeds conc_nw_ruim_p,
+# src/structstats.cxx:1009)
+_CONCRETE_BROAD = frozenset({
+    "concrete_other", "human", "nonhuman", "artefact", "place", "time",
+    "measure", "institut",
+})
 
 _SUM_KEYS = (
     "word_freq word_freq_n word_freq_strict word_freq_n_strict "
@@ -389,6 +403,7 @@ class Fold:
     unique_contents: Counter = field(default_factory=Counter)
     unique_contents_strict: Counter = field(default_factory=Counter)
     words: list[WordAnn] = field(default_factory=list)
+    parses: list[SentParse] = field(default_factory=list)
 
     def __post_init__(self):
         for k in _SUM_KEYS:
@@ -460,6 +475,23 @@ def analyze_sentence(
     c["formalCnt"] += len(formal_hits)
     c["prepExprCnt"] += len(prep_hits)
 
+    # parse-derived resolution pass (T7-T12; reduced deterministic parser)
+    parse = depparse.parse_sentence(anns)
+    f.parses.append(parse)
+    if parse.imperative_idx >= 0:
+        anns[parse.imperative_idx].is_imperative = True
+    for key, val in (
+        ("smainCnt", parse.smain_cnt), ("ssubCnt", parse.ssub_cnt),
+        ("sv1Cnt", parse.sv1_cnt), ("clauseCnt", parse.clause_cnt),
+        ("correctedClauseCnt", parse.corrected_clause_cnt),
+        ("npCnt", parse.np_cnt), ("indefNpCnt", parse.indef_np_cnt),
+        ("npSizeSum", parse.np_size_sum), ("npModCnt", parse.np_mod_cnt),
+        ("adjNpModCnt", parse.adj_np_mod_cnt), ("betrCnt", parse.betr_cnt),
+        ("dLevelGt4Cnt", parse.d_level_gt4),
+    ):
+        if val:
+            c[key] += val
+
     question = False
     for ann in anns:
         if ann.lemma and ann.lemma[-1] == "?":
@@ -501,6 +533,10 @@ def analyze_sentence(
             c["uncoveredAdjCnt"] += 1
         if ann.sem_type == "UNFOUND_VERB":
             c["uncoveredVerbCnt"] += 1
+        if ann.sem_type in _CONCRETE_BROAD and (
+            ann.tag == "N" or ann.prop == "ISNAME"
+        ):
+            c["broadNounCnt"] += 1
 
         _common_counts(f, ann)
 
@@ -646,6 +682,7 @@ def merge_folds(folds: list[Fold]) -> Fold:
         out.unique_contents.update(f.unique_contents)
         out.unique_contents_strict.update(f.unique_contents_strict)
         out.words.extend(f.words)
+        out.parses.extend(f.parses)
     return out
 
 
@@ -816,11 +853,56 @@ def featurize_document(
     # rarity (src/docstats.cxx:9-18)
     out["Rar_index"] = kernels.rarity(dict(doc.unique_lemmas), cfg.rarity_level)
 
-    # LiNT (parse-derived inputs NaN until the dependency annotator fills them)
+    # --- parse-derived features (T7-T12 via the reduced parser) -----------
+    # per-type dependency-length means: doc pools the map-unioned distance
+    # bags (MMtoString per type, src/Alpino.cxx:29-42)
+    pooled: dict[str, list[int]] = {}
+    for p in doc.parses:
+        for t, vals in p.distances.items():
+            pooled.setdefault(t, []).extend(vals)
+    for t in DD_TYPES:
+        vals = pooled.get(t)
+        out[f"AL_{t.lower()}"] = (sum(vals) / len(vals)) if vals else NA
+    # doc AL_gem / AL_max are MEANS OF SENTENCE means/maxes
+    # (src/structstats.cxx:28-54), not pooled means
+    out["AL_gem"] = depparse.doc_mean_al([p.al_gem for p in doc.parses])
+    al_max = depparse.doc_mean_al([p.al_max for p in doc.parses])
+    out["AL_max"] = al_max
+
+    # D-level (sentinel merge src/structstats.cxx:1620-1625)
+    dlevel_sum = depparse.merge_d_level([p.d_level for p in doc.parses])
+    out["Dlevel"] = dlevel_sum
+    out["Dlevel_per_zin"] = (
+        proportion(dlevel_sum, c["sentCnt"]) if dlevel_sum >= 0 else NA
+    )
+    out["Dlevel_gt4_prop"] = proportion(c["dLevelGt4Cnt"], c["sentCnt"])
+
+    # clause / embedding measures (src/sentstats.cxx:684-691 counts)
+    out["Bijzin_per_zin"] = proportion(c["ssubCnt"], c["sentCnt"])
+    out["Pv_per_zin"] = proportion(c["clauseCnt"], c["sentCnt"])
+    out["Wrd_per_dz"] = proportion(c["wordCnt"], c["correctedClauseCnt"])
+
+    # NP stats (T11)
+    out["NP_d"] = density(c["npCnt"], wc)
+    out["NP_size"] = proportion(c["npSizeSum"], c["npCnt"])
+    out["Indef_np_p"] = proportion(c["indefNpCnt"], c["npCnt"])
+    out["Bijv_bep_d"] = density(c["npModCnt"], wc)
+    out["Betr_bijzin_per_zin"] = proportion(c["betrCnt"], c["sentCnt"])
+
+    # --- LiNT, full inputs (src/structstats.cxx:1005-1040) ----------------
     wrd_freq_log_zn_corr = proportion(s["word_freq_n"], c["contentCnt"] - c["nameCnt"])
-    al_max = NA  # parse-derived (AL_max); filled by the dep-annotator stage
+    bijv_bep_dz_zbijzin = proportion(
+        max(0, c["npModCnt"] - c["betrCnt"]), c["correctedClauseCnt"]
+    )
+    inhwrd_dz_zonder_abw = proportion(
+        c["contentStrictInclCnt"], c["correctedClauseCnt"]
+    )
+    conc_nw_ruim_p = proportion(
+        c["broadNounCnt"], c["nounCnt"] + c["nameCnt"] - c["uncoveredNounCnt"]
+    )
     s1, l1, s2, l2 = kernels.lint_scores(
-        wrd_freq_log_zn_corr, NA, out["Alg_nw_d"], al_max, NA, NA
+        wrd_freq_log_zn_corr, bijv_bep_dz_zbijzin, out["Alg_nw_d"], al_max,
+        inhwrd_dz_zonder_abw, conc_nw_ruim_p,
     )
     out["LiNT_score1"] = s1
     out["LiNT_level1"] = l1

@@ -87,6 +87,76 @@ def q_pit_ffill(sf_dir):
     return out.select_columns(["event_id", "user_id", "pv_filled"])
 
 
+def q_pit_bfill(sf_dir):
+    from tscan_ray.ops.window import fill
+
+    masked = _events(sf_dir).map_batches(
+        lambda df: df.assign(pv=df["value"].where(df["event_type"] == "purchase")),
+        batch_format="pandas",
+    )
+    out = fill(masked, "user_id", "ts", ["pv"], method="bfill", order_col="event_id")
+    return out.select_columns(["event_id", "user_id", "pv_filled"])
+
+
+def q_pit_lag2(sf_dir):
+    from tscan_ray.ops.window import lag_lead
+
+    out = lag_lead(_events(sf_dir), "user_id", "ts", ["value"], [2, -2],
+                   order_col="event_id")
+    return out.select_columns(["event_id", "user_id", "value_lag2", "value_lead2"])
+
+
+def q_pit_asof_tolerance(sf_dir):
+    from tscan_ray.ops.asof import asof_join
+
+    ev = _events(sf_dir)
+    left = ev.filter(expr="event_type == 'view'")
+    right = ev.filter(expr="event_type == 'purchase'")
+    out = asof_join(left, right, key="user_id", ts="ts",
+                    right_value_cols=["value"], order_col="event_id",
+                    tolerance_us=HOUR_US, how="inner")
+    return out.select_columns(["event_id", "user_id", "ts", "ts_r", "value_r"])
+
+
+def q_pit_rolling_mean(sf_dir):
+    from tscan_ray.ops.window import rolling_mean
+
+    out = rolling_mean(_events(sf_dir), "user_id", "ts", ["value"], window=5,
+                       order_col="event_id")
+    out = out.select_columns(["event_id", "user_id", "value_rmean5"])
+    return _round_cols(out, ["value_rmean5"])
+
+
+def q_join_orders_customer(sf_dir):
+    import ray.data as rd
+
+    from tscan_ray.ops.join import broadcast_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    customer = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_name", "c_mktsegment"])
+    customer = customer.map_batches(
+        lambda df: df.rename(columns={"c_custkey": "o_custkey"}),
+        batch_format="pandas",
+    )
+    out = broadcast_join(orders, customer, on="o_custkey",
+                         right_cols=["c_name", "c_mktsegment"], how="inner")
+    out = out.select_columns(["o_orderkey", "o_custkey", "c_mktsegment",
+                              "o_totalprice"])
+    return _round_cols(out, ["o_totalprice"], 4)
+
+
+def q_agg_user_value_2phase(sf_dir):
+    from tscan_ray.ops.agg import groupby_sum_2phase
+
+    out = groupby_sum_2phase(
+        _events(sf_dir).select_columns(["user_id", "value"]),
+        ["user_id"], ["value"],
+    )
+    return _round_cols(out, ["sum_value"])
+
+
 def q_pit_sessionize(sf_dir):
     from tscan_ray.ops.window import sessionize
 
@@ -189,6 +259,24 @@ def q_agg_lineitem_pricing(sf_dir):
 
 # --- rows-only checks (non-SQL-expressible) --------------------------------
 
+def q_text_surprisal(sf_dir):
+    """Fit a bigram LM on the corpus (distributed partial counts), then
+    score every document with it (LM broadcast into the actor pool)."""
+    import ray
+
+    from tscan_ray.stages.featurizer import featurize
+    from tscan_ray.text.surprisal import fit_bigram_lm
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    lm = fit_bigram_lm(docs, "text", min_count=2)
+    out = featurize(docs, "text", concurrency=(1, 4), keep_columns=["doc_id"],
+                    lm_ref=ray.put(lm))
+    return out.select_columns([
+        "doc_id", "Avg_prob10_fwd", "Avg_prob10_bwd", "Entropy_fwd",
+        "Entropy_bwd", "Perplexity_fwd", "Perplexity_bwd",
+    ])
+
+
 def q_tscan_features(sf_dir):
     from tscan_ray.stages.featurizer import featurize
 
@@ -263,8 +351,12 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pit_asof_join": q_pit_asof_join,
+        "pit_asof_tolerance": q_pit_asof_tolerance,
         "pit_lag_lead": q_pit_lag_lead,
+        "pit_lag2": q_pit_lag2,
         "pit_ffill": q_pit_ffill,
+        "pit_bfill": q_pit_bfill,
+        "pit_rolling_mean": q_pit_rolling_mean,
         "pit_sessionize": q_pit_sessionize,
         "pit_session_stats": q_pit_session_stats,
         "pit_tumbling_window": q_pit_tumbling_window,
@@ -275,8 +367,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q_text_quality,
         "ann_topk": q_ann_topk,
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
+        "agg_user_value_2phase": q_agg_user_value_2phase,
+        "join_orders_customer": q_join_orders_customer,
         # rows-only (non-SQL-expressible)
         "tscan_features": q_tscan_features,
+        "text_surprisal": q_text_surprisal,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "text_lang_id": q_text_lang_id,
@@ -301,12 +396,48 @@ def oracle_sql() -> dict[str, str]:
             select l.event_id, l.user_id, l.ts, r.ts as ts_r, r.value as value_r
             from l asof join r on l.user_id = r.user_id and l.ts >= r.ts
         """,
+        "pit_asof_tolerance": """
+            with l as (select * from events where event_type = 'view'),
+                 rdedup as (
+                   select user_id, ts, value,
+                          row_number() over (partition by user_id, ts
+                                             order by event_id desc) as rn
+                   from events where event_type = 'purchase'),
+                 r as (select user_id, ts, value from rdedup where rn = 1)
+            select l.event_id, l.user_id, l.ts, r.ts as ts_r, r.value as value_r
+            from l asof join r on l.user_id = r.user_id and l.ts >= r.ts
+            where l.ts - r.ts <= interval 1 hour
+        """,
         "pit_lag_lead": """
             select event_id, user_id,
                    lag(value)  over w as value_lag1,
                    lead(value) over w as value_lead1
             from events
             window w as (partition by user_id order by ts, event_id)
+        """,
+        "pit_lag2": """
+            select event_id, user_id,
+                   lag(value, 2)  over w as value_lag2,
+                   lead(value, 2) over w as value_lead2
+            from events
+            window w as (partition by user_id order by ts, event_id)
+        """,
+        "pit_bfill": """
+            select event_id, user_id,
+                   first_value(case when event_type = 'purchase' then value end
+                               ignore nulls)
+                     over (partition by user_id order by ts, event_id
+                           rows between current row and unbounded following)
+                     as pv_filled
+            from events
+        """,
+        "pit_rolling_mean": """
+            select event_id, user_id,
+                   round(avg(value) over (partition by user_id
+                                          order by ts, event_id
+                                          rows between 4 preceding and current row),
+                         6) as value_rmean5
+            from events
         """,
         "pit_ffill": """
             select event_id, user_id,
@@ -416,5 +547,14 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(l_quantity), 4) as avg_qty,
                    count(*) as n
             from lineitem group by l_returnflag, l_linestatus
+        """,
+        "agg_user_value_2phase": """
+            select user_id, round(sum(value), 6) as sum_value, count(*) as n
+            from events group by user_id
+        """,
+        "join_orders_customer": """
+            select o.o_orderkey, o.o_custkey, c.c_mktsegment,
+                   round(o.o_totalprice, 4) as o_totalprice
+            from orders o join customer c on o.o_custkey = c.c_custkey
         """,
     }

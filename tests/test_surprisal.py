@@ -1,0 +1,95 @@
+"""Surprisal LM (W26/T13): bigram lookup LM, sentence stats, distributed fit.
+
+Reference semantics mirrored: per-word logprob10 fwd/bwd
+(src/tscan.cxx:2272-2275), sentence avg_prob10/entropy/perplexity and
+the len / len² normalizations (src/tscan.cxx:2843-2864).
+"""
+
+import math
+
+import pytest
+
+from tscan_ray.text.features import featurize_document
+from tscan_ray.text.surprisal import (
+    BigramLM,
+    default_lm,
+    fit_bigram_lm,
+    sentence_stats,
+)
+
+LOG10_2 = math.log10(2.0)
+
+
+class TestBigramLM:
+    def test_unigram_backoff(self):
+        lm = BigramLM.from_unigrams({"a": 3, "b": 1})
+        # P(a) = (3+1)/(4+2), no context
+        assert lm.logprob10("a", None) == pytest.approx(math.log10(4 / 6))
+        # unseen word
+        assert lm.logprob10("z", None) == pytest.approx(math.log10(1 / 6))
+        # context given but no bigram table -> backoff
+        assert lm.logprob10("a", "b") == pytest.approx(math.log10(4 / 6))
+
+    def test_bigram_conditional(self):
+        lm = BigramLM(unigrams={"the": 10, "cat": 4}, bigrams={("the", "cat"): 3},
+                      total=14, vocab_size=2)
+        # P(cat|the) = (3+1)/(10+2)
+        assert lm.logprob10("cat", "the") == pytest.approx(math.log10(4 / 12))
+        # unseen bigram: (0+1)/(4+2)
+        assert lm.logprob10("the", "cat") == pytest.approx(math.log10(1 / 6))
+        # backward: P(the|next=cat) = (c(the,cat)+1)/(c(cat)+V)
+        assert lm.logprob10_bwd("the", "cat") == pytest.approx(math.log10(4 / 6))
+
+    def test_sentence_stats(self):
+        lp = [-1.0, -2.0, -3.0]
+        st = sentence_stats(lp)
+        assert st["avg_prob10"] == pytest.approx(-2.0)
+        assert st["entropy"] == pytest.approx(2.0 / LOG10_2)
+        assert st["perplexity"] == pytest.approx(2 ** (2.0 / LOG10_2))
+        assert st["entropy_norm"] == pytest.approx(st["entropy"] / 3)
+        assert st["perplexity_norm"] == pytest.approx(st["perplexity"] / 9)
+        empty = sentence_stats([])
+        assert math.isnan(empty["avg_prob10"])
+
+
+class TestDocIntegration:
+    def test_doc_features_present_and_finite(self):
+        out = featurize_document("De man ziet de kat . De kat is groot .")
+        for k in ("Avg_prob10_fwd", "Avg_prob10_bwd", "Entropy_fwd",
+                  "Perplexity_bwd", "Entropy_fwd_norm", "Perplexity_fwd_norm",
+                  "Avg_prob10_fwd_content", "Avg_prob10_bwd_ex_names"):
+            assert k in out
+            assert not math.isnan(out[k]), k
+        # logprobs are negative
+        assert out["Avg_prob10_fwd"] < 0
+        assert out["Entropy_fwd"] > 0
+        assert out["Perplexity_fwd"] > 1
+
+    def test_doc_mean_over_sentences(self):
+        lm = default_lm()
+        one = featurize_document("De man ziet de kat .", lm=lm)
+        # single sentence: doc avg == sentence avg; two identical sentences
+        # give the same per-sentence mean
+        two = featurize_document("De man ziet de kat . De man ziet de kat .", lm=lm)
+        assert two["Avg_prob10_fwd"] == pytest.approx(one["Avg_prob10_fwd"])
+
+    def test_empty_doc_nan(self):
+        out = featurize_document("")
+        assert math.isnan(out["Avg_prob10_fwd"])
+
+
+class TestDistributedFit:
+    def test_fit_bigram_lm(self, ray_session):
+        import ray.data as rd
+
+        docs = rd.from_items([
+            {"text": "the cat sat . the cat ran ."},
+            {"text": "the dog sat ."},
+        ])
+        lm = fit_bigram_lm(docs, "text")
+        assert lm.unigrams["the"] == 3
+        assert lm.unigrams["cat"] == 2
+        assert lm.bigrams[("the", "cat")] == 2
+        assert lm.bigrams[("cat", "sat")] == 1
+        # fitted conditional beats unigram backoff for a frequent pair
+        assert lm.logprob10("cat", "the") > lm.logprob10("cat", None)

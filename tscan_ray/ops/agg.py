@@ -1,0 +1,87 @@
+"""Two-phase (partial/combiner) aggregation.
+
+The scale-critical groupby pattern: combine inside ``map_batches``
+FIRST so the all-to-all exchange moves one row per (key, batch) instead
+of one row per input row, then a small ``groupby`` reduces the partials.
+For sum/count/min/max/mean this is exact (commutative-associative
+merge); the reference's structStats::merge has the same algebra
+(src/structstats.cxx:1374-1695).
+
+Skew handling: the partial phase already collapses hot keys inside each
+batch, which is what salting achieves for pure aggregation — a key with
+10^9 rows reaches the exchange as (num_batches) partial rows.  An
+explicit extra salt column is only needed when the *reducer* itself is
+heavy per group; ``salt`` adds one for that case and a second fold
+removes it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def groupby_sum_2phase(
+    ds,
+    keys: list[str],
+    value_cols: list[str],
+    count_alias: str = "n",
+    salt: int = 0,
+):
+    """sum(value_cols) + count(*) per ``keys`` with batch-side partials.
+
+    Returns one row per key combination, columns ``sum_{col}`` and
+    ``count_alias``.  With ``salt > 0`` the exchange key is
+    (keys..., __salt__) and a second (tiny) groupby folds the salts.
+    """
+    import ray.data.aggregate as agg
+
+    sum_names = [f"sum_{c}" for c in value_cols]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, dropna=False)
+        out = g[value_cols].sum().reset_index()
+        out.columns = keys + sum_names
+        out[count_alias] = g.size().to_numpy()
+        if salt > 0:
+            # deterministic batch-content salt spreads a hot key's partials
+            out["__salt__"] = (
+                pd.util.hash_pandas_object(out[keys[0]], index=False).to_numpy()
+                % np.uint64(salt)
+            ).astype(np.int64)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    group_keys = keys + (["__salt__"] if salt > 0 else [])
+    reduced = partials.groupby(group_keys).aggregate(
+        *[agg.Sum(c, alias_name=c) for c in sum_names],
+        agg.Sum(count_alias, alias_name=count_alias),
+    )
+    if salt > 0:
+        reduced = (
+            reduced.drop_columns(["__salt__"])
+            .groupby(keys)
+            .aggregate(
+                *[agg.Sum(c, alias_name=c) for c in sum_names],
+                agg.Sum(count_alias, alias_name=count_alias),
+            )
+        )
+    return reduced
+
+
+def groupby_mean_2phase(ds, keys: list[str], value_col: str, salt: int = 0):
+    """mean(value_col) per keys from (sum, count) partials — decomposable,
+    unlike feeding rows straight to a Mean over the wire."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    reduced = groupby_sum_2phase(ds, keys, [value_col], salt=salt)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        mean = pc.divide(
+            pc.cast(batch.column(f"sum_{value_col}"), pa.float64()),
+            pc.cast(batch.column("n"), pa.float64()),
+        )
+        return batch.append_column(f"mean_{value_col}", mean)
+
+    return reduced.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)

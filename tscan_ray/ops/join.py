@@ -1,0 +1,65 @@
+"""Broadcast (small-side) hash join.
+
+The reference's only joins are broadcast lexicon lookups frozen into
+process memory (SURVEY.md §2.5).  This operator is the dataset-level
+generalization: the small side is materialized ONCE, put in the Ray
+object store, and fetched once per actor — the big side streams through
+``map_batches`` with a vectorized pandas merge per batch.  No all-to-all
+exchange: at 100 TB this is the correct plan whenever one side fits in
+worker memory (lexicons, dimension tables); use a keyed-bucket shuffle
+(ops/keyed.py) only when both sides are large.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray
+
+
+class _BroadcastMerge:
+    """Actor-pool UDF: fetch the broadcast table once per actor."""
+
+    def __init__(self, right_ref, on: str, how: str):
+        self.right = ray.get(right_ref)  # zero-copy read of the shared copy
+        self.on = on
+        self.how = how
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(self.right, on=self.on, how=self.how)
+
+
+def broadcast_join(
+    left,
+    right,
+    on: str,
+    right_cols: list[str] | None = None,
+    how: str = "inner",
+    concurrency=(1, 8),
+    batch_size: int = 16384,
+):
+    """Join ``left`` (large, streaming) with ``right`` (small) on ``on``.
+
+    ``right`` may be a Ray Dataset (materialized here — caller guarantees
+    it is the small side) or a pandas DataFrame.  ``how`` in
+    {"inner", "left"}.  Right-side duplicate keys multiply rows, exactly
+    like a SQL join.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(how)
+    if isinstance(right, pd.DataFrame):
+        rdf = right
+    else:
+        if right_cols is not None:
+            right = right.select_columns(
+                [on] + [c for c in right_cols if c != on]
+            )
+        rdf = right.to_pandas()
+    ref = ray.put(rdf)
+    return left.map_batches(
+        _BroadcastMerge,
+        fn_constructor_kwargs={"right_ref": ref, "on": on, "how": how},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

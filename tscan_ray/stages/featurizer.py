@@ -44,22 +44,26 @@ class CaptionFeaturizer:
         text_column: str = "caption",
         cfg: EngineConfig = DEFAULT_CONFIG,
         lexicons_ref=None,
+        lm_ref=None,
         prefix: str = "",
         keep_columns: list[str] | None = None,
     ):
-        # once-per-actor setup (NOT per batch)
+        # once-per-actor setup (NOT per batch).  lm_ref: ray.put() of a
+        # corpus-fitted BigramLM (one object-store copy shared per node);
+        # None -> packaged unigram default.
         self.text_column = text_column
         self.cfg = cfg
         self.prefix = prefix
         self.keep_columns = keep_columns
         self.lex = ray.get(lexicons_ref) if lexicons_ref is not None else default_lexicons()
+        self.lm = ray.get(lm_ref) if lm_ref is not None else None
         self.names = feature_names()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_column).to_pylist()
         cols: dict[str, list] = {n: [] for n in self.names}
         for t in texts:
-            feats = featurize_document(t or "", self.lex, self.cfg)
+            feats = featurize_document(t or "", self.lex, self.cfg, lm=self.lm)
             for n in self.names:
                 cols[n].append(feats[n])
         if self.keep_columns is not None:
@@ -82,6 +86,7 @@ def featurize(
     concurrency=None,
     batch_size: int | None = None,
     keep_columns: list[str] | None = None,
+    lm_ref=None,
 ):
     """Attach the feature-vector columns to a Dataset (actor-pool stage)."""
     # Ray requires an explicit actor-pool size for callable classes; default
@@ -93,6 +98,7 @@ def featurize(
             "text_column": text_column,
             "cfg": cfg,
             "keep_columns": keep_columns,
+            "lm_ref": lm_ref,
         },
         batch_format="pyarrow",
         zero_copy_batch=True,

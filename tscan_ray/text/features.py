@@ -122,6 +122,8 @@ class WordAnn:
     f80: bool = False
     word_overlap_cnt: int = 0
     lemma_overlap_cnt: int = 0
+    lprob_fwd: float = NA  # log10 P(w | prev)  (W26; Wopr lprob10 stand-in)
+    lprob_bwd: float = NA  # log10 P(w | next)
 
     def is_overlap_candidate(self) -> bool:
         # reference src/wordstats.cxx:313-331
@@ -372,7 +374,9 @@ _CONCRETE_BROAD = frozenset({
 _SUM_KEYS = (
     "word_freq word_freq_n word_freq_strict word_freq_n_strict "
     "lemma_freq lemma_freq_n lemma_freq_strict lemma_freq_n_strict "
-    "prevalenceP_sum prevalenceZ_sum prevalenceCovered"
+    "prevalenceP_sum prevalenceZ_sum prevalenceCovered "
+    "prob_fwd_content prob_fwd_ex_names prob_fwd_content_ex_names "
+    "prob_bwd_content prob_bwd_ex_names prob_bwd_content_ex_names"
 ).split()
 
 _CONN_KEY = {
@@ -404,6 +408,7 @@ class Fold:
     unique_contents_strict: Counter = field(default_factory=Counter)
     words: list[WordAnn] = field(default_factory=list)
     parses: list[SentParse] = field(default_factory=list)
+    surps: list[dict] = field(default_factory=list)  # per-sentence LM stats
 
     def __post_init__(self):
         for k in _SUM_KEYS:
@@ -440,12 +445,27 @@ def analyze_sentence(
     prev: Fold | None,
     lex: Lexicons,
     cfg: EngineConfig,
+    lm=None,
 ) -> Fold:
     """Sentence-level analysis + fold (sentStats ctor, src/tscan.cxx:2126-2865)."""
     f = Fold()
     c = f.c
     anns = [analyze_word(t, i == 0, lex) for i, t in enumerate(tokens)]
     f.words = anns
+
+    # surprisal attach (W26/T13; Wopr stand-in — text/surprisal.py)
+    if lm is not None:
+        content_words = [(i, a.lword) for i, a in enumerate(anns) if a.prop != "ISLET"]
+        for k, (i, w) in enumerate(content_words):
+            prev_w = content_words[k - 1][1] if k > 0 else None
+            next_w = content_words[k + 1][1] if k + 1 < len(content_words) else None
+            anns[i].lprob_fwd = lm.logprob10(w, prev_w)
+            anns[i].lprob_bwd = lm.logprob10_bwd(w, next_w)
+        from tscan_ray.text.surprisal import sentence_stats
+
+        fwd = sentence_stats([anns[i].lprob_fwd for i, _ in content_words])
+        bwd = sentence_stats([anns[i].lprob_bwd for i, _ in content_words])
+        f.surps.append({"fwd": fwd, "bwd": bwd})
 
     # previous-sentence overlap buffers (src/tscan.cxx:2092-2103)
     wordbuffer: list[str] = []
@@ -563,6 +583,17 @@ def analyze_sentence(
             s["prevalenceP_sum"] += ann.prevalence_p
             s["prevalenceZ_sum"] += ann.prevalence_z
             s["prevalenceCovered"] += 1
+        if not math.isnan(ann.lprob_fwd):
+            # Wopr per-word sums (src/tscan.cxx:2855-2860 normalizers)
+            if ann.is_content:
+                s["prob_fwd_content"] += ann.lprob_fwd
+                s["prob_bwd_content"] += ann.lprob_bwd
+                if ann.prop != "ISNAME":
+                    s["prob_fwd_content_ex_names"] += ann.lprob_fwd
+                    s["prob_bwd_content_ex_names"] += ann.lprob_bwd
+            if ann.prop != "ISNAME":
+                s["prob_fwd_ex_names"] += ann.lprob_fwd
+                s["prob_bwd_ex_names"] += ann.lprob_bwd
 
         if ann.is_nominal:
             c["nominalCnt"] += 1
@@ -683,6 +714,7 @@ def merge_folds(folds: list[Fold]) -> Fold:
         out.unique_contents_strict.update(f.unique_contents_strict)
         out.words.extend(f.words)
         out.parses.extend(f.parses)
+        out.surps.extend(f.surps)
     return out
 
 
@@ -753,20 +785,27 @@ def featurize_document(
     text: str,
     lex: Lexicons | None = None,
     cfg: EngineConfig = DEFAULT_CONFIG,
+    lm=None,
 ) -> dict[str, float]:
     """Compute the full document feature vector for one text.
 
     The docStats ctor (src/tscan.cxx:3092-3127): paragraphs of sentences,
     prev-sentence pointer reset per paragraph, merge-then-normalize.
+    ``lm`` is the surprisal lookup LM (default: unigram from the packaged
+    lexicon; pass a corpus-fitted BigramLM for real context sensitivity).
     Returns a flat dict (stable key set = the output schema).
     """
     lex = lex or default_lexicons()
+    if lm is None:
+        from tscan_ray.text.surprisal import default_lm
+
+        lm = default_lm()
     paragraphs = segment(text)
     sent_folds: list[Fold] = []
     for para in paragraphs:
         prev: Fold | None = None  # prev resets per paragraph (src/tscan.cxx:3018)
         for sent_tokens in para:
-            f = analyze_sentence(sent_tokens, prev, lex, cfg)
+            f = analyze_sentence(sent_tokens, prev, lex, cfg, lm=lm)
             prev = f
             sent_folds.append(f)
     doc = merge_folds(sent_folds)
@@ -888,6 +927,31 @@ def featurize_document(
     out["Indef_np_p"] = proportion(c["indefNpCnt"], c["npCnt"])
     out["Bijv_bep_d"] = density(c["npModCnt"], wc)
     out["Betr_bijzin_per_zin"] = proportion(c["betrCnt"], c["sentCnt"])
+
+    # --- surprisal (W26/T13; doc = mean over sentences of the sentence
+    #     metrics, reference emits proportion(sum, sentCnt)) ---------------
+    n_sent = c["sentCnt"]
+    for direction in ("fwd", "bwd"):
+        for metric, out_name in (
+            ("avg_prob10", f"Avg_prob10_{direction}"),
+            ("entropy", f"Entropy_{direction}"),
+            ("perplexity", f"Perplexity_{direction}"),
+            ("entropy_norm", f"Entropy_{direction}_norm"),
+            ("perplexity_norm", f"Perplexity_{direction}_norm"),
+        ):
+            vals = [sp[direction][metric] for sp in doc.surps
+                    if not math.isnan(sp[direction][metric])]
+            out[out_name] = proportion(sum(vals), n_sent) if vals else NA
+    out["Avg_prob10_fwd_content"] = proportion(s["prob_fwd_content"], c["contentCnt"])
+    out["Avg_prob10_bwd_content"] = proportion(s["prob_bwd_content"], c["contentCnt"])
+    out["Avg_prob10_fwd_ex_names"] = proportion(
+        s["prob_fwd_ex_names"], c["wordCnt"] - c["nameCnt"])
+    out["Avg_prob10_bwd_ex_names"] = proportion(
+        s["prob_bwd_ex_names"], c["wordCnt"] - c["nameCnt"])
+    out["Avg_prob10_fwd_content_ex_names"] = proportion(
+        s["prob_fwd_content_ex_names"], c["contentCnt"] - c["nameCnt"])
+    out["Avg_prob10_bwd_content_ex_names"] = proportion(
+        s["prob_bwd_content_ex_names"], c["contentCnt"] - c["nameCnt"])
 
     # --- LiNT, full inputs (src/structstats.cxx:1005-1040) ----------------
     wrd_freq_log_zn_corr = proportion(s["word_freq_n"], c["contentCnt"] - c["nameCnt"])

@@ -1,0 +1,164 @@
+"""Deterministic lookup language model — the engine's Wopr replacement.
+
+The reference attaches per-word forward/backward log10-probabilities and
+per-sentence avg_prob10 / entropy / perplexity from a Wopr LM server
+(reference src/tscan.cxx:1978-2064; doc normalizations
+src/tscan.cxx:2843-2864).  The sandbox has no Wopr and the north rule
+demands reproducibility, so per SURVEY.md §7.0 (M4) the engine uses a
+**lookup-table bigram LM held in actor state**:
+
+* ``BigramLM`` — Laplace-smoothed bigram with unigram backoff, built
+  either from the packaged lexicon frequencies (default, unigram-only)
+  or **fitted distributedly from a corpus** with :func:`fit_bigram_lm`
+  (map_batches partial counts -> one small groupby -> driver-side table,
+  bounded by vocabulary size, broadcast to actors via ``ray.put``).
+* forward logprob10 = log10 P(w_i | w_{i-1}); backward =
+  log10 P(w_i | w_{i+1}) (the reverse conditional from the same table).
+* sentence aggregates (what Wopr's FoLiA metrics carried):
+  ``avg_prob10`` = mean word logprob10; ``entropy`` = mean surprisal in
+  bits = -avg_prob10 / log10(2); ``perplexity`` = 2**entropy;
+  ``*_norm`` = entropy/len and perplexity/len² (reference
+  src/tscan.cxx:2860-2864).
+
+Divergence (documented): the deterministic LM always answers via
+Laplace smoothing, so the reference's -99 "missing" sentinel never
+occurs.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from dataclasses import dataclass, field
+
+_LOG10_2 = math.log10(2.0)
+
+
+@dataclass
+class BigramLM:
+    """Laplace-smoothed bigram LM with unigram backoff (pure, picklable)."""
+
+    unigrams: dict[str, int] = field(default_factory=dict)
+    bigrams: dict[tuple[str, str], int] = field(default_factory=dict)
+    total: int = 0
+    vocab_size: int = 1
+
+    @classmethod
+    def from_unigrams(cls, unigrams: dict[str, int]) -> "BigramLM":
+        return cls(unigrams=dict(unigrams), bigrams={},
+                   total=sum(unigrams.values()), vocab_size=max(1, len(unigrams)))
+
+    def _uni_lp(self, w: str) -> float:
+        return math.log10(
+            (self.unigrams.get(w, 0) + 1) / (self.total + self.vocab_size)
+        )
+
+    def logprob10(self, w: str, context: str | None) -> float:
+        """log10 P(w | context); unigram backoff when the context word was
+        never seen as a condition."""
+        if context is not None:
+            c_ctx = self.unigrams.get(context, 0)
+            if c_ctx > 0 and self.bigrams:
+                c_bi = self.bigrams.get((context, w), 0)
+                return math.log10((c_bi + 1) / (c_ctx + self.vocab_size))
+        return self._uni_lp(w)
+
+    def logprob10_bwd(self, w: str, following: str | None) -> float:
+        """log10 P(w | next word) — reverse conditional from the same
+        bigram table: c(w, next) / c(next)."""
+        if following is not None:
+            c_nxt = self.unigrams.get(following, 0)
+            if c_nxt > 0 and self.bigrams:
+                c_bi = self.bigrams.get((w, following), 0)
+                return math.log10((c_bi + 1) / (c_nxt + self.vocab_size))
+        return self._uni_lp(w)
+
+
+def sentence_stats(logprobs: list[float]) -> dict[str, float]:
+    """Wopr-equivalent sentence metrics from per-word logprob10s."""
+    nan = float("nan")
+    n = len(logprobs)
+    if n == 0:
+        return {"avg_prob10": nan, "entropy": nan, "perplexity": nan,
+                "entropy_norm": nan, "perplexity_norm": nan}
+    avg = sum(logprobs) / n
+    entropy = -avg / _LOG10_2  # mean surprisal in bits
+    perplexity = 2.0 ** entropy
+    return {
+        "avg_prob10": avg,
+        "entropy": entropy,
+        "perplexity": perplexity,
+        "entropy_norm": entropy / n,
+        "perplexity_norm": perplexity / (n * n),
+    }
+
+
+# ---------------------------------------------------------------------------
+# distributed fit (Ray Data; one small shuffle over vocabulary-sized keys)
+# ---------------------------------------------------------------------------
+
+def fit_bigram_lm(ds, text_col: str, min_count: int = 1) -> BigramLM:
+    """Fit a BigramLM over a Dataset's text column.
+
+    Scale shape: per-batch token/bigram Counters (vectorized-ish single
+    pass, C-speed dict ops) emit partial (gram, n) rows — the classic
+    partial-aggregate-before-groupby pattern — then ONE ``groupby(gram)``
+    over vocabulary-sized keys (≪ corpus size).  The reduced table is
+    materialized on the driver (bounded by vocab, not data; use
+    ``min_count`` to cap it further at 100 TB) and broadcast to scoring
+    actors via ``ray.put``.
+    """
+    import pyarrow as pa
+
+    import ray.data.aggregate as agg
+
+    from tscan_ray.text.tokenize import is_punct, segment
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for text in batch.column(text_col).to_pylist():
+            for para in segment(text or ""):
+                for sent in para:
+                    words = [t.lower() for t in sent if not is_punct(t)]
+                    uni.update(words)
+                    bi.update(zip(words, words[1:]))
+        grams = [f"u\x00{w}" for w in uni] + [f"b\x00{a}\x00{b}" for a, b in bi]
+        counts = list(uni.values()) + list(bi.values())
+        return pa.table({"gram": pa.array(grams, type=pa.string()),
+                         "n": pa.array(counts, type=pa.int64())})
+
+    reduced = (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gram")
+        .aggregate(agg.Sum("n", alias_name="n"))
+    )
+    unigrams: dict[str, int] = {}
+    bigrams: dict[tuple[str, str], int] = {}
+    for batch in reduced.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for gram, n in zip(batch.column("gram").to_pylist(),
+                           batch.column("n").to_pylist()):
+            if n < min_count:
+                continue
+            parts = gram.split("\x00")
+            if parts[0] == "u":
+                unigrams[parts[1]] = n
+            else:
+                bigrams[(parts[1], parts[2])] = n
+    return BigramLM(unigrams=unigrams, bigrams=bigrams,
+                    total=sum(unigrams.values()),
+                    vocab_size=max(1, len(unigrams)))
+
+
+_DEFAULT_LM: BigramLM | None = None
+
+
+def default_lm() -> BigramLM:
+    """Unigram LM from the packaged lexicon frequencies (once per process)."""
+    global _DEFAULT_LM
+    if _DEFAULT_LM is None:
+        from tscan_ray.text.lexicons import default_lexicons
+
+        _DEFAULT_LM = BigramLM.from_unigrams(default_lexicons().word_freq)
+    return _DEFAULT_LM

@@ -277,6 +277,46 @@ def q_text_surprisal(sf_dir):
     ])
 
 
+def q_text_word_table(sf_dir):
+    """Word-level exploded output (the reference's word CSV, S4)."""
+    from tscan_ray.stages.words import explode_words
+
+    out = explode_words(_docs(sf_dir).select_columns(["doc_id", "text"]),
+                        "text", ["doc_id"], concurrency=(1, 4))
+    return out.select_columns(["doc_id", "par_idx", "sent_idx", "word_idx",
+                               "word", "lemma", "tag", "is_content"])
+
+
+def q_image_features(sf_dir):
+    """Synthesize the image table, decode, extract visual features
+    (payload dropped before any shuffle)."""
+    import ray.data as rd
+
+    from tscan_ray.sources.images import synth_images
+    from tscan_ray.stages.image_ops import extract_image_features
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).limit(200)
+    images = synth_images(docs, n_entities=20)
+    out = extract_image_features(images, concurrency=(1, 4))
+    return out.select_columns(["image_id", "mean_r", "mean_g", "mean_b",
+                               "luma_mean", "luma_std", "edge_density"])
+
+
+def q_image_resize(sf_dir):
+    """Decode -> nearest-neighbour resize -> re-encode (PNG)."""
+    import ray.data as rd
+
+    from tscan_ray.sources.images import synth_images
+    from tscan_ray.stages.image_ops import resize_images
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).limit(100)
+    images = synth_images(docs, n_entities=20)
+    out = resize_images(images, out_h=8, out_w=8, concurrency=(1, 4))
+    return out.select_columns(["image_id", "w", "h", "fmt"])
+
+
 def q_tscan_features(sf_dir):
     from tscan_ray.stages.featurizer import featurize
 
@@ -372,6 +412,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible)
         "tscan_features": q_tscan_features,
         "text_surprisal": q_text_surprisal,
+        "text_word_table": q_text_word_table,
+        "image_features": q_image_features,
+        "image_resize": q_image_resize,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "text_lang_id": q_text_lang_id,

@@ -1,0 +1,115 @@
+"""Word-level explode (S4 word CSV parity), image transform stages,
+salted 2-phase aggregation equivalence."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds():
+    import ray.data as rd
+
+    return rd.from_items([
+        {"doc_id": 1, "text": "De man ziet de kat ."},
+        {"doc_id": 2, "text": "Loopt snel .\n\nDe kat is groot ."},
+        {"doc_id": 3, "text": ""},
+    ])
+
+
+class TestExplodeWords:
+    def test_one_row_per_token(self, ray_session):
+        from tscan_ray.stages.words import explode_words
+
+        out = explode_words(_docs_ds(), "text", ["doc_id"],
+                            concurrency=(1, 2)).to_pandas()
+        # doc1: 6 tokens; doc2: 3 + 5 tokens (2 paragraphs); doc3: 0
+        assert len(out) == 6 + 8
+        d1 = out[out.doc_id == 1]
+        assert list(d1["word"]) == ["De", "man", "ziet", "de", "kat", "."]
+        assert list(d1["tag"]) == ["LID", "N", "WW", "LID", "N", "LET"]
+        assert d1["word_idx"].tolist() == [0, 1, 2, 3, 4, 5]
+        d2 = out[out.doc_id == 2]
+        assert d2["par_idx"].max() == 1  # second paragraph tracked
+        # punctuation rows flagged
+        assert (out[out.word == "."]["prop"] == "ISLET").all()
+
+    def test_content_flags(self, ray_session):
+        from tscan_ray.stages.words import explode_words
+
+        out = explode_words(_docs_ds(), "text", ["doc_id"],
+                            concurrency=(1, 2)).to_pandas()
+        kat = out[(out.word == "kat") & (out.doc_id == 1)].iloc[0]
+        assert kat["is_content"]
+        assert kat["lemma"] == "kat"
+
+
+class TestImageOps:
+    def _images_ds(self):
+        import ray.data as rd
+
+        from tscan_ray.sources.codecs import encode_png
+
+        rng = np.random.default_rng(7)
+        rows = []
+        for i in range(4):
+            px = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+            rows.append({"image_id": f"img{i}", "bytes": encode_png(px),
+                         "w": 12, "h": 16, "fmt": "png"})
+        return rd.from_arrow(pa.Table.from_pylist(rows)), rows
+
+    def test_resize(self, ray_session):
+        from tscan_ray.sources.codecs import decode_image
+        from tscan_ray.stages.image_ops import resize_nearest, resize_images
+
+        ds, rows = self._images_ds()
+        out = resize_images(ds, out_h=8, out_w=6, concurrency=(1, 2)).to_pandas()
+        assert (out["w"] == 6).all() and (out["h"] == 8).all()
+        px0 = decode_image(out[out.image_id == "img0"]["bytes"].iloc[0])
+        assert px0.shape == (8, 6, 3)
+        # matches the pure kernel on the same input
+        src = decode_image(rows[0]["bytes"])
+        np.testing.assert_array_equal(px0, resize_nearest(src, 8, 6))
+
+    def test_features(self, ray_session):
+        from tscan_ray.stages.image_ops import extract_image_features
+
+        ds, rows = self._images_ds()
+        out = extract_image_features(ds, concurrency=(1, 2)).to_pandas()
+        assert "bytes" not in out.columns  # dropped before any shuffle
+        for c in ("mean_r", "luma_mean", "luma_std", "edge_density"):
+            assert np.isfinite(out[c]).all()
+
+    def test_frame_sample_stub(self):
+        from tscan_ray.stages.image_ops import sample_frames_stub
+
+        payload = bytes(range(100))
+        frames = sample_frames_stub(payload, frame_size=10, every_k=3)
+        assert len(frames) == 4  # frames 0, 3, 6, 9
+        assert frames[0] == payload[0:10]
+        assert frames[1] == payload[30:40]
+        with pytest.raises(ValueError):
+            sample_frames_stub(payload, 0, 1)
+
+
+class TestSaltedAgg:
+    def test_salted_equals_unsalted(self, ray_session):
+        import ray.data as rd
+
+        from tscan_ray.ops.agg import groupby_sum_2phase
+
+        # hot-key distribution: 90% of rows on one key
+        n = 2000
+        keys = np.where(np.arange(n) % 10 < 9, 7, np.arange(n) % 5)
+        df = pd.DataFrame({"k": keys.astype(np.int64),
+                           "v": np.arange(n, dtype=np.float64)})
+        ds = rd.from_pandas(df).repartition(8)
+        plain = groupby_sum_2phase(ds, ["k"], ["v"]).to_pandas()
+        salted = groupby_sum_2phase(ds, ["k"], ["v"], salt=4).to_pandas()
+        p = plain.sort_values("k").reset_index(drop=True)
+        s = salted.sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(p[["k", "n"]], s[["k", "n"]])
+        np.testing.assert_allclose(p["sum_v"], s["sum_v"])
+        # and both match pandas ground truth
+        gt = df.groupby("k")["v"].sum().sort_index()
+        np.testing.assert_allclose(p.set_index("k")["sum_v"].sort_index(), gt)

@@ -1,0 +1,116 @@
+"""Word-level exploded output (the reference's word CSV, S4).
+
+The reference writes one CSV row per word with the wordStats fields
+(reference src/wordstats.cxx:381-407, emit per level
+src/docstats.cxx:24-94).  The engine equivalent: explode each document
+into one output row per token — a ``map_batches`` actor stage (lexicons
+in ``__init__``) that turns N caption rows into ΣN_tokens word rows.
+No shuffle: a document's words never span input rows.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+
+from tscan_ray.config import DEFAULT_CONFIG, EngineConfig
+from tscan_ray.text.features import analyze_word
+from tscan_ray.text.lexicons import default_lexicons
+from tscan_ray.text.tokenize import segment
+
+# (name, arrow type, WordAnn attribute) — the word-level schema
+_WORD_FIELDS = [
+    ("word", pa.string(), "word"),
+    ("lemma", pa.string(), "lemma"),
+    ("tag", pa.string(), "tag"),
+    ("prop", pa.string(), "prop"),
+    ("wwform", pa.string(), "wwform"),
+    ("sem_type", pa.string(), "sem_type"),
+    ("conn_type", pa.string(), "conn_type"),
+    ("ner", pa.string(), "ner"),
+    ("char_cnt", pa.int32(), "char_cnt"),
+    ("morph_cnt", pa.int32(), "morph_cnt"),
+    ("is_content", pa.bool_(), "is_content"),
+    ("is_content_strict", pa.bool_(), "is_content_strict"),
+    ("is_nominal", pa.bool_(), "is_nominal"),
+    ("is_prop_neg", pa.bool_(), "is_prop_neg"),
+    ("is_morph_neg", pa.bool_(), "is_morph_neg"),
+    ("top_freq", pa.int32(), "top_freq"),
+    ("word_freq_log", pa.float64(), "word_freq_log"),
+    ("lemma_freq_log", pa.float64(), "lemma_freq_log"),
+    ("prevalence_p", pa.float64(), "prevalence_p"),
+    ("prevalence_z", pa.float64(), "prevalence_z"),
+]
+
+
+class WordExploder:
+    """Explode a text column into one row per token (word-level S4)."""
+
+    def __init__(
+        self,
+        text_column: str,
+        id_columns: list[str],
+        cfg: EngineConfig = DEFAULT_CONFIG,
+        lexicons_ref=None,
+    ):
+        self.text_column = text_column
+        self.id_columns = id_columns
+        self.cfg = cfg
+        self.lex = (
+            ray.get(lexicons_ref) if lexicons_ref is not None else default_lexicons()
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_column).to_pylist()
+        ids = {c: batch.column(c).to_pylist() for c in self.id_columns}
+        out: dict[str, list] = {c: [] for c in self.id_columns}
+        out.update({"par_idx": [], "sent_idx": [], "word_idx": []})
+        for name, _, _ in _WORD_FIELDS:
+            out[name] = []
+        for row, text in enumerate(texts):
+            for pi, para in enumerate(segment(text or "")):
+                for si, sent in enumerate(para):
+                    for wi, tok in enumerate(sent):
+                        ann = analyze_word(tok, wi == 0, self.lex)
+                        for c in self.id_columns:
+                            out[c].append(ids[c][row])
+                        out["par_idx"].append(pi)
+                        out["sent_idx"].append(si)
+                        out["word_idx"].append(wi)
+                        for name, _, attr in _WORD_FIELDS:
+                            out[name].append(getattr(ann, attr))
+        arrays, names = [], []
+        for c in self.id_columns:
+            names.append(c)
+            arrays.append(pa.array(out[c]))
+        for name in ("par_idx", "sent_idx", "word_idx"):
+            names.append(name)
+            arrays.append(pa.array(out[name], type=pa.int32()))
+        for name, typ, _ in _WORD_FIELDS:
+            names.append(name)
+            arrays.append(pa.array(out[name], type=typ))
+        return pa.table(dict(zip(names, arrays)))
+
+
+def explode_words(
+    ds,
+    text_column: str,
+    id_columns: list[str],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    concurrency=(1, 8),
+    batch_size: int = 256,
+):
+    """One output row per token of ``text_column`` (actor-pool stage)."""
+    return ds.map_batches(
+        WordExploder,
+        fn_constructor_kwargs={
+            "text_column": text_column,
+            "id_columns": id_columns,
+            "cfg": cfg,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -320,8 +320,10 @@ def q_image_resize(sf_dir):
 def q_tscan_features(sf_dir):
     from tscan_ray.stages.featurizer import featurize
 
+    # fixed pool sized to the session (an autoscaling (1, N) pool ramps one
+    # actor at a time and leaves the stage mostly serial on short runs)
     return featurize(_docs(sf_dir).select_columns(["doc_id", "text"]), "text",
-                     concurrency=(1, 4), keep_columns=["doc_id"])
+                     concurrency=None, keep_columns=["doc_id"])
 
 
 def q_dedup_minhash(sf_dir):
@@ -374,8 +376,7 @@ def q_emb_neardup(sf_dir):
 def q_flagship(sf_dir):
     from tscan_ray.pipelines.flagship import flagship
 
-    return flagship(sf_dir, n_entities=50, num_buckets=16,
-                    featurizer_concurrency=(1, 8))
+    return flagship(sf_dir, n_entities=50, num_buckets=16)
 
 
 # ---------------------------------------------------------------------------

@@ -74,7 +74,7 @@ def run_bench() -> dict:
         SF_DIR,
         n_entities=n_entities,
         num_buckets=max(32, NUM_CPUS),
-        featurizer_concurrency=(1, NUM_CPUS),
+        featurizer_concurrency=max(1, NUM_CPUS - 2),  # fixed pool, CPU headroom
         write_to=out_dir,
     )
     headline_sec = time.perf_counter() - t0

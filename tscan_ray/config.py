@@ -37,7 +37,10 @@ class EngineConfig:
     target_partition_bytes: int = 256 * 1024 * 1024
 
     # --- execution sizing ---------------------------------------------
-    featurizer_batch_size: int = 256
+    # ~2 ms/doc UDF cost -> 64-doc batches are ~0.13 s of work: large
+    # enough to amortize task dispatch, small enough that a 5k-row input
+    # still fans out across a 32-actor pool (load-balance > batch overhead)
+    featurizer_batch_size: int = 64
     featurizer_concurrency: int | None = None  # None -> let Ray autoscale tasks
     decode_batch_size: int = 64
 

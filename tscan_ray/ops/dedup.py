@@ -121,24 +121,32 @@ def minhash_lsh_pairs(
     def to_bands(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_pylist()
-        out_band, out_bhash, out_id, out_text = [], [], [], []
+        out_band, out_bhash, out_id, out_sh = [], [], [], []
         # deterministic per-band combiner: polynomial roll in uint64 wraparound
         powers = np.uint64(0x100000001B3) ** np.arange(rows_per_band, dtype=np.uint64)
         for i, t in enumerate(texts):
-            sig = minhash_signature(shingles(t or "", shingle_k), a, b)
+            sh = shingles(t or "", shingle_k)
+            sig = minhash_signature(sh, a, b)
             bands_view = sig.reshape(bands, rows_per_band)
             bh = (bands_view * powers[None, :]).sum(axis=1, dtype=np.uint64).view(np.int64)
+            # shingle sets travel with the row (computed ONCE per doc, not
+            # once per band/bucket); int64 view for Arrow
+            sh_list = sh.view(np.int64).tolist()
             for bi in range(bands):
+                # one combined exchange key per (band, hash) — grouping by
+                # the raw pair would make ~rows×bands tiny groups; instead
+                # we hash-bucket this key (ops/keyed.py) and detect runs
+                # vectorized inside each bucket
                 out_band.append(bi)
-                out_bhash.append(int(bh[bi]))
+                out_bhash.append(int(bh[bi] ^ np.int64(bi * 0x9E3779B9)))
                 out_id.append(ids[i])
-                out_text.append(t)
+                out_sh.append(sh_list)
         return pa.table(
             {
                 "band_id": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(out_bhash, type=pa.int64()),
+                "band_key": pa.array(out_bhash, type=pa.int64()),
                 id_col: pa.array(out_id),
-                text_col: pa.array(out_text),
+                "__shingles__": pa.array(out_sh, type=pa.list_(pa.int64())),
             }
         )
 
@@ -147,25 +155,34 @@ def minhash_lsh_pairs(
     )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """One hash bucket of band keys: sort by (band_key, id), detect the
+        equal-key runs vectorized, pairwise-verify only within runs of
+        length > 1 (the actual LSH candidates)."""
+        df = df.sort_values(["band_key", id_col], kind="mergesort")
+        keys = df["band_key"].to_numpy()
         ids = df[id_col].to_numpy()
-        texts = df[text_col].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids, texts = ids[order], texts[order]
-        # drop duplicate ids within a bucket (same doc, same band hash)
-        keep = np.ones(len(ids), dtype=bool)
-        keep[1:] = ids[1:] != ids[:-1]
-        ids, texts = ids[keep], texts[keep]
+        shs = df["__shingles__"].to_numpy()
+        n = len(df)
         out_a, out_b, out_j = [], [], []
-        sh = [shingles(t or "", shingle_k) for t in texts]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = np.intersect1d(sh[i], sh[j], assume_unique=True).size
-                union = sh[i].size + sh[j].size - inter
-                jac = inter / union if union else 0.0
-                if jac >= jaccard_threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_j.append(jac)
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], n]
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            run_ids = ids[s:e]
+            # drop duplicate ids inside one band bucket
+            keep = np.r_[True, run_ids[1:] != run_ids[:-1]]
+            idxs = np.arange(s, e)[keep]
+            sh = [np.asarray(shs[i], dtype=np.int64).view(np.uint64) for i in idxs]
+            for i in range(len(idxs)):
+                for j in range(i + 1, len(idxs)):
+                    inter = np.intersect1d(sh[i], sh[j], assume_unique=True).size
+                    union = sh[i].size + sh[j].size - inter
+                    jac = inter / union if union else 0.0
+                    if jac >= jaccard_threshold:
+                        out_a.append(ids[idxs[i]])
+                        out_b.append(ids[idxs[j]])
+                        out_j.append(jac)
         return pd.DataFrame(
             {
                 "id_a": pd.array(out_a, dtype="int64"),
@@ -174,9 +191,9 @@ def minhash_lsh_pairs(
             }
         )
 
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    from tscan_ray.ops.keyed import grouped_apply
+
+    pairs = grouped_apply(banded, "band_key", bucket_pairs, num_buckets=64)
     # a pair can surface from several bands -> reduce to one row
     import ray.data.aggregate as agg
 

@@ -176,6 +176,58 @@ def tumbling_window(
     return grouped_apply(ds, key, fn, num_buckets)
 
 
+def rolling_text_diversity(
+    ds,
+    key: str,
+    ts: str,
+    text_col: str,
+    window: int,
+    order_col: str | None = None,
+    num_buckets: int = DEFAULT_CONFIG.num_key_buckets,
+):
+    """Trailing-window TTR + MTLD over the entity's last ``window`` texts
+    (including the current row; ts' <= ts, leakage-free).
+
+    MTLD is order-dependent and NON-decomposable (forward+reverse passes
+    with a partial remainder, reference src/tscan.cxx:1806-1875), so the
+    window recomputes from buffered raw token lists — the SURVEY.md §7.4
+    rule: never merge partial MTLD factors.  Tokens are computed once per
+    row (not once per window); per-row cost is O(window · tokens), bounded
+    by the window size, independent of entity history length.
+
+    Adds ``ttr_w{window}`` and ``mtld_w{window}`` columns.
+    """
+    from tscan_ray.text.kernels import average_mtld, ttr as ttr_fn
+    from tscan_ray.text.tokenize import is_punct, tokenize
+
+    ttr_col, mtld_col = f"ttr_w{window}", f"mtld_w{window}"
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(_sort_cols(key, ts, order_col), kind="mergesort")
+        toks = [
+            [t.lower() for t in tokenize(x or "") if not is_punct(t)]
+            for x in df[text_col].tolist()
+        ]
+        keys = df[key].to_numpy()
+        ttrs = np.empty(len(df), dtype=np.float64)
+        mtlds = np.empty(len(df), dtype=np.float64)
+        start = 0  # first row of the current entity run (rows are key-sorted)
+        for i in range(len(df)):
+            if i > 0 and keys[i] != keys[i - 1]:
+                start = i
+            lo = max(start, i - window + 1)
+            buf: list[str] = []
+            for j in range(lo, i + 1):
+                buf.extend(toks[j])
+            ttrs[i] = ttr_fn(buf)
+            mtlds[i] = average_mtld(buf)
+        df[ttr_col] = ttrs
+        df[mtld_col] = mtlds
+        return df
+
+    return grouped_apply(ds, key, fn, num_buckets)
+
+
 def rolling_mean(
     ds,
     key: str,

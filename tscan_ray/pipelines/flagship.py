@@ -91,7 +91,7 @@ def flagship(
     snapshot_every: int = 5,
     num_buckets: int | None = None,
     write_to: str | None = None,
-    featurizer_concurrency=(1, 16),
+    featurizer_concurrency=None,
 ):
     """Run the full pipeline over {sf_dir}/documents.parquet.
 

@@ -36,6 +36,14 @@ from tscan_ray.text.features import feature_names, featurize_document
 from tscan_ray.text.lexicons import default_lexicons
 
 
+def pool_size(cap: int = 32, headroom: int = 2) -> int:
+    """Fixed actor-pool size that fits the current session: cluster CPUs
+    minus headroom for read/shuffle tasks (an actor RESERVES its CPU for
+    life — a pool equal to all CPUs starves every other stage)."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(1, min(cap, cpus - headroom))
+
+
 class CaptionFeaturizer:
     """Compute the T-scan feature vector for a text column, per batch."""
 
@@ -61,22 +69,21 @@ class CaptionFeaturizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_column).to_pylist()
-        cols: dict[str, list] = {n: [] for n in self.names}
-        for t in texts:
-            feats = featurize_document(t or "", self.lex, self.cfg, lm=self.lm)
-            for n in self.names:
-                cols[n].append(feats[n])
+        rows = [featurize_document(t or "", self.lex, self.cfg, lm=self.lm)
+                for t in texts]
         if self.keep_columns is not None:
             batch = batch.select(self.keep_columns)
+        # one arrow table construction (not 400 append_column copies)
+        cols = {c: batch.column(c) for c in batch.column_names}
         for n in self.names:
-            vals = cols[n]
+            vals = [r[n] for r in rows]
             # ints stay int64; anything that can be NaN becomes float64
             if all(isinstance(v, int) for v in vals):
                 arr = pa.array(np.asarray(vals, dtype=np.int64), type=pa.int64())
             else:
                 arr = pa.array(np.asarray(vals, dtype=np.float64), type=pa.float64())
-            batch = batch.append_column(self.prefix + n, arr)
-        return batch
+            cols[self.prefix + n] = arr
+        return pa.table(cols)
 
 
 def featurize(
@@ -88,10 +95,15 @@ def featurize(
     keep_columns: list[str] | None = None,
     lm_ref=None,
 ):
-    """Attach the feature-vector columns to a Dataset (actor-pool stage)."""
-    # Ray requires an explicit actor-pool size for callable classes; default
-    # to an autoscaling pool rather than crashing when the caller omits it.
-    kwargs = {"concurrency": concurrency if concurrency is not None else (1, 8)}
+    """Attach the feature-vector columns to a Dataset (actor-pool stage).
+
+    ``concurrency``: int = fixed pre-started pool (best throughput; must
+    fit the cluster), tuple = autoscaling, None = fixed pool sized to the
+    session's CPUs minus headroom for the read/shuffle tasks.
+    """
+    if concurrency is None:
+        concurrency = pool_size()
+    kwargs = {"concurrency": concurrency}
     return ds.map_batches(
         CaptionFeaturizer,
         fn_constructor_kwargs={

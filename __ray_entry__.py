@@ -277,6 +277,25 @@ def q_text_surprisal(sf_dir):
     ])
 
 
+def q_pit_rolling_ttr(sf_dir):
+    """Trailing-window TTR/MTLD over a deterministic entity timeline of
+    the documents (MTLD is non-decomposable: recompute-from-buffer)."""
+    from tscan_ray.ops.window import rolling_text_diversity
+
+    def add_timeline(df):
+        df = df.copy()
+        df["entity_id"] = df["doc_id"] % 50
+        df["ts"] = 1_704_067_200_000_000 + (df["doc_id"] // 50) * HOUR_US
+        return df
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        add_timeline, batch_format="pandas")
+    out = rolling_text_diversity(docs, "entity_id", "ts", "text", window=3,
+                                 order_col="doc_id")
+    out = out.select_columns(["doc_id", "entity_id", "ttr_w3", "mtld_w3"])
+    return _round_cols(out, ["ttr_w3", "mtld_w3"])
+
+
 def q_text_word_table(sf_dir):
     """Word-level exploded output (the reference's word CSV, S4)."""
     from tscan_ray.stages.words import explode_words
@@ -364,6 +383,20 @@ def q_ann_topk_lsh(sf_dir):
                            query, k=10, nbits=6)
 
 
+def q_ann_topk_ivf(sf_dir):
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from tscan_ray.ops.ann import topk_cosine_ivf
+
+    query = np.asarray(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .column("embedding")[0].as_py(), dtype=np.float64)
+    return topk_cosine_ivf(rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+                           query, k=10, n_centroids=8, nprobe=3)
+
+
 def q_emb_neardup(sf_dir):
     import ray.data as rd
 
@@ -414,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tscan_features": q_tscan_features,
         "text_surprisal": q_text_surprisal,
         "text_word_table": q_text_word_table,
+        "pit_rolling_ttr": q_pit_rolling_ttr,
         "image_features": q_image_features,
         "image_resize": q_image_resize,
         "dedup_minhash": q_dedup_minhash,
@@ -421,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "emb_neardup": q_emb_neardup,
         "flagship_images": q_flagship,
     }

@@ -21,6 +21,10 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# deterministic input replication for the scaling runs: the fixture table is
+# small enough that un-amplified runs measure startup, not throughput
+AMPLIFY = int(os.environ.get("RAY_GRAFT_AMPLIFY", "1"))
+SCALING_AMPLIFY = int(os.environ.get("RAY_GRAFT_SCALING_AMPLIFY", "20"))
 
 BENCH_QUERIES = [
     "pit_asof_join",
@@ -65,7 +69,8 @@ def run_bench() -> dict:
     for t in ("documents", "events", "embeddings", "lineitem"):
         pq.read_table(f"{SF_DIR}/{t}.parquet")
 
-    n_entities = max(50, n_docs // 100)
+    n_rows = n_docs * AMPLIFY
+    n_entities = max(50, n_rows // 100)
     out_dir = f"/tmp/bench_out_{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -74,17 +79,19 @@ def run_bench() -> dict:
         SF_DIR,
         n_entities=n_entities,
         num_buckets=max(32, NUM_CPUS),
-        featurizer_concurrency=max(1, NUM_CPUS - 2),  # fixed pool, CPU headroom
+        featurizer_concurrency=None,  # flagship balances the CPU budget
         write_to=out_dir,
+        amplify=AMPLIFY,
     )
     headline_sec = time.perf_counter() - t0
 
     queries = entrymod.queries()
     q_times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        _consume(queries[name](SF_DIR))
-        q_times[name] = round(time.perf_counter() - t0, 3)
+    if not os.environ.get("RAY_GRAFT_SKIP_QUERIES"):
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            _consume(queries[name](SF_DIR))
+            q_times[name] = round(time.perf_counter() - t0, 3)
 
     result = {
         "metric": "flagship_pipeline_sec",
@@ -93,8 +100,9 @@ def run_bench() -> dict:
         "queries": q_times,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
-        "rows": n_docs,
-        "rows_per_sec": round(n_docs / headline_sec, 1),
+        "rows": n_rows,
+        "amplify": AMPLIFY,
+        "rows_per_sec": round(n_rows / headline_sec, 1),
     }
     ray.shutdown()
     return result
@@ -102,7 +110,9 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   RAY_GRAFT_AMPLIFY=str(SCALING_AMPLIFY),
+                   RAY_GRAFT_SKIP_QUERIES="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,

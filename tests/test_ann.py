@@ -72,3 +72,40 @@ class TestLsh:
         assert (pairs["id_a"] < pairs["id_b"]).all()
         assert (pairs["cosine"] >= 0.9999).all()
         assert {(0, 10_000)} <= set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+class TestIvf:
+    def test_ivf_recall_vs_exact(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from tscan_ray.ops.ann import topk_cosine, topk_cosine_ivf
+
+        sf = "/root/testdata/sf0.001"
+        query = np.asarray(
+            pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+            .column("embedding")[0].as_py(), dtype=np.float64)
+        emb = rd.read_parquet(f"{sf}/embeddings.parquet")
+        exact = topk_cosine(emb, query, k=10).to_pandas()
+        approx = topk_cosine_ivf(rd.read_parquet(f"{sf}/embeddings.parquet"),
+                                 query, k=10, n_centroids=8, nprobe=8).to_pandas()
+        # nprobe == n_centroids -> scans everything -> identical to exact
+        assert list(approx["vec_id"]) == list(exact["vec_id"])
+        # smaller probe budget still finds the query itself (cosine 1.0)
+        a2 = topk_cosine_ivf(rd.read_parquet(f"{sf}/embeddings.parquet"),
+                             query, k=10, n_centroids=8, nprobe=2).to_pandas()
+        assert a2["cosine"].iloc[0] == 1.0
+        assert len(a2) <= 10
+
+    def test_train_deterministic(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from tscan_ray.ops.ann import train_ivf_centroids
+
+        emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        c1 = train_ivf_centroids(emb, n_centroids=8)
+        emb2 = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        c2 = train_ivf_centroids(emb2, n_centroids=8)
+        np.testing.assert_array_equal(c1, c2)

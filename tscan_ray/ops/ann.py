@@ -150,6 +150,90 @@ def topk_cosine_lsh(
     return topk_cosine(filtered, query, vec_col=vec_col, id_col=id_col, k=k)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) variant — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    ds,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_rows: int = 4096,
+    iters: int = 10,
+    seed: int = 0x1FF,
+) -> np.ndarray:
+    """Deterministic k-means on a bounded sample (Lloyd iterations over a
+    driver-side matrix — the coarse quantizer is tiny; the DATA never
+    leaves the cluster, only ``sample_rows`` rows are pulled).
+    Deterministic: fixed seed for init, ties broken by lowest index."""
+    sample = ds.select_columns([vec_col]).limit(sample_rows)
+    mats = [_as_matrix(b.column(vec_col))
+            for b in sample.iter_batches(batch_size=1024, batch_format="pyarrow")]
+    m = _normalize(np.concatenate(mats, axis=0))
+    k = min(n_centroids, len(m))
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)  # cosine on normalized rows
+        for c in range(k):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def add_ivf_cell(ds, centroids: np.ndarray, vec_col: str = "embedding",
+                 out_col: str = "ivf_cell"):
+    """Assign each vector to its nearest centroid (one matmul per batch;
+    centroid matrix broadcast once via the object store)."""
+    cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        m = _normalize(_as_matrix(batch.column(vec_col)))
+        cells = np.argmax(m @ cent.T, axis=1).astype(np.int64)
+        return batch.append_column(out_col, pa.array(cells, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def topk_cosine_ivf(
+    ds,
+    query: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = DEFAULT_CONFIG.ann_top_k,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+):
+    """IVF search: train (or reuse) a coarse quantizer, scan only the
+    ``nprobe`` cells nearest the query.  At 100 TB the cell column is
+    written as a partition key so probes prune at the READ (row-group
+    skip), not per batch."""
+    cent = centroids if centroids is not None else train_ivf_centroids(
+        ds, vec_col, n_centroids)
+    q = np.asarray(query, dtype=np.float64).ravel()
+    qn = q / (np.linalg.norm(q) or 1.0)
+    order = np.argsort(-(cent @ qn))
+    probes = set(int(c) for c in order[:nprobe])
+
+    with_cell = add_ivf_cell(ds.select_columns([id_col, vec_col]), cent, vec_col)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = np.isin(batch.column("ivf_cell").to_numpy(zero_copy_only=False),
+                       list(probes))
+        return batch.filter(pa.array(mask))
+
+    filtered = with_cell.map_batches(keep, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    return topk_cosine(filtered.drop_columns(["ivf_cell"]), query,
+                       vec_col=vec_col, id_col=id_col, k=k)
+
+
 def cosine_neardup_pairs(
     ds,
     vec_col: str = "embedding",
@@ -167,15 +251,33 @@ def cosine_neardup_pairs(
                               nbits=nbits)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df[id_col].to_numpy()
-        m = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
-        sims = m @ m.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        mask = sims[iu, ju] >= threshold
-        ia, jb = ids[iu[mask]], ids[ju[mask]]
-        lo, hi = np.minimum(ia, jb), np.maximum(ia, jb)
-        return pd.DataFrame({"id_a": lo.astype(np.int64),
-                             "id_b": hi.astype(np.int64),
-                             "cosine": sims[iu, ju][mask].astype(np.float64)})
+        # one exchange bucket holds many whole LSH buckets: run-scan the
+        # sorted frame, gram-matrix per LSH bucket (a pair lives in exactly
+        # one LSH bucket — its id is the full signature — so no dedup pass)
+        df = df.sort_values(["lsh_bucket", id_col], kind="mergesort")
+        buckets = df["lsh_bucket"].to_numpy()
+        ids_all = df[id_col].to_numpy()
+        vecs_all = df[vec_col].to_numpy()
+        out = {"id_a": [], "id_b": [], "cosine": []}
+        n = len(df)
+        starts = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
+        ends = np.r_[starts[1:], n]
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ids = ids_all[s:e]
+            m = _normalize(np.stack(vecs_all[s:e]).astype(np.float64))
+            sims = m @ m.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            mask = sims[iu, ju] >= threshold
+            ia, jb = ids[iu[mask]], ids[ju[mask]]
+            out["id_a"].extend(np.minimum(ia, jb).tolist())
+            out["id_b"].extend(np.maximum(ia, jb).tolist())
+            out["cosine"].extend(sims[iu, ju][mask].tolist())
+        return pd.DataFrame({"id_a": pd.array(out["id_a"], dtype="int64"),
+                             "id_b": pd.array(out["id_b"], dtype="int64"),
+                             "cosine": pd.array(out["cosine"], dtype="float64")})
 
-    return bucketed.groupby("lsh_bucket").map_groups(verify, batch_format="pandas")
+    from tscan_ray.ops.keyed import grouped_apply
+
+    return grouped_apply(bucketed, "lsh_bucket", verify, num_buckets=32)

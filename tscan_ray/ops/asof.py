@@ -8,13 +8,11 @@ AT ts is usable AT ts).  Optional tolerance bounds the lookback.
 Ray-Data-native design (north rule; no counterpart in the reference —
 its only joins are broadcast lexicon lookups, SURVEY.md §2.5):
 
-1. both sides get the SAME deterministic key-hash bucket column
-   (ops/keyed.py) in a vectorized ``map_batches``;
-2. sides are tagged and schema-aligned (missing columns -> nulls), then
+1. sides are tagged and schema-aligned (missing columns -> nulls), then
    ``union``-ed — Ray's streaming executor interleaves both scans;
-3. ONE ``groupby(bucket)`` exchange co-locates each key's left and right
-   rows;
-4. inside the bucket UDF: split by side, sort each frame by (ts,
+2. ONE keyed task-shuffle exchange (ops/keyed.py) co-locates each key's
+   left and right rows;
+3. inside the bucket UDF: split by side, sort each frame by (ts,
    order_col), ``pd.merge_asof(by=key)`` — a sorted-merge with
    binary-search galloping over contiguous numpy arrays, vectorized
    across all keys in the bucket.
@@ -35,7 +33,7 @@ import pandas as pd
 import pyarrow as pa
 
 from tscan_ray.config import DEFAULT_CONFIG
-from tscan_ray.ops.keyed import BUCKET_COL, with_bucket
+from tscan_ray.ops.keyed import grouped_apply
 
 _SIDE = "__side__"
 
@@ -66,9 +64,6 @@ def asof_join(
     right = right.select_columns(right_keep)
 
     # align schemas for union: every column of both sides, missing -> null
-    l_b = with_bucket(left, key, num_buckets)
-    r_b = with_bucket(right, key, num_buckets)
-
     right_schema = right.schema()
     all_cols: dict[str, pa.DataType] = dict(zip(left_schema.names, left_schema.types))
     # normalized right column names inside the exchange (avoid collisions)
@@ -79,7 +74,7 @@ def asof_join(
     for name, typ in zip(right_schema.names, right_schema.types):
         all_cols.setdefault(r_rename[name], typ)
 
-    union_names = list(all_cols.keys()) + [BUCKET_COL, _SIDE]
+    union_names = list(all_cols.keys()) + [_SIDE]
 
     def pad(side: int, rename: dict[str, str]):
         def fn(batch: pa.Table) -> pa.Table:
@@ -97,8 +92,8 @@ def asof_join(
 
         return fn
 
-    l_p = l_b.map_batches(pad(0, {}), batch_format="pyarrow", zero_copy_batch=True)
-    r_p = r_b.map_batches(pad(1, r_rename), batch_format="pyarrow", zero_copy_batch=True)
+    l_p = left.map_batches(pad(0, {}), batch_format="pyarrow", zero_copy_batch=True)
+    r_p = right.map_batches(pad(1, r_rename), batch_format="pyarrow", zero_copy_batch=True)
     both = l_p.union(r_p)
 
     rv_cols = [r_rename.get(c, c) for c in right_value_cols]
@@ -106,8 +101,6 @@ def asof_join(
     sort_extra = [order_col] if order_col else []
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        if BUCKET_COL in df.columns:
-            df = df.drop(columns=[BUCKET_COL])
         ldf = df[df[_SIDE] == 0][left_cols].copy()
         rcols = list(dict.fromkeys([key, ts] + rv_cols + sort_extra))
         rdf = df[df[_SIDE] == 1][rcols].copy()
@@ -140,4 +133,4 @@ def asof_join(
             out = out[out[ts + right_suffix].notna()]
         return out
 
-    return both.groupby(BUCKET_COL).map_groups(merge, batch_format="pandas")
+    return grouped_apply(both, key, merge, num_buckets)

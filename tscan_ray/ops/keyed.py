@@ -1,44 +1,54 @@
-"""Keyed-bucket shuffle primitive for the point-in-time layer.
+"""Keyed-bucket exchange primitive for the point-in-time layer.
 
-Every timeline operator (as-of join, lag/lead, ffill/bfill, sessionize)
-needs "all rows of one entity together, sorted by ts".  The reference
-has no such layer (it is document-at-a-time); the engine adds it per the
-north rule, designed Ray-Data-native:
+Every timeline operator (as-of join, lag/lead, ffill/bfill, sessionize,
+windowed diversity) needs "all rows of one entity together".  The
+engine's exchange is a **two-stage task shuffle built from raw Ray
+tasks** — the documented escape hatch for semantics/performance the
+Dataset API can't deliver:
 
-* add a deterministic ``__bucket__ = H(key) % B`` column in a vectorized
-  ``map_batches`` (zero extra pass — fused by the streaming executor);
-* ONE all-to-all exchange: ``groupby("__bucket__")``;
-* per-bucket UDF receives the whole bucket as a pandas frame and applies
-  a **vectorized multi-key** kernel (``df.groupby(key)...`` /
-  ``pd.merge_asof``) — no per-entity Python loop, no per-entity
-  map_groups call overhead.
+* measured on this Ray build (2.49), ``groupby().map_groups`` executes
+  its SortMap/SortReduce as ONE task each (fully serial exchange), and
+  the hash-shuffle strategy spawns per-partition aggregator actors that
+  swamp a small node.  The task shuffle below is 4-8x faster on the
+  same input (see BASELINE.md) and is the classic parallel plan:
+  M split tasks (one per ~target-size input bundle, each partitioning
+  its blocks by key hash into B slices) feeding B reduce tasks (concat
+  + the user kernel), wired by object refs — every stage fully
+  parallel, payload moved exactly once.
+* ``grouped_apply(engine="raydata")`` keeps the Dataset-native
+  ``groupby().map_groups`` plan for comparison / future Ray versions.
 
 Scale notes
 -----------
-* B (``num_buckets``) is chosen so one bucket fits a worker heap:
-  ``B >= input_bytes / target_partition_bytes`` and >= cluster
-  parallelism.  All timeline operators reuse the SAME key hash, so
-  chained operators could share one exchange (future: keyed cache).
-* Skew: a bucket holds whole entities, so a single pathologically hot
-  entity bounds bucket size from below.  Timeline semantics cannot be
-  salted across time; hot entities must be split by *time range* with
-  window-sized overlap (documented in SURVEY.md §7.4) — not needed at
-  current fixture skew.
+* B (``num_buckets``): sized so one bucket fits a worker heap
+  (``>= input_bytes / target_partition_bytes``) and >= cluster
+  parallelism.  Driver-side ref fan-out is M×B; split inputs are
+  bundled to ``~64 MB`` so M stays ~input_bytes/64MB.  At 100 TB use a
+  two-level exchange (node-local combine, then cross-node) — same
+  algebra, one more tier.
+* Skew: a bucket holds whole entities; hot entities must be split by
+  time range with window-sized overlap (SURVEY.md §7.4) — pure
+  aggregations instead pre-combine per batch (ops/agg.py).
 * The hash is deterministic across processes (no PYTHONHASHSEED
   dependence): Knuth multiplicative for integer keys,
-  ``pandas.util.hash_array`` (stable) for strings.
+  ``pandas.util.hash_array`` for strings — retries re-produce identical
+  partitions, which the resumable sink relies on.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
+
 BUCKET_COL = "__bucket__"
 _KNUTH = np.uint64(0x9E3779B97F4A7C15)
+_TARGET_SPLIT_BYTES = 64 * 1024 * 1024
 
 
 def bucket_of(values: np.ndarray, num_buckets: int) -> np.ndarray:
@@ -61,24 +71,129 @@ def with_bucket(ds, key: str, num_buckets: int):
     return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _as_arrow(block) -> pa.Table:
+    if isinstance(block, pa.Table):
+        return block
+    return pa.Table.from_pandas(block, preserve_index=False)
+
+
+@ray.remote
+def _split_task(key: str, num_buckets: int, direct: bool, *blocks):
+    """Partition the input blocks by key hash into ``num_buckets`` slices
+    (ONE stable sort + searchsorted per task — no per-bucket scan)."""
+    tbl = pa.concat_tables([_as_arrow(b) for b in blocks], promote_options="default")
+    vals = tbl.column(key).to_numpy(zero_copy_only=False)
+    if direct:
+        b = np.asarray(vals, dtype=np.int64) % num_buckets
+    else:
+        b = bucket_of(vals, num_buckets).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    tbl = tbl.take(pa.array(order))
+    bs = b[order]
+    cuts = np.searchsorted(bs, np.arange(num_buckets + 1))
+    return tuple(tbl.slice(cuts[i], cuts[i + 1] - cuts[i])
+                 for i in range(num_buckets))
+
+
+@ray.remote
+def _reduce_task(fn, batch_format: str, *parts):
+    """Concat one bucket's slices and apply the user kernel."""
+    tbl = pa.concat_tables(parts, promote_options="default")
+    if batch_format == "pandas":
+        out = fn(tbl.to_pandas())
+        if isinstance(out, pd.DataFrame):
+            return pa.Table.from_pandas(out, preserve_index=False)
+        return out
+    out = fn(tbl)
+    if isinstance(out, pd.DataFrame):
+        return pa.Table.from_pandas(out, preserve_index=False)
+    return out
+
+
+def task_exchange(
+    ds,
+    key: str,
+    fn: Callable,
+    num_buckets: int,
+    direct: bool = False,
+    batch_format: str = "pandas",
+):
+    """Two-stage parallel hash exchange + per-bucket kernel.
+
+    ``direct=True`` treats the key column's integer values as the
+    partition index (mod B) — used by the resumable sink so bucket K
+    lands in partition K.  Returns a new Dataset of the kernel outputs.
+    """
+    import ray.data as rd
+
+    # drain upstream into split tasks, bundling to ~64 MB per task
+    split_refs: list = []
+    pending_refs: list = []
+    pending_bytes = 0
+
+    def flush():
+        nonlocal pending_refs, pending_bytes
+        if pending_refs:
+            split_refs.append(
+                _split_task.options(num_returns=num_buckets).remote(
+                    key, num_buckets, direct, *pending_refs
+                )
+            )
+            pending_refs, pending_bytes = [], 0
+
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref, meta in zip(bundle.block_refs, bundle.metadata):
+            pending_refs.append(block_ref)
+            pending_bytes += meta.size_bytes or 0
+            if pending_bytes >= _TARGET_SPLIT_BYTES:
+                flush()
+    flush()
+
+    if not split_refs:
+        return ds  # empty input: nothing to exchange
+
+    m = len(split_refs)
+    if num_buckets == 1:
+        # num_returns=1 gives a bare ref per split
+        outs = [_reduce_task.remote(fn, batch_format,
+                                    *[split_refs[i] for i in range(m)])]
+    else:
+        outs = [
+            _reduce_task.remote(fn, batch_format,
+                                *[split_refs[i][b] for i in range(m)])
+            for b in range(num_buckets)
+        ]
+    return rd.from_arrow_refs(outs)
+
+
 def grouped_apply(
     ds,
     key: str,
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_buckets: int,
+    engine: str | None = None,
 ):
     """Apply a vectorized multi-key kernel to each key-hash bucket.
 
     ``fn`` receives one bucket (all rows of every entity hashed to it) as
     a pandas DataFrame and must itself be vectorized across keys
     (``df.groupby(key)`` transforms, ``merge_asof``, ...).
+
+    ``engine``: "tasks" (default; parallel task shuffle) or "raydata"
+    (``groupby().map_groups`` — serial exchange on this Ray build, kept
+    for comparison).  Env override: ``TSCAN_RAY_EXCHANGE``.
     """
+    engine = engine or os.environ.get("TSCAN_RAY_EXCHANGE", "tasks")
 
     def wrapper(df: pd.DataFrame) -> pd.DataFrame:
         out = fn(df)
-        if BUCKET_COL in out.columns:
+        if BUCKET_COL in getattr(out, "columns", ()):
             out = out.drop(columns=[BUCKET_COL])
         return out
 
-    bucketed = with_bucket(ds, key, num_buckets)
-    return bucketed.groupby(BUCKET_COL).map_groups(wrapper, batch_format="pandas")
+    if engine == "raydata":
+        bucketed = with_bucket(ds, key, num_buckets)
+        return bucketed.groupby(BUCKET_COL).map_groups(
+            wrapper, batch_format="pandas"
+        )
+    return task_exchange(ds, key, wrapper, num_buckets)

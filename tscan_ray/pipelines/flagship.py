@@ -92,17 +92,68 @@ def flagship(
     num_buckets: int | None = None,
     write_to: str | None = None,
     featurizer_concurrency=None,
+    amplify: int = 1,
 ):
     """Run the full pipeline over {sf_dir}/documents.parquet.
 
+    ``amplify=K`` deterministically replicates the input K× with fresh
+    doc_ids (every synthesized value is a pure function of doc_id) — used
+    by the scaling benchmark to measure steady-state throughput instead
+    of fixed startup overhead on the small fixture tables.
+
     Returns the enriched Dataset (or writes partitioned parquet when
     ``write_to`` is given and returns the path)."""
+    import pyarrow.parquet as pq
+
     import ray.data as rd
 
+    # CPU budget across the two actor-pool stages (actors RESERVE their
+    # CPU; FIXED pools — autoscaling ramps one actor at a time and leaves
+    # the stage serial on short runs).  Shares follow measured per-row
+    # cost: featurize ~2.9 ms, decode+validate ~2.2 ms, synth ~0.8 ms →
+    # featurizer ~45%, decode ~35%, remainder for read/synth/shuffle
+    # tasks.  A pool sized to all CPUs starves the producers.
+    if featurizer_concurrency is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        featurizer_concurrency = max(1, int(cpus * 0.45))
+        decode_concurrency = max(1, int(cpus * 0.35))
+    else:
+        decode_concurrency = (1, 8)
+
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    if amplify > 1:
+        n0 = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+        def shift(offset: int):
+            def fn(batch):
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                i = batch.column_names.index("doc_id")
+                return batch.set_column(
+                    i, "doc_id", pc.add(batch.column("doc_id"), pa.scalar(offset))
+                )
+
+            return fn
+
+        docs = docs.union(*[
+            rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+            .map_batches(shift(r * n0), batch_format="pyarrow", zero_copy_batch=True)
+            for r in range(1, amplify)
+        ])
+        # each union branch is ONE fused read->shift task chain; without a
+        # re-split the downstream synth/codec work serializes per branch.
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        docs = docs.repartition(cpus * 4)
     images = synth_images(docs, n_entities=n_entities, cfg=cfg)
     validated = decode_validate(images, cfg=cfg, drop_bytes=True,
-                                n_entities=n_entities)
+                                n_entities=n_entities,
+                                concurrency=decode_concurrency)
     feats = featurize(validated, "caption", cfg=cfg,
                       concurrency=featurizer_concurrency,
                       keep_columns=KEEP_COLS)

@@ -1,0 +1,47 @@
+"""Table IO: Lance-first with parquet fallback.
+
+The north rule's input is a Lance table of image+caption pairs.  This
+container has no ``pylance`` wheel, so the reader is gated behind an
+import-try: on a cluster with Lance installed, ``read_table`` uses
+``ray.data.read_lance`` (zero-copy fragments, column pruning,
+row-filter pushdown); here it falls back to ``read_parquet`` with the
+same pruning arguments.  All engine code reads through this seam so the
+storage format is a deployment choice, not a code change.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def lance_available() -> bool:
+    try:
+        import lance  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def read_table(path: str, columns: list[str] | None = None, **kwargs):
+    """Read a Lance dataset directory or a parquet file/directory into a
+    ``ray.data.Dataset``, pruning to ``columns`` at the scan."""
+    import ray.data as rd
+
+    if path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions")):
+        if not lance_available():
+            raise ImportError(
+                "input is a Lance dataset but pylance is not installed"
+            )
+        return rd.read_lance(path, columns=columns, **kwargs)
+    return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+def write_table(ds, path: str, format: str = "auto", **kwargs) -> None:
+    """Write parquet (default) or Lance when available and requested."""
+    if format == "lance" or (format == "auto" and path.endswith(".lance")):
+        if not lance_available():
+            raise ImportError("pylance is not installed; write parquet instead")
+        ds.write_lance(path, **kwargs)
+        return
+    ds.write_parquet(path, **kwargs)

@@ -32,7 +32,7 @@ import time
 import numpy as np
 import pandas as pd
 
-from tscan_ray.ops.keyed import BUCKET_COL, with_bucket
+from tscan_ray.ops.keyed import BUCKET_COL, task_exchange, with_bucket
 
 MANIFEST_DIR = "_manifest"
 
@@ -99,7 +99,13 @@ def resumable_write(
 
         bucketed = bucketed.map_batches(drop_done, batch_format="pandas")
 
+    summary_cols = {"partition": "int64", "rows": "int64",
+                    "wall_s": "float64", "checksum": "int64"}
+
     def write_group(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:  # a hash bucket no key mapped to
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in summary_cols.items()})
         t0 = time.perf_counter()
         k = int(df[BUCKET_COL].iloc[0])
         df = df.drop(columns=[BUCKET_COL])
@@ -127,11 +133,11 @@ def resumable_write(
               "checksum": checksum}]
         )
 
-    summary = (
-        bucketed.groupby(BUCKET_COL)
-        .map_groups(write_group, batch_format="pandas")
-        .to_pandas()  # tiny: one row per partition written
-    )
+    # exchange keyed DIRECTLY on the bucket index (partition K = bucket K),
+    # so the output layout is stable across runs and engines
+    summary = task_exchange(
+        bucketed, BUCKET_COL, write_group, num_buckets, direct=True
+    ).to_pandas()  # tiny: one row per partition written
     return summary
 
 

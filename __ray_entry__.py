@@ -147,6 +147,57 @@ def q_join_orders_customer(sf_dir):
     return _round_cols(out, ["o_totalprice"], 4)
 
 
+def q_join_supplier_nation_region(sf_dir):
+    """Two chained broadcast joins (dimension tables stay dimension-sized)."""
+    import ray.data as rd
+
+    from tscan_ray.ops.join import broadcast_join
+
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name", "s_nationkey"])
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet").map_batches(
+        lambda df: df.rename(columns={"n_nationkey": "s_nationkey"}),
+        batch_format="pandas")
+    reg = rd.read_parquet(f"{sf_dir}/region.parquet").map_batches(
+        lambda df: df.rename(columns={"r_regionkey": "n_regionkey"}),
+        batch_format="pandas")
+    out = broadcast_join(sup, nat, on="s_nationkey",
+                         right_cols=["n_name", "n_regionkey"], how="inner")
+    out = broadcast_join(out, reg, on="n_regionkey",
+                         right_cols=["r_name"], how="inner")
+    return out.select_columns(["s_suppkey", "s_name", "n_name", "r_name"])
+
+
+def q_events_props_extract(sf_dir):
+    """Vectorized JSON field extraction from the props string column."""
+    import pyarrow.compute as pc
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_id": batch.column("event_id"), "k": k})
+
+    return _events(sf_dir).map_batches(extract, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+
+
+def q_text_docfreq(sf_dir):
+    """Per-token document frequency, top 20 (2-phase: per-doc distinct
+    inside the batch, then one vocabulary-sized groupby)."""
+    import ray.data.aggregate as agg
+
+    def per_doc_tokens(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch.column("text").to_pylist():
+            toks.extend(set((t or "").lower().split()))
+        return pa.table({"token": pa.array(toks, type=pa.string())})
+
+    tokens = _docs(sf_dir).select_columns(["text"]).map_batches(
+        per_doc_tokens, batch_format="pyarrow", zero_copy_batch=True)
+    df = tokens.groupby("token").aggregate(agg.Count(alias_name="df"))
+    return df.sort(["df", "token"], descending=[True, False]).limit(20)
+
+
 def q_agg_user_value_2phase(sf_dir):
     from tscan_ray.ops.agg import groupby_sum_2phase
 
@@ -443,6 +494,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
         "agg_user_value_2phase": q_agg_user_value_2phase,
         "join_orders_customer": q_join_orders_customer,
+        "join_supplier_nation_region": q_join_supplier_nation_region,
+        "events_props_extract": q_events_props_extract,
+        "text_docfreq": q_text_docfreq,
         # rows-only (non-SQL-expressible)
         "tscan_features": q_tscan_features,
         "text_surprisal": q_text_surprisal,
@@ -635,5 +689,23 @@ def oracle_sql() -> dict[str, str]:
             select o.o_orderkey, o.o_custkey, c.c_mktsegment,
                    round(o.o_totalprice, 4) as o_totalprice
             from orders o join customer c on o.o_custkey = c.c_custkey
+        """,
+        "join_supplier_nation_region": """
+            select s.s_suppkey, s.s_name, n.n_name, r.r_name
+            from supplier s
+            join nation n on s.s_nationkey = n.n_nationkey
+            join region r on n.n_regionkey = r.r_regionkey
+        """,
+        "events_props_extract": """
+            select event_id, cast(props->>'$.k' as bigint) as k from events
+        """,
+        "text_docfreq": r"""
+            with toks as (
+              select distinct doc_id, unnest(string_split(lower(text), ' '))
+                       as token
+              from documents)
+            select token, count(*) as df
+            from toks where token <> ''
+            group by token order by df desc, token limit 20
         """,
     }

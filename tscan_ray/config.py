@@ -37,12 +37,13 @@ class EngineConfig:
     target_partition_bytes: int = 256 * 1024 * 1024
 
     # --- execution sizing ---------------------------------------------
-    # ~2 ms/doc UDF cost -> 64-doc batches are ~0.13 s of work: large
-    # enough to amortize task dispatch, small enough that a 5k-row input
-    # still fans out across a 32-actor pool (load-balance > batch overhead)
-    featurizer_batch_size: int = 64
+    # ~3 ms/doc UDF cost -> 128-doc batches are ~0.4 s of work per actor
+    # task: long enough that per-task dispatch latency (~30-60 ms) stays
+    # <15% of the task, short enough that a 5k-row input still fans out
+    # across a 16-actor pool
+    featurizer_batch_size: int = 128
     featurizer_concurrency: int | None = None  # None -> let Ray autoscale tasks
-    decode_batch_size: int = 64
+    decode_batch_size: int = 128  # ~2.2 ms/row -> ~0.3 s per actor task
 
     # --- dedup / similarity -------------------------------------------
     minhash_num_perm: int = 64

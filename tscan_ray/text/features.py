@@ -33,6 +33,7 @@ columns are present, else NaN.
 
 from __future__ import annotations
 
+import copy
 import math
 from collections import Counter
 from dataclasses import dataclass, field
@@ -135,8 +136,30 @@ class WordAnn:
         )
 
 
+# Per-process memo of the context-independent word analysis: natural text
+# reuses a small vocabulary, so the ~50 lexicon probes per token run once
+# per (word, sentence-initial) pair and later occurrences pay one shallow
+# dataclass copy.  Context-dependent fields (overlap counts, logprobs,
+# conn/sit types from multiword scans, imperative) are mutated only on the
+# per-occurrence copy — the cached template stays pristine.
+_ANALYZE_CACHE: dict = {}
+_ANALYZE_CACHE_LIMIT = 250_000  # bound worker heap on open-vocabulary data
+
+
 def analyze_word(token: str, sent_initial: bool, lex: Lexicons) -> WordAnn:
-    """Word-level analysis: the wordStats ctor (src/tscan.cxx:1669-1802)."""
+    """Word-level analysis: the wordStats ctor (src/tscan.cxx:1669-1802).
+    Memoized per (lexicon, token, sent_initial); returns a fresh copy."""
+    ck = (id(lex), token, sent_initial)
+    tmpl = _ANALYZE_CACHE.get(ck)
+    if tmpl is None:
+        tmpl = _analyze_word_uncached(token, sent_initial, lex)
+        if len(_ANALYZE_CACHE) >= _ANALYZE_CACHE_LIMIT:
+            _ANALYZE_CACHE.clear()
+        _ANALYZE_CACHE[ck] = tmpl
+    return copy.copy(tmpl)
+
+
+def _analyze_word_uncached(token: str, sent_initial: bool, lex: Lexicons) -> WordAnn:
     lword = token.lower()
     if is_punct(token):
         w = WordAnn(word=token, lword=lword, lemma=token, tag="LET", prop="ISLET")

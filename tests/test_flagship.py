@@ -93,3 +93,27 @@ class TestFlagship:
 
     def test_psnr_carried(self, result):
         assert (result["psnr_db"] >= 40.0).all()
+
+
+class TestWindowedDiversity:
+    def test_flagship_emits_windowed_ttr_mtld(self, result):
+        # the north-star windowed features: trailing-caption TTR/MTLD
+        assert "ttr_w5" in result.columns and "mtld_w5" in result.columns
+        ok = result["ttr_w5"].dropna()
+        assert ((ok > 0) & (ok <= 1.0)).all()
+
+    def test_first_row_window_is_single_caption(self, result):
+        import numpy as np
+
+        from tscan_ray.text.kernels import ttr
+        from tscan_ray.text.tokenize import is_punct, tokenize
+
+        first = result.sort_values(["entity_id", "ts", "image_id"]).groupby(
+            "entity_id").first().reset_index()
+        for _, row in first.head(5).iterrows():
+            toks = [t.lower() for t in tokenize(row["caption"]) if not is_punct(t)]
+            expected = ttr(toks)
+            if np.isnan(expected):
+                assert np.isnan(row["ttr_w5"])
+            else:
+                assert abs(row["ttr_w5"] - expected) < 1e-12

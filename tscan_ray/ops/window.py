@@ -197,35 +197,42 @@ def rolling_text_diversity(
 
     Adds ``ttr_w{window}`` and ``mtld_w{window}`` columns.
     """
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(_sort_cols(key, ts, order_col), kind="mergesort")
+        return rolling_diversity_frame(df, key, text_col, window)
+
+    return grouped_apply(ds, key, fn, num_buckets)
+
+
+def rolling_diversity_frame(df: pd.DataFrame, key: str, text_col: str,
+                            window: int) -> pd.DataFrame:
+    """Shared kernel: trailing-window TTR/MTLD columns over an ALREADY
+    (key, ts)-sorted frame.  Used by :func:`rolling_text_diversity` and by
+    the flagship's fused timeline UDF."""
     from tscan_ray.text.kernels import average_mtld, ttr as ttr_fn
     from tscan_ray.text.tokenize import is_punct, tokenize
 
-    ttr_col, mtld_col = f"ttr_w{window}", f"mtld_w{window}"
-
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(_sort_cols(key, ts, order_col), kind="mergesort")
-        toks = [
-            [t.lower() for t in tokenize(x or "") if not is_punct(t)]
-            for x in df[text_col].tolist()
-        ]
-        keys = df[key].to_numpy()
-        ttrs = np.empty(len(df), dtype=np.float64)
-        mtlds = np.empty(len(df), dtype=np.float64)
-        start = 0  # first row of the current entity run (rows are key-sorted)
-        for i in range(len(df)):
-            if i > 0 and keys[i] != keys[i - 1]:
-                start = i
-            lo = max(start, i - window + 1)
-            buf: list[str] = []
-            for j in range(lo, i + 1):
-                buf.extend(toks[j])
-            ttrs[i] = ttr_fn(buf)
-            mtlds[i] = average_mtld(buf)
-        df[ttr_col] = ttrs
-        df[mtld_col] = mtlds
-        return df
-
-    return grouped_apply(ds, key, fn, num_buckets)
+    toks = [
+        [t.lower() for t in tokenize(x or "") if not is_punct(t)]
+        for x in df[text_col].tolist()
+    ]
+    keys = df[key].to_numpy()
+    n = len(df)
+    ttrs = np.empty(n, dtype=np.float64)
+    mtlds = np.empty(n, dtype=np.float64)
+    start = 0  # first row of the current entity run (rows are key-sorted)
+    for i in range(n):
+        if i > 0 and keys[i] != keys[i - 1]:
+            start = i
+        lo = max(start, i - window + 1)
+        buf: list[str] = []
+        for j in range(lo, i + 1):
+            buf.extend(toks[j])
+        ttrs[i] = ttr_fn(buf)
+        mtlds[i] = average_mtld(buf)
+    df[f"ttr_w{window}"] = ttrs
+    df[f"mtld_w{window}"] = mtlds
+    return df
 
 
 def rolling_mean(

@@ -45,10 +45,14 @@ def add_timeline_features(
     num_buckets: int | None = None,
     snapshot_every: int | None = None,
     n_entities: int | None = None,
+    diversity_window: int | None = 5,
+    text_col: str = "caption",
 ):
-    """Lag-1 + trailing rolling mean + session_id — and, when
-    ``snapshot_every`` is set, the snapshot as-of features — in ONE keyed
-    exchange (fused bucket UDF instead of chained shuffles).
+    """Lag-1 + trailing rolling mean + session_id + windowed TTR/MTLD over
+    the entity's trailing captions — and, when ``snapshot_every`` is set,
+    the snapshot as-of features — in ONE keyed exchange (fused bucket UDF
+    instead of chained shuffles).  MTLD is non-decomposable, so the
+    window recomputes from buffered tokens (SURVEY.md §7.4).
 
     The snapshot as-of is the degenerate-but-common case where the right
     side is a subset of the left rows: "latest snapshot row with
@@ -71,6 +75,10 @@ def add_timeline_features(
         df["session_id"] = (
             new_session.groupby(df[key], sort=False).cumsum().astype("int64") - 1
         )
+        if diversity_window is not None and text_col in df.columns:
+            from tscan_ray.ops.window import rolling_diversity_frame
+
+            df = rolling_diversity_frame(df, key, text_col, diversity_window)
         if snapshot_every is not None:
             seq = df[order_col].str.slice(4).astype("int64") // (n_entities or 1)
             is_snap = (seq % snapshot_every) == 0

@@ -113,3 +113,25 @@ class TestSaltedAgg:
         # and both match pandas ground truth
         gt = df.groupby("k")["v"].sum().sort_index()
         np.testing.assert_allclose(p.set_index("k")["sum_v"].sort_index(), gt)
+
+
+class TestExplodeSentences:
+    def test_one_row_per_sentence(self, ray_session):
+        from tscan_ray.stages.sentences import explode_sentences
+
+        out = explode_sentences(_docs_ds(), "text", ["doc_id"],
+                                concurrency=(1, 2)).to_pandas()
+        # doc1: 1 sentence; doc2: 1 + 1 (two paragraphs); doc3: 0
+        assert len(out) == 3
+        d1 = out[out.doc_id == 1].iloc[0]
+        assert d1["n_tokens"] == 6
+        # "de" x2 is on the stop-lemma list -> excluded from wordCnt
+        # (reference: stoplist words only feed the Incl counters)
+        assert d1["wordCnt"] == 3 and d1["letCnt"] == 1
+        assert d1["smainCnt"] == 1
+        assert d1["al_max"] >= 1.0
+        assert d1["avg_prob10_fwd"] < 0
+        d2 = out[out.doc_id == 2]
+        assert set(d2["par_idx"]) == {0, 1}
+        # imperative paragraph: "Loopt snel ." -> sv1
+        assert d2[d2.par_idx == 0].iloc[0]["sv1Cnt"] == 1

@@ -31,10 +31,15 @@ def groupby_sum_2phase(
     """sum(value_cols) + count(*) per ``keys`` with batch-side partials.
 
     Returns one row per key combination, columns ``sum_{col}`` and
-    ``count_alias``.  With ``salt > 0`` the exchange key is
-    (keys..., __salt__) and a second (tiny) groupby folds the salts.
+    ``count_alias``.  With ``salt > 0`` an extra deterministic salt column
+    widens the exchange key for a hot first key; the per-bucket fold
+    removes it (same result, more parallel reducers).
+
+    The reduction runs on the parallel task exchange (ops/keyed.py),
+    keyed on ``keys[0]`` — all partials of one key combination land in
+    one bucket, so the in-bucket pandas groupby completes every group.
     """
-    import ray.data.aggregate as agg
+    from tscan_ray.ops.keyed import grouped_apply
 
     sum_names = [f"sum_{c}" for c in value_cols]
 
@@ -52,21 +57,17 @@ def groupby_sum_2phase(
         return out
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    group_keys = keys + (["__salt__"] if salt > 0 else [])
-    reduced = partials.groupby(group_keys).aggregate(
-        *[agg.Sum(c, alias_name=c) for c in sum_names],
-        agg.Sum(count_alias, alias_name=count_alias),
-    )
-    if salt > 0:
-        reduced = (
-            reduced.drop_columns(["__salt__"])
-            .groupby(keys)
-            .aggregate(
-                *[agg.Sum(c, alias_name=c) for c in sum_names],
-                agg.Sum(count_alias, alias_name=count_alias),
-            )
-        )
-    return reduced
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.drop(columns=["__salt__"], errors="ignore")
+        if "__salt__" in df.columns:
+            df = df.drop(columns=["__salt__"])
+        g = df.groupby(keys, sort=False, dropna=False)
+        out = g[sum_names + [count_alias]].sum().reset_index()
+        return out
+
+    return grouped_apply(partials, keys[0], fold, num_buckets=32)
 
 
 def groupby_mean_2phase(ds, keys: list[str], value_col: str, salt: int = 0):

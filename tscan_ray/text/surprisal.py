@@ -100,17 +100,15 @@ def sentence_stats(logprobs: list[float]) -> dict[str, float]:
 def fit_bigram_lm(ds, text_col: str, min_count: int = 1) -> BigramLM:
     """Fit a BigramLM over a Dataset's text column.
 
-    Scale shape: per-batch token/bigram Counters (vectorized-ish single
-    pass, C-speed dict ops) emit partial (gram, n) rows — the classic
-    partial-aggregate-before-groupby pattern — then ONE ``groupby(gram)``
-    over vocabulary-sized keys (≪ corpus size).  The reduced table is
-    materialized on the driver (bounded by vocab, not data; use
-    ``min_count`` to cap it further at 100 TB) and broadcast to scoring
-    actors via ``ray.put``.
+    Scale shape: per-batch token/bigram Counters (C-speed dict ops) emit
+    partial (gram, n) rows — each batch's partial is ALREADY vocabulary-
+    bounded — and the driver folds the partial streams into the final
+    Counter.  No all-to-all exchange: the reduction is over
+    vocab × num_batches rows, ≪ corpus size (apply ``min_count`` to cap
+    the tail at 100 TB).  The fitted LM is broadcast to scoring actors
+    via ``ray.put``.
     """
     import pyarrow as pa
-
-    import ray.data.aggregate as agg
 
     from tscan_ray.text.tokenize import is_punct, segment
 
@@ -128,24 +126,24 @@ def fit_bigram_lm(ds, text_col: str, min_count: int = 1) -> BigramLM:
         return pa.table({"gram": pa.array(grams, type=pa.string()),
                          "n": pa.array(counts, type=pa.int64())})
 
-    reduced = (
-        ds.select_columns([text_col])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gram")
-        .aggregate(agg.Sum("n", alias_name="n"))
+    partials = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    unigrams: dict[str, int] = {}
-    bigrams: dict[tuple[str, str], int] = {}
-    for batch in reduced.iter_batches(batch_size=65536, batch_format="pyarrow"):
+    merged: Counter = Counter()
+    for batch in partials.iter_batches(batch_size=65536, batch_format="pyarrow"):
         for gram, n in zip(batch.column("gram").to_pylist(),
                            batch.column("n").to_pylist()):
-            if n < min_count:
-                continue
-            parts = gram.split("\x00")
-            if parts[0] == "u":
-                unigrams[parts[1]] = n
-            else:
-                bigrams[(parts[1], parts[2])] = n
+            merged[gram] += n
+    unigrams: dict[str, int] = {}
+    bigrams: dict[tuple[str, str], int] = {}
+    for gram, n in merged.items():
+        if n < min_count:
+            continue
+        parts = gram.split("\x00")
+        if parts[0] == "u":
+            unigrams[parts[1]] = n
+        else:
+            bigrams[(parts[1], parts[2])] = n
     return BigramLM(unigrams=unigrams, bigrams=bigrams,
                     total=sum(unigrams.values()),
                     vocab_size=max(1, len(unigrams)))

@@ -243,6 +243,92 @@ def q_pit_tumbling_window(sf_dir):
     return _round_cols(out, ["sum_value"])
 
 
+def q_pit_asof_forward(sf_dir):
+    """Forward as-of: earliest purchase at-or-after each view (declared
+    forward-looking, e.g. next-conversion label attachment)."""
+    from tscan_ray.ops.asof import asof_join
+
+    ev = _events(sf_dir)
+    left = ev.filter(expr="event_type == 'view'")
+    right = ev.filter(expr="event_type == 'purchase'")
+    out = asof_join(left, right, key="user_id", ts="ts",
+                    right_value_cols=["value"], order_col="event_id",
+                    how="inner", direction="forward")
+    return out.select_columns(["event_id", "user_id", "ts", "ts_r", "value_r"])
+
+
+def q_pit_asof_nearest(sf_dir):
+    """Nearest as-of: closest purchase in |Δt|; ties prefer the prior row."""
+    from tscan_ray.ops.asof import asof_join
+
+    ev = _events(sf_dir)
+    left = ev.filter(expr="event_type == 'view'")
+    right = ev.filter(expr="event_type == 'purchase'")
+    out = asof_join(left, right, key="user_id", ts="ts",
+                    right_value_cols=["value"], order_col="event_id",
+                    how="inner", direction="nearest")
+    return out.select_columns(["event_id", "user_id", "ts", "ts_r", "value_r"])
+
+
+def q_pit_interval_join(sf_dir):
+    """Range join: attach each view event to the purchase session
+    (gap-based, non-overlapping intervals) containing it."""
+    from tscan_ray.ops.asof import interval_join
+    from tscan_ray.ops.window import session_stats
+
+    ev = _events(sf_dir)
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    sessions = session_stats(purchases, "user_id", "ts",
+                             gap_us=GAP_MIN * 60 * 1_000_000,
+                             order_col="event_id")
+    # session-window semantics: the interval stays open one gap past the
+    # last purchase; a new session only starts after a STRICTLY larger
+    # gap, so extended intervals remain non-overlapping per key
+    gap = np.timedelta64(GAP_MIN * 60 * 1_000_000, "us")
+    sessions = sessions.map_batches(
+        lambda df: df.assign(end_ext=df["end_ts"] + gap),
+        batch_format="pandas")
+    views = ev.filter(expr="event_type == 'view'")
+    out = interval_join(views, sessions, key="user_id", ts="ts",
+                        start_col="start_ts", end_col="end_ext",
+                        right_value_cols=["session_id"], how="inner")
+    return out.select_columns(["event_id", "user_id", "ts", "start_ts",
+                               "end_ext", "session_id"])
+
+
+def q_pit_expanding(sf_dir):
+    """Expanding (cumulative) per-entity aggregates — running count / sum
+    / mean / min / max of value over the user's timeline so far."""
+    from tscan_ray.ops.window import expanding_agg
+
+    out = expanding_agg(_events(sf_dir), "user_id", "ts", "value",
+                        order_col="event_id")
+    out = out.select_columns(["event_id", "user_id", "value_cnt",
+                              "value_csum", "value_cmean", "value_cmin",
+                              "value_cmax"])
+    return _round_cols(out, ["value_csum", "value_cmean"])
+
+
+def q_pit_topn_per_key(sf_dir):
+    """Per-user top-3 events by value (row_number ranking, deterministic
+    event_id tie-break)."""
+    from tscan_ray.ops.window import topn_per_key
+
+    out = topn_per_key(_events(sf_dir), "user_id", 3,
+                       by=["value", "event_id"], ascending=[False, True])
+    return out.select_columns(["event_id", "user_id", "value", "rn"])
+
+
+def q_pit_sliding_window(sf_dir):
+    """Per-user hopping window (width 2h, hop 1h): count + sum of value."""
+    from tscan_ray.ops.window import sliding_window
+
+    out = sliding_window(_events(sf_dir), "user_id", "ts", "value",
+                         width_us=2 * HOUR_US, hop_us=HOUR_US)
+    out = out.select_columns(["user_id", "window_start", "n", "sum_value"])
+    return _round_cols(out, ["sum_value"])
+
+
 def q_dedup_exact(sf_dir):
     from tscan_ray.ops.dedup import dedup_exact
 
@@ -487,6 +573,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pit_asof_join": q_pit_asof_join,
         "pit_asof_tolerance": q_pit_asof_tolerance,
+        "pit_asof_forward": q_pit_asof_forward,
+        "pit_asof_nearest": q_pit_asof_nearest,
+        "pit_interval_join": q_pit_interval_join,
+        "pit_expanding": q_pit_expanding,
+        "pit_topn_per_key": q_pit_topn_per_key,
+        "pit_sliding_window": q_pit_sliding_window,
         "pit_lag_lead": q_pit_lag_lead,
         "pit_lag2": q_pit_lag2,
         "pit_ffill": q_pit_ffill,
@@ -551,6 +643,89 @@ def oracle_sql() -> dict[str, str]:
             select l.event_id, l.user_id, l.ts, r.ts as ts_r, r.value as value_r
             from l asof join r on l.user_id = r.user_id and l.ts >= r.ts
             where l.ts - r.ts <= interval 1 hour
+        """,
+        "pit_asof_forward": """
+            with l as (select * from events where event_type = 'view'),
+                 rdedup as (
+                   select user_id, ts, value,
+                          row_number() over (partition by user_id, ts
+                                             order by event_id desc) as rn
+                   from events where event_type = 'purchase'),
+                 r as (select user_id, ts, value from rdedup where rn = 1)
+            select l.event_id, l.user_id, l.ts, r.ts as ts_r, r.value as value_r
+            from l asof join r on l.user_id = r.user_id and l.ts <= r.ts
+        """,
+        "pit_asof_nearest": """
+            with l as (select * from events where event_type = 'view'),
+                 rdedup as (
+                   select user_id, ts, value,
+                          row_number() over (partition by user_id, ts
+                                             order by event_id desc) as rn
+                   from events where event_type = 'purchase'),
+                 r as (select user_id, ts, value from rdedup where rn = 1),
+                 cand as (
+                   select l.event_id, l.user_id, l.ts,
+                          r.ts as ts_r, r.value as value_r,
+                          row_number() over (
+                            partition by l.event_id
+                            order by abs(epoch_us(l.ts) - epoch_us(r.ts)),
+                                     case when r.ts <= l.ts then 0 else 1 end
+                          ) as rn
+                   from l join r using (user_id))
+            select event_id, user_id, ts, ts_r, value_r
+            from cand where rn = 1
+        """,
+        "pit_interval_join": f"""
+            with gaps as (
+              select *, lag(ts) over (partition by user_id order by ts, event_id)
+                          as prev_ts
+              from events where event_type = 'purchase'),
+            sess as (
+              select *,
+                     sum(case when prev_ts is null
+                               or ts - prev_ts > interval {GAP_MIN} minute
+                              then 1 else 0 end)
+                       over (partition by user_id order by ts, event_id
+                             rows between unbounded preceding and current row) - 1
+                       as session_id
+              from gaps),
+            iv as (select user_id, session_id,
+                          min(ts) as start_ts,
+                          max(ts) + interval {GAP_MIN} minute as end_ext
+                   from sess group by 1, 2)
+            select v.event_id, v.user_id, v.ts,
+                   iv.start_ts, iv.end_ext, iv.session_id
+            from events v join iv on v.user_id = iv.user_id
+                 and v.ts between iv.start_ts and iv.end_ext
+            where v.event_type = 'view'
+        """,
+        "pit_expanding": """
+            select event_id, user_id,
+                   count(*) over w as value_cnt,
+                   round(sum(value) over w, 6) as value_csum,
+                   round(avg(value) over w, 6) as value_cmean,
+                   min(value) over w as value_cmin,
+                   max(value) over w as value_cmax
+            from events
+            window w as (partition by user_id order by ts, event_id
+                         rows between unbounded preceding and current row)
+        """,
+        "pit_topn_per_key": """
+            select event_id, user_id, value, rn from (
+              select event_id, user_id, value,
+                     row_number() over (partition by user_id
+                                        order by value desc, event_id) as rn
+              from events)
+            where rn <= 3
+        """,
+        "pit_sliding_window": f"""
+            with offs as (select unnest([0, 1]) as i)
+            select user_id,
+                   ((epoch_us(ts) // {HOUR_US}) - i) * {HOUR_US} as window_start,
+                   count(*) as n,
+                   round(sum(value), 6) as sum_value
+            from events cross join offs
+            group by 1, 2
         """,
         "pit_lag_lead": """
             select event_id, user_id,

@@ -117,3 +117,66 @@ class TestAsofJoin:
         b = b.sort_values("event_id").reset_index(drop=True)
         assert len(a) == len(b)
         assert np.allclose(a["value_r"], b["value_r"])
+
+
+class TestAsofDirections:
+    def test_forward_is_next_at_or_after(self):
+        from tscan_ray.ops.asof import asof_join
+
+        left, right = _sides()
+        out = asof_join(left, right, key="user_id", ts="ts",
+                        right_value_cols=["value"], order_col="event_id",
+                        how="inner", direction="forward",
+                        num_buckets=4).to_pandas()
+        assert len(out) > 0
+        assert (out["ts_r"] >= out["ts"]).all()
+
+    def test_nearest_tie_prefers_backward(self):
+        import ray.data as rd
+
+        from tscan_ray.ops.asof import asof_join
+
+        l = rd.from_pandas(pd.DataFrame({"k": [1], "ts": [10], "eid": [0]}))
+        r = rd.from_pandas(pd.DataFrame(
+            {"k": [1, 1], "ts": [5, 15], "eid": [1, 2], "v": [1.0, 2.0]}))
+        out = asof_join(l, r, key="k", ts="ts", right_value_cols=["v"],
+                        order_col="eid", direction="nearest",
+                        num_buckets=2).to_pandas()
+        assert out["ts_r"].tolist() == [5]
+
+    def test_nearest_picks_min_abs_distance(self):
+        from tscan_ray.ops.asof import asof_join
+
+        left, right = _sides()
+        near = asof_join(left, right, key="user_id", ts="ts",
+                         right_value_cols=["value"], order_col="event_id",
+                         how="inner", direction="nearest",
+                         num_buckets=4).to_pandas()
+        back = asof_join(left, right, key="user_id", ts="ts",
+                         right_value_cols=["value"], order_col="event_id",
+                         how="inner", direction="backward",
+                         num_buckets=4).to_pandas()
+        # nearest match is at most as far as the backward match
+        m = near.merge(back, on="event_id", suffixes=("_n", "_b"))
+        dn = (m["ts_n"] - m["ts_r_n"]).abs()
+        db = (m["ts_b"] - m["ts_r_b"]).abs()
+        assert (dn <= db).all()
+
+
+class TestIntervalJoin:
+    def test_containment_and_dtypes(self):
+        import ray.data as rd
+
+        from tscan_ray.ops.asof import interval_join
+
+        pts = rd.from_pandas(pd.DataFrame(
+            {"k": [1, 1, 1, 2], "ts": [5, 15, 40, 10], "pid": [0, 1, 2, 3]}))
+        iv = rd.from_pandas(pd.DataFrame(
+            {"k": [1, 1, 2], "lo": [0, 20, 8], "hi": [10, 30, 12],
+             "ivid": [100, 101, 102]}))
+        out = interval_join(pts, iv, key="k", ts="ts", start_col="lo",
+                            end_col="hi", right_value_cols=["ivid"],
+                            num_buckets=2).to_pandas()
+        got = dict(zip(out["pid"], out["ivid"]))
+        assert got == {0: 100, 3: 102}  # ts=15 between intervals; ts=40 after
+        assert out["ivid"].dtype == np.int64  # dtype restored post-union

@@ -175,3 +175,44 @@ class TestRollingMean:
         m = _sorted(out[["event_id", "value_rmean3"]], ["event_id"])
         o = _sorted(pdf[["event_id", "exp"]], ["event_id"])
         assert np.allclose(m["value_rmean3"], o["exp"])
+
+
+class TestTopnPerKey:
+    def test_preprune_correct_across_batches(self):
+        """The batch-local pre-prune must not lose any global top-n row
+        even when one key's rows are spread over many input blocks."""
+        import ray.data as rd
+
+        from tscan_ray.ops.window import topn_per_key
+
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame({
+            "k": rng.integers(0, 5, 200),
+            "v": rng.random(200),
+            "i": np.arange(200),
+        })
+        ds = rd.from_pandas(df).repartition(16)
+        out = topn_per_key(ds, "k", 3, by=["v", "i"],
+                           ascending=[False, True], num_buckets=4).to_pandas()
+        expect = (df.sort_values(["k", "v", "i"], ascending=[True, False, True])
+                  .groupby("k").head(3))
+        assert len(out) == len(expect)
+        assert set(out["i"]) == set(expect["i"])
+        assert out["rn"].max() == 3
+
+
+class TestSlidingWindow:
+    def test_each_row_in_k_windows(self):
+        import ray.data as rd
+
+        from tscan_ray.ops.window import sliding_window
+
+        df = pd.DataFrame({"k": [1] * 4, "ts": [0, 50, 150, 250],
+                           "v": [1.0, 2.0, 4.0, 8.0]})
+        out = sliding_window(rd.from_pandas(df), "k", "ts", "v",
+                             width_us=200, hop_us=100,
+                             num_buckets=2).to_pandas()
+        # window [0,200) holds ts 0,50,150 ; [-100,100) holds 0,50 ; etc.
+        assert out["n"].sum() == 4 * 2  # every row lands in exactly k=2 windows
+        w0 = out[(out["window_start"] == 0)]
+        assert w0["sum_value"].iloc[0] == 7.0 and w0["n"].iloc[0] == 3

@@ -48,6 +48,7 @@ def asof_join(
     tolerance_us: int | None = None,
     right_suffix: str = "_r",
     how: str = "left",
+    direction: str = "backward",
     num_buckets: int = DEFAULT_CONFIG.num_key_buckets,
 ):
     """As-of join two Datasets on (key, ts).
@@ -55,7 +56,15 @@ def asof_join(
     Returns the left schema + ``{ts}{right_suffix}`` (matched right
     timestamp) + each right value column renamed ``{col}{right_suffix}``.
     ``how='inner'`` drops left rows with no match.
+
+    ``direction``: ``backward`` (default; latest right ts_r <= ts — the
+    leakage-safe convention), ``forward`` (earliest ts_r >= ts — a
+    declared forward-looking join, e.g. label attachment), ``nearest``
+    (closest |ts_r - ts|; ties prefer the backward/prior row, matching
+    pandas).  Same single-exchange plan for all three.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(direction)
     left_schema = left.schema()
     left_cols = list(left_schema.names)
     right_keep = [key, ts] + ([order_col] if order_col and order_col not in (key, ts) else [])
@@ -125,12 +134,112 @@ def asof_join(
             left_on=ts,
             right_on=ts + right_suffix,
             by=key,
-            direction="backward",
+            direction=direction,
             allow_exact_matches=True,
             **kwargs,
         )
         if how == "inner":
             out = out[out[ts + right_suffix].notna()]
+        return out
+
+    return grouped_apply(both, key, merge, num_buckets)
+
+
+def interval_join(
+    left,
+    right,
+    key: str,
+    ts: str,
+    start_col: str,
+    end_col: str,
+    right_value_cols: list[str],
+    how: str = "inner",
+    num_buckets: int = DEFAULT_CONFIG.num_key_buckets,
+):
+    """Range (interval-containment) join: match each left point row
+    (key, ts) to the right interval row of the same key with
+    ``start_col <= ts <= end_col`` (inclusive both ends).
+
+    PARTITIONING ASSUMPTION (documented per the custom-operator rule):
+    intervals must be NON-OVERLAPPING per key — true by construction for
+    sessionization output (ops/window.session_stats), the intended
+    producer.  Under that assumption the latest interval starting at or
+    before ts is the unique candidate, so the join reduces to ONE
+    ``merge_asof`` backward gallop on ``start_col`` followed by a
+    vectorized ``end_col >= ts`` filter — same one-exchange,
+    sorted-merge plan as :func:`asof_join` (no per-key cartesian
+    product).  For overlapping-but-bounded intervals, run k passes with
+    the top-k starts; for unbounded overlap use a tree join (out of
+    scope here).
+
+    Output: left schema + start/end + each right value column.
+    ``how='left'`` keeps unmatched left rows with nulls.
+    """
+    left_schema = left.schema()
+    left_cols = list(left_schema.names)
+    right_keep = list(dict.fromkeys([key, start_col, end_col] + right_value_cols))
+    right = right.select_columns(right_keep)
+    right_schema = right.schema()
+
+    all_cols: dict[str, pa.DataType] = dict(zip(left_schema.names, left_schema.types))
+    r_rename = {
+        name: ("__r_" + name if name in left_cols and name != key else name)
+        for name in right_schema.names
+    }
+    for name, typ in zip(right_schema.names, right_schema.types):
+        all_cols.setdefault(r_rename[name], typ)
+    union_names = list(all_cols.keys()) + [_SIDE]
+
+    def pad(side: int, rename: dict[str, str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            present = {rename.get(name, name): batch.column(name)
+                       for name in batch.column_names}
+            cols = {}
+            for name in union_names:
+                if name == _SIDE:
+                    cols[name] = pa.array(np.full(n, side, dtype=np.int8))
+                elif name in present:
+                    cols[name] = present[name]
+                else:
+                    cols[name] = pa.nulls(n, type=all_cols[name])
+            return pa.table(cols)
+
+        return fn
+
+    l_p = left.map_batches(pad(0, {}), batch_format="pyarrow", zero_copy_batch=True)
+    r_p = right.map_batches(pad(1, r_rename), batch_format="pyarrow", zero_copy_batch=True)
+    both = l_p.union(r_p)
+
+    s_c, e_c = r_rename[start_col], r_rename[end_col]
+    rv_cols = [r_rename[c] for c in right_value_cols]
+    out_rename = {s_c: start_col, e_c: end_col,
+                  **{rc: right_value_cols[i] for i, rc in enumerate(rv_cols)}}
+
+    # side-tagged union null-pads right int columns -> float64 in pandas;
+    # restore original dtypes on the (fully-matched) inner-join output
+    r_dtypes = pa.schema(
+        zip(right_schema.names, right_schema.types)
+    ).empty_table().to_pandas().dtypes
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        ldf = df[df[_SIDE] == 0][left_cols].copy()
+        rdf = df[df[_SIDE] == 1][list(dict.fromkeys([key, s_c, e_c] + rv_cols))].copy()
+        ldf = ldf.sort_values(ts, kind="mergesort")
+        rdf = rdf.sort_values(s_c, kind="mergesort")
+        out = pd.merge_asof(ldf, rdf, left_on=ts, right_on=s_c, by=key,
+                            direction="backward", allow_exact_matches=True)
+        matched = out[e_c].notna() & (out[ts] <= out[e_c])
+        if how == "inner":
+            out = out[matched]
+        else:
+            unmatched_cols = [s_c, e_c] + rv_cols
+            out.loc[~matched, unmatched_cols] = None
+        out = out.rename(columns=out_rename)
+        if how == "inner":
+            for internal, orig in out_rename.items():
+                if orig in r_dtypes.index:
+                    out[orig] = out[orig].astype(r_dtypes[orig])
         return out
 
     return grouped_apply(both, key, merge, num_buckets)

@@ -260,3 +260,115 @@ def rolling_mean(
         return df
 
     return grouped_apply(ds, key, fn, num_buckets)
+
+
+def expanding_agg(
+    ds,
+    key: str,
+    ts: str,
+    value_col: str,
+    order_col: str | None = None,
+    num_buckets: int = DEFAULT_CONFIG.num_key_buckets,
+):
+    """Expanding (cumulative, point-in-time) aggregates over the entity
+    timeline: running count / sum / mean / min / max of ``value_col``
+    over all rows with ts' <= ts (including the current row).
+
+    Decomposable the same way as ops/agg.py's 2-phase plan, but the
+    running OUTPUT per row requires ordered scan state, so it lives in
+    the bucket UDF as vectorized groupby cum* transforms — one exchange,
+    no per-row Python.
+    """
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(_sort_cols(key, ts, order_col), kind="mergesort")
+        g = df.groupby(key, sort=False)[value_col]
+        df[value_col + "_cnt"] = g.cumcount() + 1
+        df[value_col + "_csum"] = g.cumsum()
+        df[value_col + "_cmean"] = df[value_col + "_csum"] / df[value_col + "_cnt"]
+        df[value_col + "_cmin"] = g.cummin()
+        df[value_col + "_cmax"] = g.cummax()
+        return df
+
+    return grouped_apply(ds, key, fn, num_buckets)
+
+
+def topn_per_key(
+    ds,
+    key: str,
+    n: int,
+    by: list[str],
+    ascending: list[bool] | None = None,
+    rank_col: str = "rn",
+    num_buckets: int = DEFAULT_CONFIG.num_key_buckets,
+):
+    """Per-key top-N: rank rows within each key by ``by`` (row_number
+    semantics — ties broken by the full ``by`` list, so make its last
+    column unique for determinism) and keep rank <= n.
+
+    Scale: the bucket UDF sorts only its own bucket; a per-batch
+    pre-prune (keep each batch's local top-n per key before the
+    exchange) keeps shuffled bytes at O(n · keys) when batches hold many
+    rows per key.
+    """
+    ascending = ascending if ascending is not None else [False] * len(by)
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        # local top-n per key: safe pre-filter, the global top-n per key
+        # is a subset of every batch-local top-n union
+        df = df.sort_values([key] + by, ascending=[True] + list(ascending),
+                            kind="mergesort")
+        return df[df.groupby(key, sort=False).cumcount() < n]
+
+    pruned = ds.map_batches(prune, batch_format="pandas")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key] + by, ascending=[True] + list(ascending),
+                            kind="mergesort")
+        df[rank_col] = df.groupby(key, sort=False).cumcount() + 1
+        return df[df[rank_col] <= n]
+
+    return grouped_apply(pruned, key, fn, num_buckets)
+
+
+def sliding_window(
+    ds,
+    key: str,
+    ts: str,
+    value_col: str,
+    width_us: int,
+    hop_us: int,
+    num_buckets: int = DEFAULT_CONFIG.num_key_buckets,
+):
+    """Per-entity sliding (hopping) window aggregate: count + sum of
+    ``value_col`` per (key, window_start) where windows are
+    ``[window_start, window_start + width)`` at every multiple of
+    ``hop_us``; requires ``width_us % hop_us == 0`` (k = width/hop
+    windows contain each row).
+
+    Vectorized replicate-by-k inside the bucket UDF (np.repeat + tiled
+    offsets), then a grouped pre-aggregate — the exchange still moves
+    each input row once; replication happens after the shuffle, and the
+    output is one row per (key, window), k× smaller than the exploded
+    intermediate.
+    """
+    if width_us % hop_us:
+        raise ValueError("width_us must be a multiple of hop_us")
+    k = width_us // hop_us
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        micros = _ts_us(df[ts]).to_numpy()
+        vals = df[value_col].to_numpy()
+        keys = df[key].to_numpy()
+        n = len(df)
+        base = (micros // hop_us) * hop_us  # latest window start containing ts
+        offs = np.tile(np.arange(k, dtype=np.int64) * hop_us, n)
+        starts = np.repeat(base, k) - offs
+        rep = pd.DataFrame({key: np.repeat(keys, k), "window_start": starts,
+                            value_col: np.repeat(vals, k)})
+        out = (rep.groupby([key, "window_start"], sort=False)
+               .agg(n=(value_col, "size"), sum_value=(value_col, "sum"))
+               .reset_index())
+        return out
+
+    return grouped_apply(ds, key, fn, num_buckets)

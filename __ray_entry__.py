@@ -329,6 +329,31 @@ def q_pit_sliding_window(sf_dir):
     return _round_cols(out, ["sum_value"])
 
 
+def q_pit_rolling_time_mean(sf_dir):
+    """Trailing 1-hour time-window count/sum/mean per user (peer-
+    inclusive RANGE-frame semantics)."""
+    from tscan_ray.ops.window import rolling_time_agg
+
+    out = rolling_time_agg(_events(sf_dir), "user_id", "ts", "value",
+                           window_us=HOUR_US)
+    out = out.select_columns(["event_id", "user_id", "rt_n", "rt_sum",
+                              "rt_mean"])
+    return _round_cols(out, ["rt_sum", "rt_mean"])
+
+
+def q_pit_rolling_time_mean_sliced(sf_dir):
+    """Same aggregate on the hot-key plan: exchange keyed on
+    (user, 4h-time-slice) with window-sized context replication — must
+    match the identical SQL oracle bit-for-bit."""
+    from tscan_ray.ops.window import rolling_time_agg
+
+    out = rolling_time_agg(_events(sf_dir), "user_id", "ts", "value",
+                           window_us=HOUR_US, slice_us=4 * HOUR_US)
+    out = out.select_columns(["event_id", "user_id", "rt_n", "rt_sum",
+                              "rt_mean"])
+    return _round_cols(out, ["rt_sum", "rt_mean"])
+
+
 def q_dedup_exact(sf_dir):
     from tscan_ray.ops.dedup import dedup_exact
 
@@ -579,6 +604,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pit_expanding": q_pit_expanding,
         "pit_topn_per_key": q_pit_topn_per_key,
         "pit_sliding_window": q_pit_sliding_window,
+        "pit_rolling_time_mean": q_pit_rolling_time_mean,
+        "pit_rolling_time_mean_sliced": q_pit_rolling_time_mean_sliced,
         "pit_lag_lead": q_pit_lag_lead,
         "pit_lag2": q_pit_lag2,
         "pit_ffill": q_pit_ffill,
@@ -726,6 +753,26 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) as sum_value
             from events cross join offs
             group by 1, 2
+        """,
+        "pit_rolling_time_mean": """
+            select event_id, user_id,
+                   count(*) over w as rt_n,
+                   round(sum(value) over w, 6) as rt_sum,
+                   round(avg(value) over w, 6) as rt_mean
+            from events
+            window w as (partition by user_id order by ts
+                         range between interval 1 hour preceding
+                               and current row)
+        """,
+        "pit_rolling_time_mean_sliced": """
+            select event_id, user_id,
+                   count(*) over w as rt_n,
+                   round(sum(value) over w, 6) as rt_sum,
+                   round(avg(value) over w, 6) as rt_mean
+            from events
+            window w as (partition by user_id order by ts
+                         range between interval 1 hour preceding
+                               and current row)
         """,
         "pit_lag_lead": """
             select event_id, user_id,

@@ -216,3 +216,60 @@ class TestSlidingWindow:
         assert out["n"].sum() == 4 * 2  # every row lands in exactly k=2 windows
         w0 = out[(out["window_start"] == 0)]
         assert w0["sum_value"].iloc[0] == 7.0 and w0["n"].iloc[0] == 3
+
+
+class TestRollingTimeAgg:
+    def _skewed(self):
+        """One hot key holds ~90% of rows — the case the sliced plan exists for."""
+        rng = np.random.default_rng(11)
+        n_hot, n_cold = 900, 100
+        ts = np.concatenate([
+            np.sort(rng.integers(0, 50_000_000, n_hot)),       # hot key 7
+            np.sort(rng.integers(0, 50_000_000, n_cold)),      # cold keys
+        ])
+        k = np.concatenate([np.full(n_hot, 7), rng.integers(100, 110, n_cold)])
+        return pd.DataFrame({"k": k, "ts": ts, "v": rng.random(len(k)),
+                             "i": np.arange(len(k))})
+
+    def test_sliced_equals_unsliced(self):
+        import ray.data as rd
+
+        from tscan_ray.ops.window import rolling_time_agg
+
+        df = self._skewed()
+        win, slc = 2_000_000, 5_000_000
+        plain = rolling_time_agg(rd.from_pandas(df).repartition(8), "k", "ts",
+                                 "v", window_us=win,
+                                 num_buckets=4).to_pandas()
+        sliced = rolling_time_agg(rd.from_pandas(df).repartition(8), "k", "ts",
+                                  "v", window_us=win, slice_us=slc,
+                                  num_buckets=16).to_pandas()
+        p = plain.sort_values("i").reset_index(drop=True)
+        s = sliced.sort_values("i").reset_index(drop=True)
+        assert len(s) == len(df)
+        assert (p["rt_n"].to_numpy() == s["rt_n"].to_numpy()).all()
+        assert np.allclose(p["rt_sum"], s["rt_sum"])
+        assert np.allclose(p["rt_mean"], s["rt_mean"])
+
+    def test_peer_inclusive_semantics(self):
+        """Equal timestamps are frame peers: result independent of
+        intra-ts order (SQL RANGE frame semantics)."""
+        import ray.data as rd
+
+        from tscan_ray.ops.window import rolling_time_agg
+
+        df = pd.DataFrame({"k": [1, 1, 1], "ts": [100, 100, 100],
+                           "v": [1.0, 2.0, 4.0]})
+        out = rolling_time_agg(rd.from_pandas(df), "k", "ts", "v",
+                               window_us=10, num_buckets=2).to_pandas()
+        assert (out["rt_n"] == 3).all()
+        assert np.allclose(out["rt_sum"], 7.0)
+
+    def test_slice_too_small_raises(self):
+        import ray.data as rd
+
+        from tscan_ray.ops.window import rolling_time_agg
+
+        with np.testing.assert_raises(ValueError):
+            rolling_time_agg(rd.range(1), "id", "id", "id",
+                             window_us=10, slice_us=5)

@@ -372,3 +372,120 @@ def sliding_window(
         return out
 
     return grouped_apply(ds, key, fn, num_buckets)
+
+
+def _time_rolling_kernel(micros: np.ndarray, vals: np.ndarray,
+                         seg_bounds: np.ndarray, window_us: int):
+    """Peer-inclusive trailing time-window sum/count per row.
+
+    For row i the frame is all rows of its segment with
+    ``ts in [ts_i - window_us, ts_i]`` — SQL ``RANGE BETWEEN w PRECEDING
+    AND CURRENT ROW`` semantics (equal-ts peers included, so the result
+    is independent of intra-timestamp order).  ``seg_bounds`` are the
+    [start, end) offsets of each (already sorted) segment; the inner
+    search is a vectorized double binary search per segment.
+    """
+    n = len(micros)
+    out_sum = np.empty(n, dtype=np.float64)
+    out_n = np.empty(n, dtype=np.int64)
+    for s, e in zip(seg_bounds[:-1], seg_bounds[1:]):
+        m = micros[s:e]
+        csum = np.concatenate([[0.0], np.cumsum(vals[s:e])])
+        lo = np.searchsorted(m, m - window_us, side="left")
+        hi = np.searchsorted(m, m, side="right")
+        out_sum[s:e] = csum[hi] - csum[lo]
+        out_n[s:e] = hi - lo
+    return out_sum, out_n
+
+
+def _seg_bounds(*arrays: np.ndarray) -> np.ndarray:
+    """[start..end] boundaries of runs where ALL given arrays are equal."""
+    n = len(arrays[0])
+    change = np.zeros(n, dtype=bool)
+    for a in arrays:
+        change[1:] |= a[1:] != a[:-1]
+    change[0] = True
+    return np.append(np.flatnonzero(change), n)
+
+
+def rolling_time_agg(
+    ds,
+    key: str,
+    ts: str,
+    value_col: str,
+    window_us: int,
+    slice_us: int | None = None,
+    num_buckets: int = DEFAULT_CONFIG.num_key_buckets,
+):
+    """Trailing TIME-window aggregate per entity: count / sum / mean of
+    ``value_col`` over rows with ``ts' in [ts - window_us, ts]``
+    (peer-inclusive, leakage-free).  Adds ``rt_n``, ``rt_sum``,
+    ``rt_mean``.
+
+    ``slice_us=None`` (default): one exchange keyed on ``key`` — a hot
+    entity's whole timeline lands in one bucket.
+
+    ``slice_us >= window_us``: the HOT-KEY PLAN (SURVEY.md §7.4; north
+    rule's salted repartitioning).  The exchange key becomes
+    (key, floor(ts/slice_us)), so one entity's timeline spreads over
+    many buckets; each row whose ts falls in the last ``window_us`` of
+    its slice is REPLICATED once into the next slice as lookback
+    context (flagged, excluded from output).  Shuffle growth is bounded
+    by window/slice; results are bit-identical to the unsliced plan —
+    tests assert this and the shared SQL oracle.
+    """
+    if slice_us is not None and slice_us < window_us:
+        raise ValueError("slice_us must be >= window_us (one-slice lookback)")
+
+    _SLICE, _CTX, _SKEY = "__slice__", "__ctx__", "__skey__"
+
+    def compute(df: pd.DataFrame, seg_arrays: list[np.ndarray]) -> pd.DataFrame:
+        if df.empty:  # a hash bucket no key mapped to
+            return df.assign(rt_n=pd.Series(dtype="int64"),
+                             rt_sum=pd.Series(dtype="float64"),
+                             rt_mean=pd.Series(dtype="float64"))
+        micros = _ts_us(df[ts]).to_numpy()
+        vals = df[value_col].to_numpy(dtype=np.float64)
+        bounds = _seg_bounds(*seg_arrays)
+        s, n = _time_rolling_kernel(micros, vals, bounds, window_us)
+        df["rt_n"] = n
+        df["rt_sum"] = s
+        df["rt_mean"] = s / n
+        return df
+
+    if slice_us is None:
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values([key, ts], kind="mergesort")
+            return compute(df, [df[key].to_numpy()])
+
+        return grouped_apply(ds, key, fn, num_buckets)
+
+    from tscan_ray.ops.keyed import _KNUTH, task_exchange
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        micros = _ts_us(df[ts]).to_numpy()
+        slc = micros // slice_us
+        ctx_mask = micros >= (slc + 1) * slice_us - window_us
+        ctx = df[ctx_mask].copy()
+        df = df.assign(**{_SLICE: slc, _CTX: np.int8(0)})
+        ctx = ctx.assign(**{_SLICE: slc[ctx_mask] + 1, _CTX: np.int8(1)})
+        out = pd.concat([df, ctx], ignore_index=True)
+        kv = out[key].to_numpy()
+        if np.issubdtype(kv.dtype, np.integer):
+            kh = kv.astype(np.uint64) * _KNUTH
+        else:
+            kh = pd.util.hash_array(np.asarray(kv, dtype=object))
+        sh = (out[_SLICE].to_numpy().astype(np.uint64) + np.uint64(1)) * _KNUTH
+        out[_SKEY] = ((kh ^ (sh >> np.uint64(7))) >> np.uint64(1)).astype(np.int64)
+        return out
+
+    replicated = ds.map_batches(replicate, batch_format="pandas")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, _SLICE, ts], kind="mergesort")
+        codes = pd.factorize(df[key], use_na_sentinel=False)[0]
+        df = compute(df, [codes, df[_SLICE].to_numpy()])
+        df = df[df[_CTX] == 0]
+        return df.drop(columns=[_SLICE, _CTX, _SKEY])
+
+    return task_exchange(replicated, _SKEY, fn, num_buckets)

@@ -354,6 +354,27 @@ def q_pit_rolling_time_mean_sliced(sf_dir):
     return _round_cols(out, ["rt_sum", "rt_mean"])
 
 
+def q_pit_expanding_znorm(sf_dir):
+    """Leakage-free scaling: z-score vs the user's own expanding
+    mean/std (sample ddof=1); <2 observations or zero variance -> null."""
+    from tscan_ray.ops.window import expanding_znorm
+
+    out = expanding_znorm(_events(sf_dir), "user_id", "ts", "value",
+                          order_col="event_id")
+    out = out.select_columns(["event_id", "user_id", "value_zexp"])
+    return _round_cols(out, ["value_zexp"])
+
+
+def q_sample_hash_split(sf_dir):
+    """Deterministic 90/10 train/test split from a pure hash of the row
+    id — reproducible across retries, oracle-verifiable in SQL."""
+    from tscan_ray.ops.sample import hash_split
+
+    out = hash_split(_events(sf_dir), "event_id",
+                     {"train": 0.9, "test": 0.1})
+    return out.select_columns(["event_id", "split"])
+
+
 def q_dedup_exact(sf_dir):
     from tscan_ray.ops.dedup import dedup_exact
 
@@ -606,6 +627,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pit_sliding_window": q_pit_sliding_window,
         "pit_rolling_time_mean": q_pit_rolling_time_mean,
         "pit_rolling_time_mean_sliced": q_pit_rolling_time_mean_sliced,
+        "pit_expanding_znorm": q_pit_expanding_znorm,
+        "sample_hash_split": q_sample_hash_split,
         "pit_lag_lead": q_pit_lag_lead,
         "pit_lag2": q_pit_lag2,
         "pit_ffill": q_pit_ffill,
@@ -773,6 +796,25 @@ def oracle_sql() -> dict[str, str]:
             window w as (partition by user_id order by ts
                          range between interval 1 hour preceding
                                and current row)
+        """,
+        "pit_expanding_znorm": """
+            select event_id, user_id,
+                   round(case when count(*) over w >= 2
+                               and stddev_samp(value) over w > 0
+                              then (value - avg(value) over w)
+                                   / stddev_samp(value) over w end,
+                         6) as value_zexp
+            from events
+            window w as (partition by user_id order by ts, event_id
+                         rows between unbounded preceding and current row)
+        """,
+        "sample_hash_split": """
+            select event_id,
+                   case when ((event_id::hugeint * 11400714819323198485)
+                              % 18446744073709551616) // 8589934592 % 10000
+                             < 9000
+                        then 'train' else 'test' end as split
+            from events
         """,
         "pit_lag_lead": """
             select event_id, user_id,

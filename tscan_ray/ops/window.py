@@ -489,3 +489,44 @@ def rolling_time_agg(
         return df.drop(columns=[_SLICE, _CTX, _SKEY])
 
     return task_exchange(replicated, _SKEY, fn, num_buckets)
+
+
+def expanding_znorm(
+    ds,
+    key: str,
+    ts: str,
+    value_col: str,
+    order_col: str | None = None,
+    num_buckets: int = DEFAULT_CONFIG.num_key_buckets,
+    ddof: int = 1,
+):
+    """Leakage-free feature scaling: z-score each value against the
+    entity's OWN history up to and including the current row (expanding
+    mean / sample-std, ``ddof=1``).  Rows with fewer than 2 prior
+    observations or zero variance get NaN — the caller decides the
+    imputation policy.
+
+    This is the point-in-time alternative to global dataset
+    normalization (which leaks future statistics into past rows).
+    Vectorized via cumulative sum / sum-of-squares transforms.
+    """
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(_sort_cols(key, ts, order_col), kind="mergesort")
+        g = df.groupby(key, sort=False)[value_col]
+        n = (g.cumcount() + 1).to_numpy(dtype=np.float64)
+        s1 = g.cumsum().to_numpy(dtype=np.float64)
+        s2 = df.assign(__sq=df[value_col] ** 2).groupby(key, sort=False)[
+            "__sq"].cumsum().to_numpy(dtype=np.float64)
+        mean = s1 / n
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = (s2 - n * mean**2) / np.maximum(n - ddof, 0)
+            var = np.maximum(var, 0.0)  # cancellation can dip epsilon-negative
+            std = np.sqrt(var)
+            z = (df[value_col].to_numpy(dtype=np.float64) - mean) / std
+        z[(n < 2) | (std == 0)] = np.nan
+        df[value_col + "_zexp"] = z
+        df = df.drop(columns=["__sq"], errors="ignore")
+        return df
+
+    return grouped_apply(ds, key, fn, num_buckets)

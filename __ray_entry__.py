@@ -27,16 +27,25 @@ HOUR_US = 3_600_000_000
 _EN_STOP = "the a of and to in is was for on with as by at it from"
 
 
+# The sf-dir fixtures are ONE parquet file each; a default read yields a
+# single block, which caps every downstream stage (actor pool, exchange
+# split tasks) at parallelism 1.  Spread the scan — at production scale
+# the input is thousands of fragments and needs no hint.
+_READ_BLOCKS = 64
+
+
 def _events(sf_dir):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/events.parquet")
+    return rd.read_parquet(f"{sf_dir}/events.parquet",
+                           override_num_blocks=_READ_BLOCKS)
 
 
 def _docs(sf_dir):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           override_num_blocks=_READ_BLOCKS)
 
 
 def _round_cols(ds, cols: list[str], ndigits: int = 6):
@@ -133,7 +142,8 @@ def q_join_orders_customer(sf_dir):
     from tscan_ray.ops.join import broadcast_join
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_orderkey", "o_custkey", "o_totalprice"])
+                             columns=["o_orderkey", "o_custkey", "o_totalprice"],
+                             override_num_blocks=_READ_BLOCKS)
     customer = rd.read_parquet(f"{sf_dir}/customer.parquet",
                                columns=["c_custkey", "c_name", "c_mktsegment"])
     customer = customer.map_batches(
@@ -419,7 +429,8 @@ def q_ann_topk(sf_dir):
     query = np.asarray(
         pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
         .column("embedding")[0].as_py(), dtype=np.float64)
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          override_num_blocks=_READ_BLOCKS)
     return topk_cosine(emb, query, k=10)
 
 
@@ -431,6 +442,7 @@ def q_agg_lineitem_pricing(sf_dir):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"],
+        override_num_blocks=_READ_BLOCKS,
     )
 
     def revenue(batch: pa.Table) -> pa.Table:
@@ -457,13 +469,13 @@ def q_text_surprisal(sf_dir):
     score every document with it (LM broadcast into the actor pool)."""
     import ray
 
-    from tscan_ray.stages.featurizer import featurize
+    from tscan_ray.stages.featurizer import featurize, pool_size
     from tscan_ray.text.surprisal import fit_bigram_lm
 
     docs = _docs(sf_dir).select_columns(["doc_id", "text"])
     lm = fit_bigram_lm(docs, "text", min_count=2)
-    out = featurize(docs, "text", concurrency=(1, 4), keep_columns=["doc_id"],
-                    lm_ref=ray.put(lm))
+    out = featurize(docs, "text", concurrency=pool_size(cap=16),
+                    keep_columns=["doc_id"], lm_ref=ray.put(lm))
     return out.select_columns([
         "doc_id", "Avg_prob10_fwd", "Avg_prob10_bwd", "Entropy_fwd",
         "Entropy_bwd", "Perplexity_fwd", "Perplexity_bwd",
@@ -534,8 +546,12 @@ def q_tscan_features(sf_dir):
 
     # fixed pool sized to the session (an autoscaling (1, N) pool ramps one
     # actor at a time and leaves the stage mostly serial on short runs)
+    # cap 16, not all-CPUs: leaves room to schedule while a prior stage's
+    # pool is still draining, and 5000-row inputs only fill ~40 batches
+    from tscan_ray.stages.featurizer import pool_size
+
     return featurize(_docs(sf_dir).select_columns(["doc_id", "text"]), "text",
-                     concurrency=None, keep_columns=["doc_id"])
+                     concurrency=pool_size(cap=16), keep_columns=["doc_id"])
 
 
 def q_dedup_minhash(sf_dir):
@@ -572,7 +588,8 @@ def q_ann_topk_lsh(sf_dir):
     query = np.asarray(
         pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
         .column("embedding")[0].as_py(), dtype=np.float64)
-    return topk_cosine_lsh(rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+    return topk_cosine_lsh(rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                           override_num_blocks=_READ_BLOCKS),
                            query, k=10, nbits=6)
 
 
@@ -586,7 +603,8 @@ def q_ann_topk_ivf(sf_dir):
     query = np.asarray(
         pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
         .column("embedding")[0].as_py(), dtype=np.float64)
-    return topk_cosine_ivf(rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+    return topk_cosine_ivf(rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                           override_num_blocks=_READ_BLOCKS),
                            query, k=10, n_centroids=8, nprobe=3)
 
 
@@ -595,7 +613,8 @@ def q_emb_neardup(sf_dir):
 
     from tscan_ray.ops.ann import cosine_neardup_pairs
 
-    return cosine_neardup_pairs(rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+    return cosine_neardup_pairs(rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                                override_num_blocks=_READ_BLOCKS),
                                 threshold=0.9, nbits=6)
 
 

@@ -72,6 +72,14 @@ def run_bench() -> dict:
     for t in ("documents", "events", "embeddings", "lineitem"):
         pq.read_table(f"{SF_DIR}/{t}.parquet")
 
+    # warm the Ray worker pool (untimed): the first dataset execution in a
+    # session pays ~3s of worker-process spin-up that belongs to session
+    # startup, not to any one query
+    import ray.data as rd
+
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        lambda b: b, batch_format="pyarrow").count()
+
     n_rows = n_docs * AMPLIFY
     n_entities = max(50, n_rows // 100)
     out_dir = f"/tmp/bench_out_{NUM_CPUS}"

@@ -35,7 +35,7 @@ def broadcast_join(
     on: str,
     right_cols: list[str] | None = None,
     how: str = "inner",
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: int = 16384,
 ):
     """Join ``left`` (large, streaming) with ``right`` (small) on ``on``.
@@ -47,6 +47,12 @@ def broadcast_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(how)
+    if concurrency is None:
+        # autoscaling (min=1) so chained joins can share a small session
+        # without deadlocking on actor placement; the max adapts to the
+        # session's CPUs
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (1, max(1, min(8, cpus - 1)))
     if isinstance(right, pd.DataFrame):
         rdf = right
     else:

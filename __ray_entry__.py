@@ -385,6 +385,31 @@ def q_sample_hash_split(sf_dir):
     return out.select_columns(["event_id", "split"])
 
 
+def q_agg_type_pivot(sf_dir):
+    """Per-user event-type crosstab (declared pivot columns, 2-phase)."""
+    from tscan_ray.ops.agg import pivot_counts
+
+    return pivot_counts(_events(sf_dir), "user_id", "event_type",
+                        ["view", "click", "purchase", "signup", "error"])
+
+
+def q_sample_hash_frac(sf_dir):
+    """Deterministic 20% row sample (pure hash predicate, no shuffle)."""
+    from tscan_ray.ops.sample import hash_sample
+
+    out = hash_sample(_events(sf_dir), "event_id", 0.2)
+    return out.select_columns(["event_id", "user_id"])
+
+
+def q_agg_value_quantiles(sf_dir):
+    """Exact discrete quantiles of value: distributed sort + k-th-element
+    block lookup (only the blocks holding target indices are fetched)."""
+    from tscan_ray.ops.quantile import quantiles_disc
+
+    return quantiles_disc(_events(sf_dir), "value",
+                          [0.25, 0.5, 0.75, 0.9, 0.99])
+
+
 def q_dedup_exact(sf_dir):
     from tscan_ray.ops.dedup import dedup_exact
 
@@ -648,6 +673,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pit_rolling_time_mean_sliced": q_pit_rolling_time_mean_sliced,
         "pit_expanding_znorm": q_pit_expanding_znorm,
         "sample_hash_split": q_sample_hash_split,
+        "agg_type_pivot": q_agg_type_pivot,
+        "sample_hash_frac": q_sample_hash_frac,
+        "agg_value_quantiles": q_agg_value_quantiles,
         "pit_lag_lead": q_pit_lag_lead,
         "pit_lag2": q_pit_lag2,
         "pit_ffill": q_pit_ffill,
@@ -826,6 +854,28 @@ def oracle_sql() -> dict[str, str]:
             from events
             window w as (partition by user_id order by ts, event_id
                          rows between unbounded preceding and current row)
+        """,
+        "agg_type_pivot": """
+            select user_id,
+                   count(*) filter (event_type = 'view') as n_view,
+                   count(*) filter (event_type = 'click') as n_click,
+                   count(*) filter (event_type = 'purchase') as n_purchase,
+                   count(*) filter (event_type = 'signup') as n_signup,
+                   count(*) filter (event_type = 'error') as n_error
+            from events group by user_id
+        """,
+        "sample_hash_frac": """
+            select event_id, user_id from events
+            where ((event_id::hugeint * 11400714819323198485)
+                   % 18446744073709551616) // 8589934592 % 10000 < 2000
+        """,
+        "agg_value_quantiles": """
+            select 0.25::double as q, quantile_disc(value, 0.25) as value from events
+            union all select 0.5::double, quantile_disc(value, 0.5) from events
+            union all select 0.75::double, quantile_disc(value, 0.75) from events
+            union all select 0.9::double, quantile_disc(value, 0.9) from events
+            union all select 0.99::double, quantile_disc(value, 0.99) from events
+            order by q
         """,
         "sample_hash_split": """
             select event_id,

@@ -86,3 +86,44 @@ def groupby_mean_2phase(ds, keys: list[str], value_col: str, salt: int = 0):
         return batch.append_column(f"mean_{value_col}", mean)
 
     return reduced.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pivot_counts(
+    ds,
+    key: str,
+    pivot_col: str,
+    values: list[str],
+    num_buckets: int | None = None,
+):
+    """Pivot/crosstab: one row per key with a ``n_{value}`` count column
+    per listed pivot value (unlisted values are ignored — the column set
+    must be declared up front, as in SQL ``COUNT(*) FILTER``).
+
+    Same 2-phase shape as :func:`groupby_sum_2phase`: the per-batch
+    partial collapses to (keys-in-batch × len(values)) cells before the
+    exchange, so a hot key ships one partial row per batch regardless of
+    its row count.
+    """
+    from tscan_ray.config import DEFAULT_CONFIG
+    from tscan_ray.ops.keyed import grouped_apply
+
+    if num_buckets is None:
+        num_buckets = DEFAULT_CONFIG.num_key_buckets
+    cols = [f"n_{v}" for v in values]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df[key]
+        out = {}
+        for v, c in zip(values, cols):
+            out[c] = (df[pivot_col] == v).groupby(keys, sort=False).sum()
+        res = pd.DataFrame(out).reset_index()
+        return res
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(key, sort=False)[cols].sum().reset_index()
+        for c in cols:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return grouped_apply(ds.map_batches(partial, batch_format="pandas"),
+                         key, fold, num_buckets)

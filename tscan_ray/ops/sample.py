@@ -55,3 +55,27 @@ def hash_split(
                                    pa.array(labels.astype(str), type=pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_sample(
+    ds,
+    id_col: str,
+    fraction: float,
+    resolution: int = SPLIT_RESOLUTION,
+):
+    """Deterministic row sample: keep a row iff its id hashes below
+    ``fraction`` of the bucket space.  Pure per-row predicate — no
+    shuffle, no RNG state, stable under retries and across runs, and
+    composable with hash_split (same hash, so a sample of the train
+    split stays inside the train split iff thresholds nest).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(fraction)
+    threshold = int(round(fraction * resolution))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        vals = batch.column(id_col).to_numpy(zero_copy_only=False)
+        b = bucket_of(vals, resolution).astype(np.int64)
+        return batch.filter(pa.array(b < threshold))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

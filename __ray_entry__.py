@@ -410,6 +410,26 @@ def q_agg_value_quantiles(sf_dir):
                           [0.25, 0.5, 0.75, 0.9, 0.99])
 
 
+def q_text_rank_table(sf_dir):
+    """Rebuild the reference's static frequency rank table (top-k list +
+    cumulative rank bands, W16) from the corpus."""
+    from tscan_ray.ops.textops import frequency_rank_table
+
+    return frequency_rank_table(_docs(sf_dir), "text", k=200,
+                                bands=(25, 50, 100, 200))
+
+
+def q_image_dedup_phash(sf_dir):
+    """Exact image dedup by phash lineage: one representative per phash
+    (SURVEY.md §2.7 — the phash-bucket entity assignment is the near-dup
+    clustering; rows-only check, images are engine-synthesized)."""
+    from tscan_ray.ops.dedup import dedup_exact
+    from tscan_ray.sources.images import synth_images
+
+    images = synth_images(_docs(sf_dir), n_entities=20)
+    return dedup_exact(images, "phash", "image_id")
+
+
 def q_dedup_exact(sf_dir):
     from tscan_ray.ops.dedup import dedup_exact
 
@@ -676,6 +696,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_type_pivot": q_agg_type_pivot,
         "sample_hash_frac": q_sample_hash_frac,
         "agg_value_quantiles": q_agg_value_quantiles,
+        "text_rank_table": q_text_rank_table,
+        "image_dedup_phash": q_image_dedup_phash,
         "pit_lag_lead": q_pit_lag_lead,
         "pit_lag2": q_pit_lag2,
         "pit_ffill": q_pit_ffill,
@@ -876,6 +898,20 @@ def oracle_sql() -> dict[str, str]:
             union all select 0.9::double, quantile_disc(value, 0.9) from events
             union all select 0.99::double, quantile_disc(value, 0.99) from events
             order by q
+        """,
+        "text_rank_table": r"""
+            with counts as (
+              select tok as token, count(*) as n
+              from (select unnest(regexp_split_to_array(lower(trim(text)), '\s+')) as tok
+                    from documents where length(trim(text)) > 0)
+              group by tok),
+            ranked as (
+              select token, n, row_number() over (order by n desc, token) as rnk
+              from counts)
+            select token, n, rnk,
+                   (case when rnk <= 25 then 25 when rnk <= 50 then 50
+                         when rnk <= 100 then 100 else 200 end)::bigint as band
+            from ranked where rnk <= 200 order by rnk
         """,
         "sample_hash_split": """
             select event_id,

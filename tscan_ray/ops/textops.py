@@ -200,3 +200,26 @@ def word_frequency_topk(ds, text_col: str, k: int = 20):
     )
     totals = partials.groupby("token").aggregate(agg.Sum("partial", alias_name="n"))
     return totals.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def frequency_rank_table(ds, text_col: str, k: int = 20000,
+                         bands: tuple = (1000, 2000, 3000, 5000, 10000, 20000)):
+    """Rebuild the reference's static top-k frequency rank table from a
+    corpus (reference loads it from a file, rank = line number, and W16
+    assigns cumulative rank bands — src/tscan.cxx:492-523).
+
+    Distributed plan: 2-phase token counts -> sort desc -> limit k (all
+    Dataset-native); the rank + band attach runs on the k-row RESULT
+    (repartition(1), whole-block batch), which is legitimately small.
+    """
+    top = word_frequency_topk(ds, text_col, k).repartition(1)
+    band_arr = np.asarray(bands, dtype=np.int64)
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        rnk = np.arange(1, batch.num_rows + 1, dtype=np.int64)
+        band = band_arr[np.searchsorted(band_arr, rnk, side="left")]
+        return batch.append_column("rnk", pa.array(rnk)).append_column(
+            "band", pa.array(band))
+
+    return top.map_batches(add_rank, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)

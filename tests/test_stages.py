@@ -135,3 +135,37 @@ class TestExplodeSentences:
         assert set(d2["par_idx"]) == {0, 1}
         # imperative paragraph: "Loopt snel ." -> sv1
         assert d2[d2.par_idx == 0].iloc[0]["sv1Cnt"] == 1
+
+
+class TestCustomWordlist:
+    def test_custom_wordlist_counts(self):
+        """§2.10 user-extension hook: a user wordlist swapped into actor
+        state drives myClassCnt (reference load_custom_wordlist,
+        webservice/tscanservice/tscanwrapper.py:73-88)."""
+        import pandas as pd
+        import ray
+        import ray.data as rd
+
+        from tscan_ray.stages.featurizer import featurize, with_custom_wordlist
+
+        docs = rd.from_pandas(pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["de fiets ging snel", "een huis was groot"],
+        }))
+        lex = with_custom_wordlist(["fiets", "huis"], classification="thing")
+        out = featurize(docs, "text", concurrency=1, keep_columns=["doc_id"],
+                        lexicons_ref=ray.put(lex)).to_pandas()
+        assert (out.sort_values("doc_id")["myClassCnt"] == [1, 1]).all()
+        base = featurize(docs, "text", concurrency=1,
+                         keep_columns=["doc_id"]).to_pandas()
+        assert (base["myClassCnt"] == 0).all()
+
+    def test_wordlist_table_form(self):
+        import pyarrow as pa
+
+        from tscan_ray.stages.featurizer import with_custom_wordlist
+
+        tbl = pa.table({"word": ["Fiets", "huis"],
+                        "classification": ["vehicle", "building"]})
+        lex = with_custom_wordlist(tbl)
+        assert lex.my_classification == {"fiets": "vehicle", "huis": "building"}

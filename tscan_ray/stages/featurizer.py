@@ -94,12 +94,19 @@ def featurize(
     batch_size: int | None = None,
     keep_columns: list[str] | None = None,
     lm_ref=None,
+    lexicons_ref=None,
 ):
     """Attach the feature-vector columns to a Dataset (actor-pool stage).
 
     ``concurrency``: int = fixed pre-started pool (best throughput; must
     fit the cluster), tuple = autoscaling, None = fixed pool sized to the
     session's CPUs minus headroom for the read/shuffle tasks.
+
+    ``lexicons_ref``: ``ray.put()`` of a customized LexiconBundle (e.g.
+    from :func:`with_custom_wordlist`) — the user-extension hook mirroring
+    the reference's CLAM custom-wordlist upload
+    (webservice/tscanservice/tscanwrapper.py:73-88): one object-store
+    copy, fetched once per actor.
     """
     if concurrency is None:
         concurrency = pool_size()
@@ -111,9 +118,46 @@ def featurize(
             "cfg": cfg,
             "keep_columns": keep_columns,
             "lm_ref": lm_ref,
+            "lexicons_ref": lexicons_ref,
         },
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size or cfg.featurizer_batch_size,
         **kwargs,
     )
+
+
+def with_custom_wordlist(wordlist, classification: str = "custom"):
+    """Build a LexiconBundle with a user wordlist merged in (§2.10 hook;
+    reference: `load_custom_wordlist`,
+    webservice/tscanservice/tscanwrapper.py:73-88, feeding the
+    my_classification lexicon, src/tscan.cxx:815-860).
+
+    ``wordlist``: list of lemmas, a dict lemma->label, or a pyarrow Table
+    / pandas DataFrame with columns (word, classification).  Returns the
+    bundle — pass ``ray.put(bundle)`` to ``featurize(lexicons_ref=...)``.
+    Words classified here count into ``myClassCnt`` per document.
+    """
+    import copy
+
+    from tscan_ray.text.lexicons import default_lexicons
+
+    lex = copy.deepcopy(default_lexicons())
+    if hasattr(wordlist, "column_names"):  # pyarrow Table
+        words = wordlist.column("word").to_pylist()
+        labels = (wordlist.column("classification").to_pylist()
+                  if "classification" in wordlist.column_names
+                  else [classification] * len(words))
+        mapping = dict(zip(words, labels))
+    elif hasattr(wordlist, "columns"):  # pandas DataFrame
+        words = wordlist["word"].tolist()
+        labels = (wordlist["classification"].tolist()
+                  if "classification" in wordlist.columns
+                  else [classification] * len(words))
+        mapping = dict(zip(words, labels))
+    elif isinstance(wordlist, dict):
+        mapping = dict(wordlist)
+    else:
+        mapping = {w: classification for w in wordlist}
+    lex.my_classification = {str(k).lower(): str(v) for k, v in mapping.items()}
+    return lex

@@ -40,11 +40,20 @@ BENCH_QUERIES = [
     "text_surprisal",
     "join_orders_customer",
     "agg_user_value_2phase",
+    "pit_rolling_time_mean_sliced",
+    "pit_expanding",
+    "pit_interval_join",
+    "agg_type_pivot",
+    "agg_value_quantiles",
+    "sample_hash_split",
 ]
 
 
 def _consume(ds) -> int:
-    """Execute a Dataset fully without materializing it on the driver."""
+    """Execute a Dataset fully without materializing it on the driver.
+    (Small-result queries may return a pyarrow Table / pandas frame.)"""
+    if not hasattr(ds, "iter_batches"):
+        return ds.num_rows if hasattr(ds, "num_rows") else len(ds)
     n = 0
     for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
         n += batch.num_rows

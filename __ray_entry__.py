@@ -178,6 +178,43 @@ def q_join_supplier_nation_region(sf_dir):
     return out.select_columns(["s_suppkey", "s_name", "n_name", "r_name"])
 
 
+def q_join_orders_semi(sf_dir):
+    """Semi join: orders whose customer is in the BUILDING segment
+    (EXISTS filter — only the key set broadcasts, no row multiplication)."""
+    import ray.data as rd
+
+    from tscan_ray.ops.join import broadcast_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_totalprice"],
+                             override_num_blocks=_READ_BLOCKS)
+    building = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"]) \
+        .filter(expr="c_mktsegment == 'BUILDING'") \
+        .map_batches(lambda df: df.rename(columns={"c_custkey": "o_custkey"}),
+                     batch_format="pandas")
+    out = broadcast_join(orders, building, on="o_custkey", how="semi")
+    out = out.select_columns(["o_orderkey", "o_custkey", "o_totalprice"])
+    return _round_cols(out, ["o_totalprice"], 4)
+
+
+def q_join_orders_anti(sf_dir):
+    """Anti join: orders whose customer is NOT in the BUILDING segment."""
+    import ray.data as rd
+
+    from tscan_ray.ops.join import broadcast_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"],
+                             override_num_blocks=_READ_BLOCKS)
+    building = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"]) \
+        .filter(expr="c_mktsegment == 'BUILDING'") \
+        .map_batches(lambda df: df.rename(columns={"c_custkey": "o_custkey"}),
+                     batch_format="pandas")
+    return broadcast_join(orders, building, on="o_custkey", how="anti")
+
+
 def q_events_props_extract(sf_dir):
     """Vectorized JSON field extraction from the props string column."""
     import pyarrow.compute as pc
@@ -715,6 +752,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
         "agg_user_value_2phase": q_agg_user_value_2phase,
         "join_orders_customer": q_join_orders_customer,
+        "join_orders_semi": q_join_orders_semi,
+        "join_orders_anti": q_join_orders_anti,
         "join_supplier_nation_region": q_join_supplier_nation_region,
         "events_props_extract": q_events_props_extract,
         "text_docfreq": q_text_docfreq,
@@ -1064,6 +1103,21 @@ def oracle_sql() -> dict[str, str]:
         "agg_user_value_2phase": """
             select user_id, round(sum(value), 6) as sum_value, count(*) as n
             from events group by user_id
+        """,
+        "join_orders_semi": """
+            select o.o_orderkey, o.o_custkey,
+                   round(o.o_totalprice, 4) as o_totalprice
+            from orders o
+            where exists (select 1 from customer c
+                          where c.c_custkey = o.o_custkey
+                            and c.c_mktsegment = 'BUILDING')
+        """,
+        "join_orders_anti": """
+            select o.o_orderkey, o.o_custkey
+            from orders o
+            where not exists (select 1 from customer c
+                              where c.c_custkey = o.o_custkey
+                                and c.c_mktsegment = 'BUILDING')
         """,
         "join_orders_customer": """
             select o.o_orderkey, o.o_custkey, c.c_mktsegment,

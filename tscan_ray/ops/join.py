@@ -24,8 +24,16 @@ class _BroadcastMerge:
         self.right = ray.get(right_ref)  # zero-copy read of the shared copy
         self.on = on
         self.how = how
+        if how in ("semi", "anti"):
+            # membership probe, not a merge: no value columns attach and
+            # duplicate right keys never multiply rows
+            self.keys = self.right[on].unique()
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if self.how == "semi":
+            return batch[batch[self.on].isin(self.keys)]
+        if self.how == "anti":
+            return batch[~batch[self.on].isin(self.keys)]
         return batch.merge(self.right, on=self.on, how=self.how)
 
 
@@ -42,11 +50,15 @@ def broadcast_join(
 
     ``right`` may be a Ray Dataset (materialized here — caller guarantees
     it is the small side) or a pandas DataFrame.  ``how`` in
-    {"inner", "left"}.  Right-side duplicate keys multiply rows, exactly
-    like a SQL join.
+    {"inner", "left", "semi", "anti"}.  For inner/left, right-side
+    duplicate keys multiply rows exactly like a SQL join; semi/anti are
+    membership filters (EXISTS / NOT EXISTS) — only the key set is
+    broadcast, no value columns attach, no row multiplication.
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(how)
+    if how in ("semi", "anti"):
+        right_cols = [on]  # only the key set crosses the wire
     if concurrency is None:
         # autoscaling (min=1) so chained joins can share a small session
         # without deadlocking on actor placement; the max adapts to the

@@ -215,6 +215,20 @@ def q_join_orders_anti(sf_dir):
     return broadcast_join(orders, building, on="o_custkey", how="anti")
 
 
+def q_agg_part_brand(sf_dir):
+    """Per-brand part stats (2-phase partial aggregation over the part
+    dimension; covers min/max merge algebra alongside sum/count)."""
+    import ray.data as rd
+
+    from tscan_ray.ops.agg import groupby_sum_2phase
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_brand", "p_retailprice"],
+                           override_num_blocks=_READ_BLOCKS)
+    out = groupby_sum_2phase(part, ["p_brand"], ["p_retailprice"])
+    return _round_cols(out, ["sum_p_retailprice"])
+
+
 def q_events_props_extract(sf_dir):
     """Vectorized JSON field extraction from the props string column."""
     import pyarrow.compute as pc
@@ -753,6 +767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_user_value_2phase": q_agg_user_value_2phase,
         "join_orders_customer": q_join_orders_customer,
         "join_orders_semi": q_join_orders_semi,
+        "agg_part_brand": q_agg_part_brand,
         "join_orders_anti": q_join_orders_anti,
         "join_supplier_nation_region": q_join_supplier_nation_region,
         "events_props_extract": q_events_props_extract,
@@ -1103,6 +1118,12 @@ def oracle_sql() -> dict[str, str]:
         "agg_user_value_2phase": """
             select user_id, round(sum(value), 6) as sum_value, count(*) as n
             from events group by user_id
+        """,
+        "agg_part_brand": """
+            select p_brand,
+                   round(sum(p_retailprice), 6) as sum_p_retailprice,
+                   count(*) as n
+            from part group by p_brand
         """,
         "join_orders_semi": """
             select o.o_orderkey, o.o_custkey,

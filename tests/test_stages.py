@@ -169,3 +169,30 @@ class TestCustomWordlist:
                         "classification": ["vehicle", "building"]})
         lex = with_custom_wordlist(tbl)
         assert lex.my_classification == {"fiets": "vehicle", "huis": "building"}
+
+
+class TestFeaturizerEdgeCases:
+    def test_null_empty_and_odd_rows(self):
+        """Null text, empty string, whitespace-only, emoji/non-latin and a
+        pathological repeat must flow through the actor stage without
+        error and with sane counts (wordCnt 0 for contentless rows)."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from tscan_ray.stages.featurizer import featurize
+
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "text": pa.array([None, "", "   \t  ", "🎉 好 мир",
+                              ("ha " * 2000).strip()], type=pa.string()),
+        }))
+        out = featurize(docs, "text", concurrency=1,
+                        keep_columns=["doc_id"]).to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        assert len(out) == 5
+        assert out.loc[0, "wordCnt"] == 0  # null
+        assert out.loc[1, "wordCnt"] == 0  # empty
+        assert out.loc[2, "wordCnt"] == 0  # whitespace
+        assert out.loc[3, "wordCnt"] >= 1  # non-latin tokens still count
+        assert out.loc[4, "wordCnt"] == 2000  # long doc intact

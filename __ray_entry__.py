@@ -215,6 +215,31 @@ def q_join_orders_anti(sf_dir):
     return broadcast_join(orders, building, on="o_custkey", how="anti")
 
 
+def q_pit_rolling_distinct(sf_dir):
+    """Distinct event types seen by the user in the trailing hour."""
+    from tscan_ray.ops.window import rolling_time_distinct
+
+    out = rolling_time_distinct(_events(sf_dir), "user_id", "ts",
+                                "event_type", window_us=HOUR_US,
+                                out_col="nd_types")
+    return out.select_columns(["event_id", "user_id", "nd_types"])
+
+
+def q_pit_conversion_funnel(sf_dir):
+    """View->purchase conversion: for each view, the first purchase by
+    the same user within 1 hour AFTER it (forward as-of + tolerance) —
+    the label-attachment composition pattern."""
+    from tscan_ray.ops.asof import asof_join
+
+    ev = _events(sf_dir)
+    views = ev.filter(expr="event_type == 'view'")
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    out = asof_join(views, purchases, key="user_id", ts="ts",
+                    right_value_cols=["value"], order_col="event_id",
+                    direction="forward", tolerance_us=HOUR_US, how="inner")
+    return out.select_columns(["event_id", "user_id", "ts", "ts_r", "value_r"])
+
+
 def q_agg_part_brand(sf_dir):
     """Per-brand part stats (2-phase partial aggregation over the part
     dimension; covers min/max merge algebra alongside sum/count)."""
@@ -768,6 +793,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer": q_join_orders_customer,
         "join_orders_semi": q_join_orders_semi,
         "agg_part_brand": q_agg_part_brand,
+        "pit_conversion_funnel": q_pit_conversion_funnel,
+        "pit_rolling_distinct": q_pit_rolling_distinct,
         "join_orders_anti": q_join_orders_anti,
         "join_supplier_nation_region": q_join_supplier_nation_region,
         "events_props_extract": q_events_props_extract,
@@ -1118,6 +1145,26 @@ def oracle_sql() -> dict[str, str]:
         "agg_user_value_2phase": """
             select user_id, round(sum(value), 6) as sum_value, count(*) as n
             from events group by user_id
+        """,
+        "pit_rolling_distinct": """
+            select e.event_id, e.user_id,
+                   (select count(distinct e2.event_type) from events e2
+                    where e2.user_id = e.user_id
+                      and e2.ts between e.ts - interval 1 hour and e.ts)
+                     as nd_types
+            from events e
+        """,
+        "pit_conversion_funnel": """
+            with l as (select * from events where event_type = 'view'),
+                 rdedup as (
+                   select user_id, ts, value,
+                          row_number() over (partition by user_id, ts
+                                             order by event_id desc) as rn
+                   from events where event_type = 'purchase'),
+                 r as (select user_id, ts, value from rdedup where rn = 1)
+            select l.event_id, l.user_id, l.ts, r.ts as ts_r, r.value as value_r
+            from l asof join r on l.user_id = r.user_id and l.ts <= r.ts
+            where r.ts - l.ts <= interval 1 hour
         """,
         "agg_part_brand": """
             select p_brand,

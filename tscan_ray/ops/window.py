@@ -530,3 +530,57 @@ def expanding_znorm(
         return df
 
     return grouped_apply(ds, key, fn, num_buckets)
+
+
+def rolling_time_distinct(
+    ds,
+    key: str,
+    ts: str,
+    value_col: str,
+    window_us: int,
+    out_col: str = "rt_distinct",
+    num_buckets: int = DEFAULT_CONFIG.num_key_buckets,
+):
+    """Trailing time-window DISTINCT count per entity: number of distinct
+    ``value_col`` values among rows with ``ts' in [ts - window_us, ts]``
+    (peer-inclusive, like :func:`rolling_time_agg`).
+
+    Distinct-over-window is not decomposable into cum-sums; the kernel is
+    the classic two-pointer sweep with a multiplicity map — both pointers
+    only move forward, so the scan is amortized O(1) per row after the
+    per-segment binary searches (values are pre-factorized to ints).
+    """
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(**{out_col: pd.Series(dtype="int64")})
+        df = df.sort_values([key, ts], kind="mergesort")
+        micros = _ts_us(df[ts]).to_numpy()
+        vals = pd.factorize(df[value_col], use_na_sentinel=False)[0]
+        bounds = _seg_bounds(df[key].to_numpy())
+        out = np.empty(len(df), dtype=np.int64)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = micros[s:e]
+            v = vals[s:e]
+            lo_idx = np.searchsorted(m, m - window_us, side="left")
+            hi_idx = np.searchsorted(m, m, side="right")
+            cnt: dict = {}
+            lo = hi = 0
+            res = np.empty(e - s, dtype=np.int64)
+            for i in range(e - s):
+                while hi < hi_idx[i]:
+                    cnt[v[hi]] = cnt.get(v[hi], 0) + 1
+                    hi += 1
+                while lo < lo_idx[i]:
+                    c = cnt[v[lo]] - 1
+                    if c:
+                        cnt[v[lo]] = c
+                    else:
+                        del cnt[v[lo]]
+                    lo += 1
+                res[i] = len(cnt)
+            out[s:e] = res
+        df[out_col] = out
+        return df
+
+    return grouped_apply(ds, key, fn, num_buckets)

@@ -882,12 +882,12 @@ def oracle_sql() -> dict[str, str]:
               from events where event_type = 'purchase'),
             sess as (
               select *,
-                     sum(case when prev_ts is null
-                               or ts - prev_ts > interval {GAP_MIN} minute
-                              then 1 else 0 end)
-                       over (partition by user_id order by ts, event_id
-                             rows between unbounded preceding and current row) - 1
-                       as session_id
+                     (sum(case when prev_ts is null
+                                or ts - prev_ts > interval {GAP_MIN} minute
+                               then 1 else 0 end)
+                        over (partition by user_id order by ts, event_id
+                              rows between unbounded preceding and current row)
+                      - 1)::bigint as session_id
               from gaps),
             iv as (select user_id, session_id,
                           min(ts) as start_ts,
@@ -1049,12 +1049,12 @@ def oracle_sql() -> dict[str, str]:
                        as prev_ts
               from events)
             select event_id, user_id,
-                   sum(case when prev_ts is null
-                             or ts - prev_ts > interval {GAP_MIN} minute
-                            then 1 else 0 end)
-                     over (partition by user_id order by ts, event_id
-                           rows between unbounded preceding and current row) - 1
-                     as session_id
+                   (sum(case when prev_ts is null
+                              or ts - prev_ts > interval {GAP_MIN} minute
+                             then 1 else 0 end)
+                      over (partition by user_id order by ts, event_id
+                            rows between unbounded preceding and current row)
+                    - 1)::bigint as session_id
             from gaps
         """,
         "pit_session_stats": f"""
@@ -1064,12 +1064,12 @@ def oracle_sql() -> dict[str, str]:
               from events),
             sess as (
               select *,
-                     sum(case when prev_ts is null
-                               or ts - prev_ts > interval {GAP_MIN} minute
-                              then 1 else 0 end)
-                       over (partition by user_id order by ts, event_id
-                             rows between unbounded preceding and current row) - 1
-                       as session_id
+                     (sum(case when prev_ts is null
+                                or ts - prev_ts > interval {GAP_MIN} minute
+                               then 1 else 0 end)
+                        over (partition by user_id order by ts, event_id
+                              rows between unbounded preceding and current row)
+                      - 1)::bigint as session_id
               from gaps)
             select user_id, session_id,
                    count(*) as n_events,
@@ -1129,7 +1129,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": """
             with q as (select embedding as qv from embeddings where vec_id = 0)
             select vec_id,
-                   round(list_cosine_similarity(embedding, (select qv from q)), 6)
+                   round(list_cosine_similarity(embedding, (select qv from q))::double, 6)
                      as cosine
             from embeddings
             order by cosine desc, vec_id limit 10

@@ -108,9 +108,17 @@ def asof_join(
     rv_cols = [r_rename.get(c, c) for c in right_value_cols]
     out_rename = {c: right_value_cols[i] + right_suffix for i, c in enumerate(rv_cols)}
     sort_extra = [order_col] if order_col else []
+    # the side-tagged union null-pads left columns on right rows, degrading
+    # int columns to float64 in pandas — restore the left schema's dtypes
+    l_dtypes = pa.schema(
+        zip(left_schema.names, left_schema.types)
+    ).empty_table().to_pandas().dtypes
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         ldf = df[df[_SIDE] == 0][left_cols].copy()
+        for c in left_cols:
+            if ldf[c].dtype != l_dtypes[c]:
+                ldf[c] = ldf[c].astype(l_dtypes[c])
         rcols = list(dict.fromkeys([key, ts] + rv_cols + sort_extra))
         rdf = df[df[_SIDE] == 1][rcols].copy()
         # deterministic dedup of right rows on (key, ts): latest order wins
@@ -216,15 +224,26 @@ def interval_join(
     out_rename = {s_c: start_col, e_c: end_col,
                   **{rc: right_value_cols[i] for i, rc in enumerate(rv_cols)}}
 
-    # side-tagged union null-pads right int columns -> float64 in pandas;
-    # restore original dtypes on the (fully-matched) inner-join output
+    # side-tagged union null-pads each side's columns on the other side's
+    # rows, degrading int columns to float64 in pandas; restore original
+    # dtypes (right ones only on the fully-matched inner-join output)
     r_dtypes = pa.schema(
         zip(right_schema.names, right_schema.types)
+    ).empty_table().to_pandas().dtypes
+    l_dtypes = pa.schema(
+        zip(left_schema.names, left_schema.types)
     ).empty_table().to_pandas().dtypes
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         ldf = df[df[_SIDE] == 0][left_cols].copy()
+        for c in left_cols:
+            if ldf[c].dtype != l_dtypes[c]:
+                ldf[c] = ldf[c].astype(l_dtypes[c])
         rdf = df[df[_SIDE] == 1][list(dict.fromkeys([key, s_c, e_c] + rv_cols))].copy()
+        for c in rdf.columns:
+            orig = out_rename.get(c, c)
+            if orig in r_dtypes.index and rdf[c].dtype != r_dtypes[orig]:
+                rdf[c] = rdf[c].astype(r_dtypes[orig])
         ldf = ldf.sort_values(ts, kind="mergesort")
         rdf = rdf.sort_values(s_c, kind="mergesort")
         out = pd.merge_asof(ldf, rdf, left_on=ts, right_on=s_c, by=key,

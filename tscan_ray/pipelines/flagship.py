@@ -34,6 +34,27 @@ TIMELINE_FEATURES = ["MTLD_wrd", "TTR_wrd", "Wrd_freq_log", "wordCnt"]
 KEEP_COLS = ["image_id", "caption", "phash", "entity_id", "ts", "psnr_db", "ahash"]
 
 
+class DecodeFeaturize:
+    """Fused decode+validate → caption-featurize actor (one pool, one
+    handoff).  Composes the two stage classes — setup for both happens
+    once per actor; each batch flows decoder → featurizer in-process."""
+
+    def __init__(self, cfg: EngineConfig = DEFAULT_CONFIG,
+                 n_entities: int | None = 50,
+                 keep_columns: list[str] | None = None, lm_ref=None):
+        from tscan_ray.stages.decode import DecodeValidate
+        from tscan_ray.stages.featurizer import CaptionFeaturizer
+
+        self.decoder = DecodeValidate(cfg=cfg, drop_bytes=True,
+                                      n_entities=n_entities)
+        self.featurizer = CaptionFeaturizer(text_column="caption", cfg=cfg,
+                                            keep_columns=keep_columns,
+                                            lm_ref=lm_ref)
+
+    def __call__(self, batch):
+        return self.featurizer(self.decoder(batch))
+
+
 def add_timeline_features(
     ds,
     key: str = "entity_id",
@@ -167,6 +188,7 @@ def flagship(
     # cost: featurize ~2.9 ms, decode+validate ~2.2 ms, synth ~0.8 ms →
     # featurizer ~45%, decode ~35%, remainder for read/synth/shuffle
     # tasks.  A pool sized to all CPUs starves the producers.
+    explicit_concurrency = featurizer_concurrency is not None
     if featurizer_concurrency is None:
         import ray
 
@@ -180,12 +202,23 @@ def flagship(
         from tscan_ray.sources.io import read_table
 
         images = read_table(images_path)  # Lance when available, else parquet
-        validated = decode_validate(images, cfg=cfg, drop_bytes=True,
-                                    n_entities=n_entities,
-                                    concurrency=decode_concurrency)
-        feats = featurize(validated, "caption", cfg=cfg,
-                          concurrency=featurizer_concurrency,
-                          keep_columns=KEEP_COLS)
+        # ONE fused decode+featurize pool: both stages are pure per-row
+        # CPU, so splitting them bought nothing but a second pool's
+        # process-spawn/import cost and an extra object-store handoff of
+        # every row.  Fusing cuts the fixed startup that dominates the
+        # strong-scaling denominator (BASELINE.md).
+        from tscan_ray.stages.featurizer import pool_size
+
+        feats = images.map_batches(
+            DecodeFeaturize,
+            fn_constructor_kwargs={"cfg": cfg, "n_entities": n_entities,
+                                   "keep_columns": KEEP_COLS},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.featurizer_batch_size,
+            concurrency=(featurizer_concurrency if explicit_concurrency
+                         else pool_size()),
+        )
         nb = num_buckets or cfg.num_key_buckets
         enriched = add_timeline_features(
             feats, cfg=cfg, num_buckets=nb,

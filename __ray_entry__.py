@@ -240,6 +240,16 @@ def q_pit_conversion_funnel(sf_dir):
     return out.select_columns(["event_id", "user_id", "ts", "ts_r", "value_r"])
 
 
+def q_agg_user_robust(sf_dir):
+    """Per-user robust stats: median + MAD of value and value-vs-time
+    Pearson correlation (holistic aggregates -> one keyed exchange)."""
+    from tscan_ray.ops.agg import groupby_stats_robust
+
+    out = groupby_stats_robust(_events(sf_dir), "user_id", "value",
+                               ts_col="ts")
+    return _round_cols(out, ["med_value", "mad_value", "corr_ts"])
+
+
 def q_agg_part_brand(sf_dir):
     """Per-brand part stats (2-phase partial aggregation over the part
     dimension; covers min/max merge algebra alongside sum/count)."""
@@ -793,6 +803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer": q_join_orders_customer,
         "join_orders_semi": q_join_orders_semi,
         "agg_part_brand": q_agg_part_brand,
+        "agg_user_robust": q_agg_user_robust,
         "pit_conversion_funnel": q_pit_conversion_funnel,
         "pit_rolling_distinct": q_pit_rolling_distinct,
         "join_orders_anti": q_join_orders_anti,
@@ -1165,6 +1176,13 @@ def oracle_sql() -> dict[str, str]:
             select l.event_id, l.user_id, l.ts, r.ts as ts_r, r.value as value_r
             from l asof join r on l.user_id = r.user_id and l.ts <= r.ts
             where r.ts - l.ts <= interval 1 hour
+        """,
+        "agg_user_robust": """
+            select user_id,
+                   round(median(value), 6) as med_value,
+                   round(mad(value), 6) as mad_value,
+                   round(corr(value, epoch_us(ts)), 6) as corr_ts
+            from events group by user_id
         """,
         "agg_part_brand": """
             select p_brand,

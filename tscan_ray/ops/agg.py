@@ -127,3 +127,54 @@ def pivot_counts(
 
     return grouped_apply(ds.map_batches(partial, batch_format="pandas"),
                          key, fold, num_buckets)
+
+
+def groupby_stats_robust(
+    ds,
+    key: str,
+    value_col: str,
+    ts_col: str | None = None,
+    num_buckets: int | None = None,
+):
+    """Per-key robust statistics: median, MAD (median absolute
+    deviation, unscaled), and — when ``ts_col`` is given — the Pearson
+    correlation of ``value_col`` against the event time.
+
+    Median/MAD are holistic (not decomposable into partials), so unlike
+    :func:`groupby_sum_2phase` the raw rows must co-locate: one keyed
+    exchange, then vectorized pandas groupby medians inside the bucket.
+    The correlation centers both series per key before the products —
+    epoch-microsecond magnitudes would otherwise cancel catastrophically
+    in float64.
+    """
+    from tscan_ray.config import DEFAULT_CONFIG
+    from tscan_ray.ops.keyed import grouped_apply
+
+    if num_buckets is None:
+        num_buckets = DEFAULT_CONFIG.num_key_buckets
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, sort=False)
+        med = g[value_col].median()
+        dev = (df[value_col] - df[key].map(med)).abs()
+        mad = dev.groupby(df[key], sort=False).median()
+        out = pd.DataFrame({key: med.index,
+                            "med_value": med.to_numpy(),
+                            "mad_value": mad.reindex(med.index).to_numpy()})
+        if ts_col is not None:
+            t = df[ts_col]
+            if np.issubdtype(t.dtype, np.datetime64):
+                t = t.astype("datetime64[us]").astype("int64")
+            t = t.astype("float64")
+            cx = df[value_col] - df[key].map(g[value_col].mean())
+            ty = t.groupby(df[key], sort=False).transform("mean")
+            cy = t - ty
+            sxy = (cx * cy).groupby(df[key], sort=False).sum()
+            sxx = (cx * cx).groupby(df[key], sort=False).sum()
+            syy = (cy * cy).groupby(df[key], sort=False).sum()
+            with np.errstate(invalid="ignore", divide="ignore"):
+                corr = sxy / np.sqrt(sxx * syy)
+            out["corr_ts"] = corr.reindex(med.index).to_numpy()
+        return out
+
+    return grouped_apply(ds, key, fn, num_buckets)

@@ -178,6 +178,26 @@ def q_join_supplier_nation_region(sf_dir):
     return out.select_columns(["s_suppkey", "s_name", "n_name", "r_name"])
 
 
+def q_join_orders_customer_shuffle(sf_dir):
+    """Same join as join_orders_customer but on the large-by-large
+    exchange plan (no broadcast) — two plans, one oracle."""
+    import ray.data as rd
+
+    from tscan_ray.ops.join import exchange_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_totalprice"],
+                             override_num_blocks=_READ_BLOCKS)
+    customer = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"])         .map_batches(lambda df: df.rename(columns={"c_custkey": "o_custkey"}),
+                     batch_format="pandas")
+    out = exchange_join(orders, customer, on="o_custkey",
+                        right_cols=["c_mktsegment"], how="inner")
+    out = out.select_columns(["o_orderkey", "o_custkey", "c_mktsegment",
+                              "o_totalprice"])
+    return _round_cols(out, ["o_totalprice"], 4)
+
+
 def q_join_orders_semi(sf_dir):
     """Semi join: orders whose customer is in the BUILDING segment
     (EXISTS filter — only the key set broadcasts, no row multiplication)."""
@@ -802,6 +822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_user_value_2phase": q_agg_user_value_2phase,
         "join_orders_customer": q_join_orders_customer,
         "join_orders_semi": q_join_orders_semi,
+        "join_orders_customer_shuffle": q_join_orders_customer_shuffle,
         "agg_part_brand": q_agg_part_brand,
         "agg_user_robust": q_agg_user_robust,
         "pit_conversion_funnel": q_pit_conversion_funnel,
@@ -1189,6 +1210,11 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(p_retailprice), 6) as sum_p_retailprice,
                    count(*) as n
             from part group by p_brand
+        """,
+        "join_orders_customer_shuffle": """
+            select o.o_orderkey, o.o_custkey, c.c_mktsegment,
+                   round(o.o_totalprice, 4) as o_totalprice
+            from orders o join customer c on o.o_custkey = c.c_custkey
         """,
         "join_orders_semi": """
             select o.o_orderkey, o.o_custkey,

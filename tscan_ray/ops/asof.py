@@ -74,14 +74,18 @@ def asof_join(
 
     # align schemas for union: every column of both sides, missing -> null
     right_schema = right.schema()
-    all_cols: dict[str, pa.DataType] = dict(zip(left_schema.names, left_schema.types))
+    from tscan_ray.ops.keyed import as_arrow_type
+
+    all_cols: dict[str, pa.DataType] = {
+        n: as_arrow_type(t)
+        for n, t in zip(left_schema.names, left_schema.types)}
     # normalized right column names inside the exchange (avoid collisions)
     r_rename = {
         name: ("__r_" + name if name in left_cols and name not in (key, ts) else name)
         for name in right_schema.names
     }
     for name, typ in zip(right_schema.names, right_schema.types):
-        all_cols.setdefault(r_rename[name], typ)
+        all_cols.setdefault(r_rename[name], as_arrow_type(typ))
 
     union_names = list(all_cols.keys()) + [_SIDE]
 
@@ -110,14 +114,14 @@ def asof_join(
     sort_extra = [order_col] if order_col else []
     # the side-tagged union null-pads left columns on right rows, degrading
     # int columns to float64 in pandas — restore the left schema's dtypes
-    l_dtypes = pa.schema(
-        zip(left_schema.names, left_schema.types)
-    ).empty_table().to_pandas().dtypes
+    from tscan_ray.ops.keyed import schema_pandas_dtypes
+
+    l_dtypes = schema_pandas_dtypes(left_schema)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         ldf = df[df[_SIDE] == 0][left_cols].copy()
         for c in left_cols:
-            if ldf[c].dtype != l_dtypes[c]:
+            if c in l_dtypes.index and ldf[c].dtype != l_dtypes[c]:
                 ldf[c] = ldf[c].astype(l_dtypes[c])
         rcols = list(dict.fromkeys([key, ts] + rv_cols + sort_extra))
         rdf = df[df[_SIDE] == 1][rcols].copy()
@@ -189,13 +193,17 @@ def interval_join(
     right = right.select_columns(right_keep)
     right_schema = right.schema()
 
-    all_cols: dict[str, pa.DataType] = dict(zip(left_schema.names, left_schema.types))
+    from tscan_ray.ops.keyed import as_arrow_type
+
+    all_cols: dict[str, pa.DataType] = {
+        n: as_arrow_type(t)
+        for n, t in zip(left_schema.names, left_schema.types)}
     r_rename = {
         name: ("__r_" + name if name in left_cols and name != key else name)
         for name in right_schema.names
     }
     for name, typ in zip(right_schema.names, right_schema.types):
-        all_cols.setdefault(r_rename[name], typ)
+        all_cols.setdefault(r_rename[name], as_arrow_type(typ))
     union_names = list(all_cols.keys()) + [_SIDE]
 
     def pad(side: int, rename: dict[str, str]):
@@ -227,17 +235,15 @@ def interval_join(
     # side-tagged union null-pads each side's columns on the other side's
     # rows, degrading int columns to float64 in pandas; restore original
     # dtypes (right ones only on the fully-matched inner-join output)
-    r_dtypes = pa.schema(
-        zip(right_schema.names, right_schema.types)
-    ).empty_table().to_pandas().dtypes
-    l_dtypes = pa.schema(
-        zip(left_schema.names, left_schema.types)
-    ).empty_table().to_pandas().dtypes
+    from tscan_ray.ops.keyed import schema_pandas_dtypes
+
+    r_dtypes = schema_pandas_dtypes(right_schema)
+    l_dtypes = schema_pandas_dtypes(left_schema)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         ldf = df[df[_SIDE] == 0][left_cols].copy()
         for c in left_cols:
-            if ldf[c].dtype != l_dtypes[c]:
+            if c in l_dtypes.index and ldf[c].dtype != l_dtypes[c]:
                 ldf[c] = ldf[c].astype(l_dtypes[c])
         rdf = df[df[_SIDE] == 1][list(dict.fromkeys([key, s_c, e_c] + rv_cols))].copy()
         for c in rdf.columns:

@@ -200,3 +200,37 @@ def grouped_apply(
             wrapper, batch_format="pandas"
         )
     return task_exchange(ds, key, wrapper, num_buckets)
+
+
+def schema_pandas_dtypes(schema) -> pd.Series:
+    """Pandas dtype per column for a Ray Dataset schema — tolerant of
+    non-Arrow entries (pandas-backed datasets report numpy/Python types).
+    Columns whose dtype can't be resolved are simply omitted (callers
+    skip restoring those)."""
+    out: dict = {}
+    for n, t in zip(schema.names, schema.types):
+        try:
+            if isinstance(t, pa.DataType):
+                out[n] = pa.schema([(n, t)]).empty_table().to_pandas().dtypes[n]
+            else:
+                out[n] = np.dtype(t)
+        except (TypeError, pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            continue
+    return pd.Series(out)
+
+
+def as_arrow_type(t) -> pa.DataType:
+    """Normalize a Ray Schema type entry to a pyarrow DataType (pandas-
+    backed datasets report numpy dtypes / Python classes)."""
+    if isinstance(t, pa.DataType):
+        return t
+    if t is str:
+        return pa.string()
+    if t is bytes:
+        return pa.binary()
+    dt = np.dtype(t)
+    if dt == np.dtype(object):
+        # pandas object columns are overwhelmingly strings; anything else
+        # would already have failed upstream Arrow conversion
+        return pa.string()
+    return pa.from_numpy_dtype(dt)

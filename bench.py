@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "agg_type_pivot",
     "agg_value_quantiles",
     "sample_hash_split",
+    "join_orders_customer_shuffle",
+    "agg_user_robust",
 ]
 
 

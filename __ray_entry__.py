@@ -516,6 +516,13 @@ def q_agg_value_quantiles(sf_dir):
                           [0.25, 0.5, 0.75, 0.9, 0.99])
 
 
+def q_text_chunk(sf_dir):
+    """Context-window chunking: 64-token chunks per document."""
+    from tscan_ray.ops.textops import chunk_documents
+
+    return chunk_documents(_docs(sf_dir), "text", "doc_id", chunk_tokens=64)
+
+
 def q_text_rank_table(sf_dir):
     """Rebuild the reference's static frequency rank table (top-k list +
     cumulative rank bands, W16) from the corpus."""
@@ -803,6 +810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash_frac": q_sample_hash_frac,
         "agg_value_quantiles": q_agg_value_quantiles,
         "text_rank_table": q_text_rank_table,
+        "text_chunk": q_text_chunk,
         "image_dedup_phash": q_image_dedup_phash,
         "pit_lag_lead": q_pit_lag_lead,
         "pit_lag2": q_pit_lag2,
@@ -1011,6 +1019,21 @@ def oracle_sql() -> dict[str, str]:
             union all select 0.9::double, quantile_disc(value, 0.9) from events
             union all select 0.99::double, quantile_disc(value, 0.99) from events
             order by q
+        """,
+        "text_chunk": r"""
+            with toks as (
+              select doc_id, regexp_split_to_array(trim(text), '\s+') as arr
+              from documents where length(trim(text)) > 0),
+            chunks as (
+              select doc_id, arr,
+                     unnest(range(((len(arr) + 63) // 64)::int)) as chunk_id
+              from toks)
+            select doc_id, chunk_id::bigint as chunk_id,
+                   array_to_string(
+                     list_slice(arr, chunk_id * 64 + 1,
+                                least((chunk_id + 1) * 64, len(arr))),
+                     ' ') as chunk_text
+            from chunks
         """,
         "text_rank_table": r"""
             with counts as (

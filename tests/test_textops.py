@@ -111,3 +111,31 @@ class TestWordFreqTopk:
         ).df()
         assert list(out["token"]) == list(oracle["token"])
         assert (out["n"].to_numpy() == oracle["n"].to_numpy()).all()
+
+
+class TestChunkDocuments:
+    def test_overlap_stride(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from tscan_ray.ops.textops import chunk_documents
+
+        text = " ".join(str(i) for i in range(10))
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": [text]}))
+        out = chunk_documents(ds, "text", "doc_id", chunk_tokens=4,
+                              overlap=2).to_pandas()
+        # stride 2: chunks [0..3],[2..5],[4..7],[6..9] then stop
+        assert out["chunk_text"].tolist() == [
+            "0 1 2 3", "2 3 4 5", "4 5 6 7", "6 7 8 9"]
+        assert out["chunk_id"].tolist() == [0, 1, 2, 3]
+
+    def test_empty_and_null_skip(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from tscan_ray.ops.textops import chunk_documents
+
+        ds = rd.from_pandas(pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": [None, "", "a b"]}))
+        out = chunk_documents(ds, "text", "doc_id", chunk_tokens=4).to_pandas()
+        assert out["doc_id"].tolist() == [3]

@@ -223,3 +223,43 @@ def frequency_rank_table(ds, text_col: str, k: int = 20000,
 
     return top.map_batches(add_rank, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=None)
+
+
+def chunk_documents(ds, text_col: str, id_col: str, chunk_tokens: int = 64,
+                    overlap: int = 0):
+    """Split each document into fixed-size whitespace-token chunks (the
+    context-window preparation step of a training-data pipeline).
+
+    Pure per-row flat transform — deterministic chunk ids, no shuffle,
+    and a row only ever expands into its own chunks, so the stage
+    parallelizes like any map.  ``overlap`` tokens are repeated from the
+    previous chunk (stride = chunk_tokens - overlap).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids_out, cids, texts = [], [], []
+        ids = batch.column(id_col).to_pylist()
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            toks = (t or "").split()
+            if not toks:
+                continue
+            n = len(toks)
+            cid = 0
+            for start in range(0, n, stride):
+                ids_out.append(ids[i])
+                cids.append(cid)
+                texts.append(" ".join(toks[start:start + chunk_tokens]))
+                cid += 1
+                if start + chunk_tokens >= n:
+                    break
+        return pa.table({
+            id_col: pa.array(ids_out),
+            "chunk_id": pa.array(cids, type=pa.int64()),
+            "chunk_text": pa.array(texts, type=pa.string()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)

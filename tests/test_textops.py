@@ -139,3 +139,19 @@ class TestChunkDocuments:
             {"doc_id": [1, 2, 3], "text": [None, "", "a b"]}))
         out = chunk_documents(ds, "text", "doc_id", chunk_tokens=4).to_pandas()
         assert out["doc_id"].tolist() == [3]
+
+    def test_all_empty_batch_keeps_schema(self):
+        """A batch with zero chunk output must still type the id column
+        (null-typed empty arrays break Ray schema unification)."""
+        import pandas as pd
+        import ray.data as rd
+
+        from tscan_ray.ops.textops import chunk_documents
+
+        ds = rd.from_pandas(pd.DataFrame(
+            {"doc_id": [1, 2], "text": [None, ""]})).repartition(2)
+        out = chunk_documents(ds, "text", "doc_id", chunk_tokens=4)
+        import pyarrow as pa
+        schema = out.schema()
+        assert dict(zip(schema.names, schema.types))["doc_id"] == pa.int64()
+        assert out.count() == 0

@@ -255,8 +255,11 @@ def chunk_documents(ds, text_col: str, id_col: str, chunk_tokens: int = 64,
                 cid += 1
                 if start + chunk_tokens >= n:
                     break
+        # type the id column from the input even when no chunks were
+        # produced — an empty pa.array() would be null-typed and break
+        # schema unification with other batches
         return pa.table({
-            id_col: pa.array(ids_out),
+            id_col: pa.array(ids_out, type=batch.column(id_col).type),
             "chunk_id": pa.array(cids, type=pa.int64()),
             "chunk_text": pa.array(texts, type=pa.string()),
         })

@@ -941,7 +941,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pit_expanding": """
             select event_id, user_id,
-                   count(*) over w as value_cnt,
+                   count(value) over w as value_cnt,
                    round(sum(value) over w, 6) as value_csum,
                    round(avg(value) over w, 6) as value_cmean,
                    min(value) over w as value_cmin,

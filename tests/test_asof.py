@@ -180,3 +180,77 @@ class TestIntervalJoin:
         got = dict(zip(out["pid"], out["ivid"]))
         assert got == {0: 100, 3: 102}  # ts=15 between intervals; ts=40 after
         assert out["ivid"].dtype == np.int64  # dtype restored post-union
+
+
+class TestReviewRegressions:
+    def test_dedup_uses_right_order_col_despite_collision(self):
+        """When order_col exists on BOTH sides, latest-writer-wins must
+        consult the RIGHT side's values (they are renamed inside the
+        exchange), not the null-padded left column — and the result must
+        not depend on input row order."""
+        import ray.data as rd
+
+        from tscan_ray.ops.asof import asof_join
+
+        l = pd.DataFrame({"k": [1], "ts": [100], "seq": [0]})
+        # two right rows at the same (k, ts): seq=2 must win
+        r_fwd = pd.DataFrame({"k": [1, 1], "ts": [50, 50],
+                              "seq": [1, 2], "v": [10.0, 20.0]})
+        r_rev = r_fwd.iloc[::-1].reset_index(drop=True)
+        for rdf in (r_fwd, r_rev):
+            out = asof_join(rd.from_pandas(l), rd.from_pandas(rdf),
+                            key="k", ts="ts", right_value_cols=["v"],
+                            order_col="seq", num_buckets=2).to_pandas()
+            assert out["v_r"].tolist() == [20.0], rdf
+
+    def test_large_int64_payload_survives_exactly(self):
+        """int64 values above 2^53 (e.g. phash ids) must survive the
+        exchange without a float64 round trip."""
+        import ray.data as rd
+
+        from tscan_ray.ops.asof import asof_join
+
+        big = (1 << 60) + 12345
+        big2 = (1 << 61) + 977
+        l = pd.DataFrame({"k": [1, 1], "ts": [10, 20],
+                          "rid": [big, big + 1]})
+        r = pd.DataFrame({"k": [1], "ts": [5], "pay": [big2]})
+        out = asof_join(rd.from_pandas(l), rd.from_pandas(r), key="k",
+                        ts="ts", right_value_cols=["pay"], how="inner",
+                        num_buckets=2).to_pandas()
+        assert sorted(out["rid"]) == [big, big + 1]
+        assert (out["pay_r"] == big2).all()
+
+    def test_order_col_in_right_value_cols_is_kept(self):
+        """order_col listed in right_value_cols must appear in the output
+        as {col}_r, not be silently dropped."""
+        import ray.data as rd
+
+        from tscan_ray.ops.asof import asof_join
+
+        l = pd.DataFrame({"k": [1], "ts": [100]})
+        r = pd.DataFrame({"k": [1], "ts": [50], "seq": [7], "v": [1.0]})
+        out = asof_join(rd.from_pandas(l), rd.from_pandas(r), key="k",
+                        ts="ts", right_value_cols=["v", "seq"],
+                        order_col="seq", how="inner",
+                        num_buckets=2).to_pandas()
+        assert "seq_r" in out.columns and out["seq_r"].tolist() == [7]
+
+    def test_empty_input_returns_kernel_schema(self):
+        """An empty exchange must not leak __side__/__r_* columns."""
+        import ray.data as rd
+
+        from tscan_ray.ops.asof import asof_join
+
+        empty = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                              "ts": pd.Series([], dtype="int64"),
+                              "v": pd.Series([], dtype="float64")})
+        out = asof_join(rd.from_pandas(empty), rd.from_pandas(empty),
+                        key="k", ts="ts", right_value_cols=["v"],
+                        num_buckets=2)
+        # assert on the block schema (Dataset.to_pandas() on a 0-row
+        # dataset drops columns — a Ray quirk independent of the join)
+        cols = set(out.schema().names)
+        assert out.count() == 0
+        assert "__side__" not in cols
+        assert {"k", "ts", "v", "ts_r", "v_r"} <= cols

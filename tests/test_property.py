@@ -26,7 +26,7 @@ class TestTimeRollingKernel:
         if len(ts) == 0:
             return
         bounds = np.asarray([0, len(ts)])
-        s, n = _time_rolling_kernel(ts, vals, bounds, window)
+        s, n, nn = _time_rolling_kernel(ts, vals, bounds, window)
         for i in range(len(ts)):
             mask = (ts >= ts[i] - window) & (ts <= ts[i])
             assert n[i] == mask.sum()
@@ -43,14 +43,14 @@ class TestTimeRollingKernel:
         if len(ts) < 2:
             return
         cut = len(ts) // 2
-        both_s, both_n = _time_rolling_kernel(
+        both_s, both_n, _ = _time_rolling_kernel(
             np.concatenate([ts[:cut], ts[cut:]]),
             np.concatenate([vals[:cut], vals[cut:]]),
             np.asarray([0, cut, len(ts)]), 100)
-        a_s, a_n = _time_rolling_kernel(ts[:cut], vals[:cut],
-                                        np.asarray([0, cut]), 100)
-        b_s, b_n = _time_rolling_kernel(ts[cut:], vals[cut:],
-                                        np.asarray([0, len(ts) - cut]), 100)
+        a_s, a_n, _ = _time_rolling_kernel(ts[:cut], vals[:cut],
+                                           np.asarray([0, cut]), 100)
+        b_s, b_n, _ = _time_rolling_kernel(ts[cut:], vals[cut:],
+                                           np.asarray([0, len(ts) - cut]), 100)
         assert (both_n == np.concatenate([a_n, b_n])).all()
         assert np.allclose(both_s, np.concatenate([a_s, b_s]))
 

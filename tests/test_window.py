@@ -273,3 +273,52 @@ class TestRollingTimeAgg:
         with np.testing.assert_raises(ValueError):
             rolling_time_agg(rd.range(1), "id", "id", "id",
                              window_us=10, slice_us=5)
+
+
+class TestNullAndTzSemantics:
+    def test_rolling_time_agg_null_does_not_poison(self):
+        """A null value must not NaN-poison later windows of the entity
+        (SQL rules: nulls count in rt_n but not rt_sum/rt_mean)."""
+        import ray.data as rd
+
+        from tscan_ray.ops.window import rolling_time_agg
+
+        df = pd.DataFrame({"k": [1] * 4, "ts": [0, 10, 100, 110],
+                           "v": [1.0, np.nan, 2.0, 3.0]})
+        out = rolling_time_agg(rd.from_pandas(df), "k", "ts", "v",
+                               window_us=20, num_buckets=2).to_pandas()
+        out = out.sort_values("ts").reset_index(drop=True)
+        # window at ts=110 covers [90,110] -> rows 2.0 and 3.0 only
+        assert out.loc[3, "rt_sum"] == 5.0
+        assert out.loc[3, "rt_mean"] == 2.5
+        # window at ts=10 covers rows [1.0, NaN]: sum skips the null
+        assert out.loc[1, "rt_sum"] == 1.0
+        assert out.loc[1, "rt_n"] == 2
+
+    def test_expanding_agg_null_count_semantics(self):
+        """Running mean divides by the NON-null count (SQL avg)."""
+        import ray.data as rd
+
+        from tscan_ray.ops.window import expanding_agg
+
+        df = pd.DataFrame({"k": [1] * 3, "ts": [0, 1, 2],
+                           "v": [1.0, np.nan, 2.0]})
+        out = expanding_agg(rd.from_pandas(df), "k", "ts", "v").to_pandas()
+        out = out.sort_values("ts").reset_index(drop=True)
+        assert out["v_cnt"].tolist() == [1, 1, 2]
+        assert out.loc[2, "v_cmean"] == 1.5  # mean(1, 2), not 3/3
+
+    def test_sessionize_tz_aware_timestamps(self):
+        """tz-aware timestamp columns must not crash _ts_us."""
+        import ray.data as rd
+
+        from tscan_ray.ops.window import sessionize
+
+        ts = pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:10",
+                             "2024-01-01 09:00"], utc=True)
+        df = pd.DataFrame({"k": [1, 1, 1], "ts": ts, "i": [0, 1, 2]})
+        out = sessionize(rd.from_pandas(df), "k", "ts",
+                         gap_us=30 * 60 * 1_000_000, order_col="i",
+                         num_buckets=2).to_pandas()
+        out = out.sort_values("i")
+        assert out["session_id"].tolist() == [0, 0, 1]

@@ -12,14 +12,19 @@ its only joins are broadcast lexicon lookups, SURVEY.md §2.5):
    ``union``-ed — Ray's streaming executor interleaves both scans;
 2. ONE keyed task-shuffle exchange (ops/keyed.py) co-locates each key's
    left and right rows;
-3. inside the bucket UDF: split by side, sort each frame by (ts,
-   order_col), ``pd.merge_asof(by=key)`` — a sorted-merge with
-   binary-search galloping over contiguous numpy arrays, vectorized
-   across all keys in the bucket.
+3. inside the bucket UDF the Arrow table is split by side BEFORE any
+   pandas conversion (each side's own columns never carry padding
+   nulls, so int64 ids above 2^53 — e.g. phash — survive exactly), then
+   ``pd.merge_asof(by=key)`` matches left rows against a slim
+   (key, ts, row-index) PROBE of the right side — a sorted-merge with
+   binary-search galloping, vectorized across all keys in the bucket —
+   and the right payload columns are gathered by row index afterwards,
+   again without a float round trip.
 
 Determinism: right-side duplicates on (key, ts) are reduced to the row
-with the greatest ``order_col`` (latest-writer-wins) so the match is
-unique under retries; ties on the left are preserved as independent rows.
+with the greatest ``order_col`` (latest-writer-wins, using the RIGHT
+side's own order values) so the match is unique under retries; ties on
+the left are preserved as independent rows.
 
 Scale notes: the exchange moves each row exactly once; bucket count is
 sized via ops/keyed.py.  If one side is tiny, prefer a broadcast lookup
@@ -33,9 +38,85 @@ import pandas as pd
 import pyarrow as pa
 
 from tscan_ray.config import DEFAULT_CONFIG
-from tscan_ray.ops.keyed import grouped_apply
+from tscan_ray.ops.keyed import as_arrow_type, grouped_apply
 
 _SIDE = "__side__"
+_RIDX = "__ridx__"
+
+
+def _tag_union(left, right, left_schema, right_schema, r_rename):
+    """Side-tag and schema-align two Datasets, then union them — the
+    shared preamble of every union-exchange join.  Missing columns are
+    null-padded (the bucket UDFs split sides in Arrow before pandas
+    conversion, so the padding never pollutes real columns).
+
+    Returns ``(union_dataset, union_schema)`` — kernels use the schema
+    to stand in for schema-less empty blocks (Ray skips the pad UDF on
+    empty inputs)."""
+    all_cols: dict[str, pa.DataType] = {
+        n: as_arrow_type(t)
+        for n, t in zip(left_schema.names, left_schema.types)}
+    for name, typ in zip(right_schema.names, right_schema.types):
+        all_cols.setdefault(r_rename[name], as_arrow_type(typ))
+    union_names = list(all_cols.keys()) + [_SIDE]
+
+    def pad(side: int, rename: dict[str, str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            present = {rename.get(name, name): batch.column(name)
+                       for name in batch.column_names}
+            cols = {}
+            for name in union_names:
+                if name == _SIDE:
+                    cols[name] = pa.array(np.full(n, side, dtype=np.int8))
+                elif name in present:
+                    cols[name] = present[name]
+                else:
+                    cols[name] = pa.nulls(n, type=all_cols[name])
+            return pa.table(cols)
+
+        return fn
+
+    l_p = left.map_batches(pad(0, {}), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    r_p = right.map_batches(pad(1, r_rename), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    union_schema = pa.schema(
+        [(n, all_cols[n]) for n in all_cols] + [(_SIDE, pa.int8())])
+    return l_p.union(r_p), union_schema
+
+
+def _split_sides(tbl: pa.Table, left_cols: list[str], rcols: list[str],
+                 union_schema: pa.Schema):
+    """Split a side-tagged bucket table into left/right pandas frames.
+    Each side converts only its OWN columns, so no padding nulls (and no
+    int64->float64 degradation) reach either frame.  Schema-less empty
+    blocks (Ray skips map UDFs on empty inputs) are replaced by a typed
+    empty table so downstream column access keeps working."""
+    import pyarrow.compute as pc
+
+    if _SIDE not in tbl.column_names:
+        tbl = union_schema.empty_table()
+    lmask = pc.equal(tbl.column(_SIDE), 0)
+    ldf = tbl.filter(lmask).select(left_cols).to_pandas()
+    rdf = tbl.filter(pc.invert(lmask)).select(rcols).to_pandas()
+    return ldf, rdf.reset_index(drop=True)
+
+
+def _gather(s: pd.Series, ridx: np.ndarray, out_index) -> pd.Series:
+    """Positional gather of ``s`` (RangeIndexed) by ``ridx`` with -1 =
+    missing -> NA.  Integer/bool sources go through their nullable
+    extension dtype so exact values survive alongside NAs; fully-matched
+    results are downcast back to the original numpy dtype."""
+    orig = s.dtype
+    if np.issubdtype(s.dtype, np.integer):
+        s = s.astype(s.dtype.name.capitalize())  # int64 -> Int64 etc.
+    elif s.dtype == bool:
+        s = s.astype("boolean")
+    g = s.reindex(ridx).set_axis(out_index)
+    if g.dtype != orig and not g.isna().any():
+        g = g.astype(orig)
+    return g
 
 
 def asof_join(
@@ -71,69 +152,35 @@ def asof_join(
     right_keep += [c for c in right_value_cols if c not in right_keep]
 
     right = right.select_columns(right_keep)
-
-    # align schemas for union: every column of both sides, missing -> null
     right_schema = right.schema()
-    from tscan_ray.ops.keyed import as_arrow_type
-
-    all_cols: dict[str, pa.DataType] = {
-        n: as_arrow_type(t)
-        for n, t in zip(left_schema.names, left_schema.types)}
     # normalized right column names inside the exchange (avoid collisions)
     r_rename = {
         name: ("__r_" + name if name in left_cols and name not in (key, ts) else name)
         for name in right_schema.names
     }
-    for name, typ in zip(right_schema.names, right_schema.types):
-        all_cols.setdefault(r_rename[name], as_arrow_type(typ))
-
-    union_names = list(all_cols.keys()) + [_SIDE]
-
-    def pad(side: int, rename: dict[str, str]):
-        def fn(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            cols = {}
-            present = {rename.get(name, name): batch.column(name) for name in batch.column_names}
-            for name in union_names:
-                if name == _SIDE:
-                    cols[name] = pa.array(np.full(n, side, dtype=np.int8))
-                elif name in present:
-                    cols[name] = present[name]
-                else:
-                    cols[name] = pa.nulls(n, type=all_cols[name])
-            return pa.table(cols)
-
-        return fn
-
-    l_p = left.map_batches(pad(0, {}), batch_format="pyarrow", zero_copy_batch=True)
-    r_p = right.map_batches(pad(1, r_rename), batch_format="pyarrow", zero_copy_batch=True)
-    both = l_p.union(r_p)
+    both, union_schema = _tag_union(left, right, left_schema,
+                                    right_schema, r_rename)
 
     rv_cols = [r_rename.get(c, c) for c in right_value_cols]
     out_rename = {c: right_value_cols[i] + right_suffix for i, c in enumerate(rv_cols)}
-    sort_extra = [order_col] if order_col else []
-    # the side-tagged union null-pads left columns on right rows, degrading
-    # int columns to float64 in pandas — restore the left schema's dtypes
-    from tscan_ray.ops.keyed import schema_pandas_dtypes
+    # the RIGHT side's own order column (possibly renamed) drives the
+    # latest-writer-wins dedup; the left's order column only breaks ties
+    # in the left sort
+    r_order = r_rename.get(order_col, order_col) if order_col else None
+    r_sort_extra = [r_order] if r_order and r_order not in (key, ts) else []
+    l_sort_extra = [order_col] if order_col and order_col in left_cols else []
+    ts_r = ts + right_suffix
+    rcols = list(dict.fromkeys([key, ts] + rv_cols + r_sort_extra))
 
-    l_dtypes = schema_pandas_dtypes(left_schema)
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        ldf = df[df[_SIDE] == 0][left_cols].copy()
-        for c in left_cols:
-            if c in l_dtypes.index and ldf[c].dtype != l_dtypes[c]:
-                ldf[c] = ldf[c].astype(l_dtypes[c])
-        rcols = list(dict.fromkeys([key, ts] + rv_cols + sort_extra))
-        rdf = df[df[_SIDE] == 1][rcols].copy()
+    def merge(tbl: pa.Table) -> pd.DataFrame:
+        ldf, rdf = _split_sides(tbl, left_cols, rcols, union_schema)
         # deterministic dedup of right rows on (key, ts): latest order wins
-        rdf = rdf.sort_values([key, ts] + sort_extra, kind="mergesort")
-        rdf = rdf.drop_duplicates([key, ts], keep="last")
-        if order_col and order_col in rdf.columns and order_col not in (key, ts):
-            rdf = rdf.drop(columns=[order_col])
-        rdf = rdf.rename(columns={ts: ts + right_suffix, **out_rename})
-        ldf = ldf.sort_values([ts] + [c for c in sort_extra if c in ldf.columns],
-                              kind="mergesort")
-        rdf = rdf.sort_values(ts + right_suffix, kind="mergesort")
+        rdf = rdf.sort_values([key, ts] + r_sort_extra, kind="mergesort")
+        rdf = rdf.drop_duplicates([key, ts], keep="last").reset_index(drop=True)
+        probe = pd.DataFrame({key: rdf[key], ts_r: rdf[ts],
+                              _RIDX: np.arange(len(rdf), dtype=np.int64)})
+        probe = probe.sort_values(ts_r, kind="mergesort")
+        ldf = ldf.sort_values([ts] + l_sort_extra, kind="mergesort")
         kwargs = {}
         if tolerance_us is not None:
             tol = tolerance_us
@@ -141,20 +188,27 @@ def asof_join(
                 tol = pd.Timedelta(microseconds=tolerance_us)
             kwargs["tolerance"] = tol
         out = pd.merge_asof(
-            ldf,
-            rdf,
-            left_on=ts,
-            right_on=ts + right_suffix,
-            by=key,
-            direction=direction,
-            allow_exact_matches=True,
-            **kwargs,
+            ldf, probe,
+            left_on=ts, right_on=ts_r, by=key,
+            direction=direction, allow_exact_matches=True, **kwargs,
         )
         if how == "inner":
-            out = out[out[ts + right_suffix].notna()]
+            out = out[out[_RIDX].notna()]
+            ridx = out[_RIDX].to_numpy(dtype=np.float64).astype(np.int64)
+        else:
+            ridx = np.where(out[_RIDX].notna(),
+                            out[_RIDX].to_numpy(dtype=np.float64),
+                            -1).astype(np.int64)
+        out = out.drop(columns=[_RIDX])
+        # gather the matched right values by row index — exact dtypes,
+        # no float64 round trip even for >2^53 int64 payloads
+        out[ts_r] = _gather(rdf[ts], ridx, out.index)
+        for rc in rv_cols:
+            out[out_rename[rc]] = _gather(rdf[rc], ridx, out.index)
         return out
 
-    return grouped_apply(both, key, merge, num_buckets)
+    return grouped_apply(both, key, merge, num_buckets,
+                         batch_format="pyarrow")
 
 
 def interval_join(
@@ -179,10 +233,10 @@ def interval_join(
     before ts is the unique candidate, so the join reduces to ONE
     ``merge_asof`` backward gallop on ``start_col`` followed by a
     vectorized ``end_col >= ts`` filter — same one-exchange,
-    sorted-merge plan as :func:`asof_join` (no per-key cartesian
-    product).  For overlapping-but-bounded intervals, run k passes with
-    the top-k starts; for unbounded overlap use a tree join (out of
-    scope here).
+    sorted-merge, gather-by-row-index plan as :func:`asof_join` (no
+    per-key cartesian product).  For overlapping-but-bounded intervals,
+    run k passes with the top-k starts; for unbounded overlap use a
+    tree join (out of scope here).
 
     Output: left schema + start/end + each right value column.
     ``how='left'`` keeps unmatched left rows with nulls.
@@ -193,78 +247,43 @@ def interval_join(
     right = right.select_columns(right_keep)
     right_schema = right.schema()
 
-    from tscan_ray.ops.keyed import as_arrow_type
-
-    all_cols: dict[str, pa.DataType] = {
-        n: as_arrow_type(t)
-        for n, t in zip(left_schema.names, left_schema.types)}
     r_rename = {
         name: ("__r_" + name if name in left_cols and name != key else name)
         for name in right_schema.names
     }
-    for name, typ in zip(right_schema.names, right_schema.types):
-        all_cols.setdefault(r_rename[name], as_arrow_type(typ))
-    union_names = list(all_cols.keys()) + [_SIDE]
-
-    def pad(side: int, rename: dict[str, str]):
-        def fn(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            present = {rename.get(name, name): batch.column(name)
-                       for name in batch.column_names}
-            cols = {}
-            for name in union_names:
-                if name == _SIDE:
-                    cols[name] = pa.array(np.full(n, side, dtype=np.int8))
-                elif name in present:
-                    cols[name] = present[name]
-                else:
-                    cols[name] = pa.nulls(n, type=all_cols[name])
-            return pa.table(cols)
-
-        return fn
-
-    l_p = left.map_batches(pad(0, {}), batch_format="pyarrow", zero_copy_batch=True)
-    r_p = right.map_batches(pad(1, r_rename), batch_format="pyarrow", zero_copy_batch=True)
-    both = l_p.union(r_p)
+    both, union_schema = _tag_union(left, right, left_schema,
+                                    right_schema, r_rename)
 
     s_c, e_c = r_rename[start_col], r_rename[end_col]
     rv_cols = [r_rename[c] for c in right_value_cols]
-    out_rename = {s_c: start_col, e_c: end_col,
-                  **{rc: right_value_cols[i] for i, rc in enumerate(rv_cols)}}
+    out_names = {s_c: start_col, e_c: end_col,
+                 **{rc: right_value_cols[i] for i, rc in enumerate(rv_cols)}}
+    rcols = list(dict.fromkeys([key, s_c, e_c] + rv_cols))
 
-    # side-tagged union null-pads each side's columns on the other side's
-    # rows, degrading int columns to float64 in pandas; restore original
-    # dtypes (right ones only on the fully-matched inner-join output)
-    from tscan_ray.ops.keyed import schema_pandas_dtypes
-
-    r_dtypes = schema_pandas_dtypes(right_schema)
-    l_dtypes = schema_pandas_dtypes(left_schema)
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        ldf = df[df[_SIDE] == 0][left_cols].copy()
-        for c in left_cols:
-            if c in l_dtypes.index and ldf[c].dtype != l_dtypes[c]:
-                ldf[c] = ldf[c].astype(l_dtypes[c])
-        rdf = df[df[_SIDE] == 1][list(dict.fromkeys([key, s_c, e_c] + rv_cols))].copy()
-        for c in rdf.columns:
-            orig = out_rename.get(c, c)
-            if orig in r_dtypes.index and rdf[c].dtype != r_dtypes[orig]:
-                rdf[c] = rdf[c].astype(r_dtypes[orig])
+    def merge(tbl: pa.Table) -> pd.DataFrame:
+        ldf, rdf = _split_sides(tbl, left_cols, rcols, union_schema)
+        rdf = rdf.sort_values([key, s_c], kind="mergesort").reset_index(drop=True)
+        probe = pd.DataFrame({key: rdf[key], s_c: rdf[s_c],
+                              _RIDX: np.arange(len(rdf), dtype=np.int64)})
         ldf = ldf.sort_values(ts, kind="mergesort")
-        rdf = rdf.sort_values(s_c, kind="mergesort")
-        out = pd.merge_asof(ldf, rdf, left_on=ts, right_on=s_c, by=key,
+        probe = probe.sort_values(s_c, kind="mergesort")
+        out = pd.merge_asof(ldf, probe, left_on=ts, right_on=s_c, by=key,
                             direction="backward", allow_exact_matches=True)
-        matched = out[e_c].notna() & (out[ts] <= out[e_c])
+        out = out.drop(columns=[s_c])
+        cand = np.where(out[_RIDX].notna(),
+                        out[_RIDX].to_numpy(dtype=np.float64),
+                        -1).astype(np.int64)
+        end_vals = _gather(rdf[e_c], cand, out.index)
+        matched = end_vals.notna() & (out[ts] <= end_vals)
         if how == "inner":
             out = out[matched]
+            ridx = cand[matched.to_numpy()]
         else:
-            unmatched_cols = [s_c, e_c] + rv_cols
-            out.loc[~matched, unmatched_cols] = None
-        out = out.rename(columns=out_rename)
-        if how == "inner":
-            for internal, orig in out_rename.items():
-                if orig in r_dtypes.index:
-                    out[orig] = out[orig].astype(r_dtypes[orig])
+            ridx = np.where(matched.to_numpy(), cand, -1)
+        out = out.drop(columns=[_RIDX])
+        for internal, orig in out_names.items():
+            out[orig] = _gather(rdf[internal], ridx, out.index)
         return out
 
-    return grouped_apply(both, key, merge, num_buckets)
+    return grouped_apply(both, key, merge, num_buckets,
+                         batch_format="pyarrow")

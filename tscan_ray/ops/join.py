@@ -104,16 +104,15 @@ def exchange_join(
     whenever one side is dimension-sized.
     """
     import numpy as np
-    import pyarrow as pa
 
     from tscan_ray.config import DEFAULT_CONFIG
+    from tscan_ray.ops.asof import _split_sides, _tag_union
     from tscan_ray.ops.keyed import grouped_apply
 
     if how not in ("inner", "left"):
         raise ValueError(how)
     if num_buckets is None:
         num_buckets = DEFAULT_CONFIG.num_key_buckets
-    _side = "__side__"
 
     left_schema = left.schema()
     left_cols = list(left_schema.names)
@@ -122,55 +121,23 @@ def exchange_join(
     right_schema = right.schema()
     r_rename = {n: ("__r_" + n if n in left_cols and n != on else n)
                 for n in right_schema.names}
-
-    from tscan_ray.ops.keyed import as_arrow_type
-
-    all_cols = {n: as_arrow_type(t)
-                for n, t in zip(left_schema.names, left_schema.types)}
-    for n, t in zip(right_schema.names, right_schema.types):
-        all_cols.setdefault(r_rename[n], as_arrow_type(t))
-    union_names = list(all_cols.keys()) + [_side]
-
-    def pad(side, rename):
-        def fn(batch: pa.Table) -> pa.Table:
-            nrows = batch.num_rows
-            present = {rename.get(n, n): batch.column(n)
-                       for n in batch.column_names}
-            cols = {}
-            for n in union_names:
-                if n == _side:
-                    cols[n] = pa.array(np.full(nrows, side, dtype=np.int8))
-                elif n in present:
-                    cols[n] = present[n]
-                else:
-                    cols[n] = pa.nulls(nrows, type=all_cols[n])
-            return pa.table(cols)
-
-        return fn
-
-    both = left.map_batches(pad(0, {}), batch_format="pyarrow",
-                            zero_copy_batch=True).union(
-        right.map_batches(pad(1, r_rename), batch_format="pyarrow",
-                          zero_copy_batch=True))
-
-    from tscan_ray.ops.keyed import schema_pandas_dtypes
+    both, union_schema = _tag_union(left, right, left_schema,
+                                    right_schema, r_rename)
 
     out_rename = {r_rename[c]: c for c in right_cols if c != on}
-    l_dtypes = schema_pandas_dtypes(left_schema)
-    r_dtypes = schema_pandas_dtypes(right_schema)
+    rcols = [on] + list(out_rename.keys())
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        ldf = df[df[_side] == 0][left_cols].copy()
-        for c in left_cols:
-            if c in l_dtypes.index and ldf[c].dtype != l_dtypes[c]:
-                ldf[c] = ldf[c].astype(l_dtypes[c])
-        rcols = [on] + list(out_rename.keys())
-        rdf = df[df[_side] == 1][rcols].copy()
-        for c in rcols:
-            orig = out_rename.get(c, c)
-            if orig in r_dtypes.index and rdf[c].dtype != r_dtypes[orig]:
-                rdf[c] = rdf[c].astype(r_dtypes[orig])
-        out = ldf.merge(rdf.rename(columns=out_rename), on=on, how=how)
-        return out
+    def merge(tbl) -> pd.DataFrame:
+        # Arrow-side split: each side converts only its own columns, so
+        # padding nulls never degrade int64 (>2^53-safe, e.g. phash ids)
+        ldf, rdf = _split_sides(tbl, left_cols, rcols, union_schema)
+        if how == "left":
+            # unmatched left rows would degrade int payload columns to
+            # float64; nullable Int64 keeps them exact alongside NAs
+            for c in rdf.columns:
+                if c != on and np.issubdtype(rdf[c].dtype, np.integer):
+                    rdf[c] = rdf[c].astype(rdf[c].dtype.name.capitalize())
+        return ldf.merge(rdf.rename(columns=out_rename), on=on, how=how)
 
-    return grouped_apply(both, on, merge, num_buckets)
+    return grouped_apply(both, on, merge, num_buckets,
+                         batch_format="pyarrow")

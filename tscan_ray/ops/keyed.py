@@ -82,6 +82,9 @@ def _split_task(key: str, num_buckets: int, direct: bool, *blocks):
     """Partition the input blocks by key hash into ``num_buckets`` slices
     (ONE stable sort + searchsorted per task — no per-bucket scan)."""
     tbl = pa.concat_tables([_as_arrow(b) for b in blocks], promote_options="default")
+    if key not in tbl.column_names:  # schema-less empty blocks
+        empty = tbl.slice(0, 0)
+        return tuple(empty for _ in range(num_buckets))
     vals = tbl.column(key).to_numpy(zero_copy_only=False)
     if direct:
         b = np.asarray(vals, dtype=np.int64) % num_buckets
@@ -153,7 +156,18 @@ def task_exchange(
     flush()
 
     if not split_refs:
-        return ds  # empty input: nothing to exchange
+        # empty input: still produce the KERNEL's output schema (the raw
+        # padded-union schema would leak __side__/__r_* columns to
+        # downstream select/write)
+        schema = ds.schema()
+        if schema is None:
+            return ds
+        empty = pa.table({n: pa.nulls(0, type=as_arrow_type(t))
+                          for n, t in zip(schema.names, schema.types)})
+        out = fn(empty if batch_format == "pyarrow" else empty.to_pandas())
+        if isinstance(out, pd.DataFrame):
+            out = pa.Table.from_pandas(out, preserve_index=False)
+        return rd.from_arrow(out)
 
     m = len(split_refs)
     if num_buckets == 1:
@@ -175,12 +189,16 @@ def grouped_apply(
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_buckets: int,
     engine: str | None = None,
+    batch_format: str = "pandas",
 ):
     """Apply a vectorized multi-key kernel to each key-hash bucket.
 
     ``fn`` receives one bucket (all rows of every entity hashed to it) as
-    a pandas DataFrame and must itself be vectorized across keys
-    (``df.groupby(key)`` transforms, ``merge_asof``, ...).
+    a pandas DataFrame (default) or a pyarrow Table
+    (``batch_format="pyarrow"`` — use this when the kernel must control
+    the pandas conversion itself, e.g. to keep int64 columns exact in
+    the presence of union null-padding) and must itself be vectorized
+    across keys (``df.groupby(key)`` transforms, ``merge_asof``, ...).
 
     ``engine``: "tasks" (default; parallel task shuffle) or "raydata"
     (``groupby().map_groups`` — serial exchange on this Ray build, kept
@@ -188,18 +206,21 @@ def grouped_apply(
     """
     engine = engine or os.environ.get("TSCAN_RAY_EXCHANGE", "tasks")
 
-    def wrapper(df: pd.DataFrame) -> pd.DataFrame:
-        out = fn(df)
+    def wrapper(batch):
+        out = fn(batch)
         if BUCKET_COL in getattr(out, "columns", ()):
             out = out.drop(columns=[BUCKET_COL])
+        elif isinstance(out, pa.Table) and BUCKET_COL in out.column_names:
+            out = out.drop_columns([BUCKET_COL])
         return out
 
     if engine == "raydata":
         bucketed = with_bucket(ds, key, num_buckets)
         return bucketed.groupby(BUCKET_COL).map_groups(
-            wrapper, batch_format="pandas"
+            wrapper, batch_format=batch_format
         )
-    return task_exchange(ds, key, wrapper, num_buckets)
+    return task_exchange(ds, key, wrapper, num_buckets,
+                         batch_format=batch_format)
 
 
 def schema_pandas_dtypes(schema) -> pd.Series:

@@ -32,8 +32,12 @@ def _sort_cols(key: str, ts: str, order_col: str | None) -> list[str]:
 
 def _ts_us(s: pd.Series) -> pd.Series:
     """Timestamp column -> int64 microseconds, unit-safe (pandas may hold
-    datetime64[us] from Arrow or datetime64[ns]); integer columns are
-    assumed to already be microseconds."""
+    datetime64[us] from Arrow or datetime64[ns], tz-aware or naive);
+    integer columns are assumed to already be microseconds."""
+    if isinstance(s.dtype, pd.DatetimeTZDtype):
+        # np.issubdtype cannot interpret tz-aware dtypes; normalize to
+        # naive UTC first (instant is unchanged)
+        s = s.dt.tz_convert("UTC").dt.tz_localize(None)
     if np.issubdtype(s.dtype, np.datetime64):
         return s.astype("datetime64[us]").astype("int64")
     return s.astype("int64")
@@ -283,9 +287,17 @@ def expanding_agg(
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(_sort_cols(key, ts, order_col), kind="mergesort")
         g = df.groupby(key, sort=False)[value_col]
-        df[value_col + "_cnt"] = g.cumcount() + 1
+        # SQL aggregate null rules: count/sum/mean are over NON-null
+        # values (pandas cumsum/cummin/cummax already skip NaN; a
+        # cumcount-based denominator would count null rows too)
+        df[value_col + "_cnt"] = (
+            df[value_col].notna().groupby(df[key], sort=False).cumsum()
+            .astype("int64"))
         df[value_col + "_csum"] = g.cumsum()
-        df[value_col + "_cmean"] = df[value_col + "_csum"] / df[value_col + "_cnt"]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            df[value_col + "_cmean"] = (
+                df[value_col + "_csum"] / df[value_col + "_cnt"].where(
+                    df[value_col + "_cnt"] > 0))
         df[value_col + "_cmin"] = g.cummin()
         df[value_col + "_cmax"] = g.cummax()
         return df
@@ -376,26 +388,34 @@ def sliding_window(
 
 def _time_rolling_kernel(micros: np.ndarray, vals: np.ndarray,
                          seg_bounds: np.ndarray, window_us: int):
-    """Peer-inclusive trailing time-window sum/count per row.
+    """Peer-inclusive trailing time-window sum / row count / non-null
+    count per row.
 
     For row i the frame is all rows of its segment with
     ``ts in [ts_i - window_us, ts_i]`` — SQL ``RANGE BETWEEN w PRECEDING
     AND CURRENT ROW`` semantics (equal-ts peers included, so the result
-    is independent of intra-timestamp order).  ``seg_bounds`` are the
-    [start, end) offsets of each (already sorted) segment; the inner
-    search is a vectorized double binary search per segment.
+    is independent of intra-timestamp order).  NULL values follow SQL
+    aggregate rules: they count toward the row count but not the sum or
+    the non-null count (a raw cumsum would instead poison every later
+    window of the entity with NaN).  ``seg_bounds`` are the [start, end)
+    offsets of each (already sorted) segment.
     """
     n = len(micros)
     out_sum = np.empty(n, dtype=np.float64)
     out_n = np.empty(n, dtype=np.int64)
+    out_nn = np.empty(n, dtype=np.int64)
+    valid = ~np.isnan(vals)
+    filled = np.where(valid, vals, 0.0)
     for s, e in zip(seg_bounds[:-1], seg_bounds[1:]):
         m = micros[s:e]
-        csum = np.concatenate([[0.0], np.cumsum(vals[s:e])])
+        csum = np.concatenate([[0.0], np.cumsum(filled[s:e])])
+        ccnt = np.concatenate([[0], np.cumsum(valid[s:e])])
         lo = np.searchsorted(m, m - window_us, side="left")
         hi = np.searchsorted(m, m, side="right")
         out_sum[s:e] = csum[hi] - csum[lo]
+        out_nn[s:e] = ccnt[hi] - ccnt[lo]
         out_n[s:e] = hi - lo
-    return out_sum, out_n
+    return out_sum, out_n, out_nn
 
 
 def _seg_bounds(*arrays: np.ndarray) -> np.ndarray:
@@ -431,8 +451,9 @@ def rolling_time_agg(
     many buckets; each row whose ts falls in the last ``window_us`` of
     its slice is REPLICATED once into the next slice as lookback
     context (flagged, excluded from output).  Shuffle growth is bounded
-    by window/slice; results are bit-identical to the unsliced plan —
-    tests assert this and the shared SQL oracle.
+    by window/slice; results match the unsliced plan up to float-sum
+    associativity (the per-slice prefix sums can differ in the last
+    ulp) — tests assert allclose and the shared SQL oracle.
     """
     if slice_us is not None and slice_us < window_us:
         raise ValueError("slice_us must be >= window_us (one-slice lookback)")
@@ -447,10 +468,11 @@ def rolling_time_agg(
         micros = _ts_us(df[ts]).to_numpy()
         vals = df[value_col].to_numpy(dtype=np.float64)
         bounds = _seg_bounds(*seg_arrays)
-        s, n = _time_rolling_kernel(micros, vals, bounds, window_us)
+        s, n, nn = _time_rolling_kernel(micros, vals, bounds, window_us)
         df["rt_n"] = n
         df["rt_sum"] = s
-        df["rt_mean"] = s / n
+        with np.errstate(invalid="ignore", divide="ignore"):
+            df["rt_mean"] = np.where(nn > 0, s / np.maximum(nn, 1), np.nan)
         return df
 
     if slice_us is None:
@@ -514,10 +536,13 @@ def expanding_znorm(
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(_sort_cols(key, ts, order_col), kind="mergesort")
         g = df.groupby(key, sort=False)[value_col]
-        n = (g.cumcount() + 1).to_numpy(dtype=np.float64)
+        # n = running NON-null count (SQL semantics; cumcount would count
+        # null rows and bias the mean/std)
+        n = (df[value_col].notna().groupby(df[key], sort=False).cumsum()
+             .to_numpy(dtype=np.float64))
         s1 = g.cumsum().to_numpy(dtype=np.float64)
-        s2 = df.assign(__sq=df[value_col] ** 2).groupby(key, sort=False)[
-            "__sq"].cumsum().to_numpy(dtype=np.float64)
+        s2 = ((df[value_col] ** 2).groupby(df[key], sort=False)
+              .cumsum().to_numpy(dtype=np.float64))
         mean = s1 / n
         with np.errstate(invalid="ignore", divide="ignore"):
             var = (s2 - n * mean**2) / np.maximum(n - ddof, 0)
@@ -526,7 +551,6 @@ def expanding_znorm(
             z = (df[value_col].to_numpy(dtype=np.float64) - mean) / std
         z[(n < 2) | (std == 0)] = np.nan
         df[value_col + "_zexp"] = z
-        df = df.drop(columns=["__sq"], errors="ignore")
         return df
 
     return grouped_apply(ds, key, fn, num_buckets)

@@ -254,3 +254,20 @@ class TestReviewRegressions:
         assert out.count() == 0
         assert "__side__" not in cols
         assert {"k", "ts", "v", "ts_r", "v_r"} <= cols
+
+    def test_exchange_join_left_large_ints(self):
+        """exchange_join how='left': unmatched rows must not degrade the
+        int payload column's matched values (>2^53-safe via Int64)."""
+        import ray.data as rd
+
+        from tscan_ray.ops.join import exchange_join
+
+        big = (1 << 59) + 7
+        l = pd.DataFrame({"k": [1, 2], "x": [10, 20]})
+        r = pd.DataFrame({"k": [1], "pay": [big]})
+        out = exchange_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                            right_cols=["pay"], how="left",
+                            num_buckets=2).to_pandas()
+        got = dict(zip(out["k"], out["pay"]))
+        assert got[1] == big
+        assert pd.isna(got[2])

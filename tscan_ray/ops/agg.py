@@ -10,9 +10,10 @@ merge); the reference's structStats::merge has the same algebra
 Skew handling: the partial phase already collapses hot keys inside each
 batch, which is what salting achieves for pure aggregation — a key with
 10^9 rows reaches the exchange as (num_batches) partial rows.  An
-explicit extra salt column is only needed when the *reducer* itself is
-heavy per group; ``salt`` adds one for that case and a second fold
-removes it.
+explicit salt is only needed when the partial rows of ONE key still
+overwhelm a single reducer (billions of batches); ``salt > 0`` switches
+to a two-tier reduce — fold per (key, content-salt) on a composite
+exchange key, then a tiny final fold per key.
 """
 
 from __future__ import annotations
@@ -49,24 +50,37 @@ def groupby_sum_2phase(
         out.columns = keys + sum_names
         out[count_alias] = g.size().to_numpy()
         if salt > 0:
-            # deterministic batch-content salt spreads a hot key's partials
-            out["__salt__"] = (
-                pd.util.hash_pandas_object(out[keys[0]], index=False).to_numpy()
-                % np.uint64(salt)
+            # content-derived salt VARIES across a key's partials (the
+            # partial sums differ batch to batch), so the composite
+            # exchange key below spreads one hot key over up to ``salt``
+            # reducers; deterministic, so retries re-produce the plan
+            from tscan_ray.ops.keyed import _KNUTH
+
+            kh = pd.util.hash_pandas_object(out[keys[0]], index=False).to_numpy()
+            ch = pd.util.hash_pandas_object(out[sum_names[0]], index=False).to_numpy()
+            out["__salt__"] = (ch % np.uint64(salt)).astype(np.int64)
+            out["__skey__"] = (
+                (kh ^ (out["__salt__"].to_numpy().astype(np.uint64) * _KNUTH))
+                >> np.uint64(1)
             ).astype(np.int64)
         return out
 
     partials = ds.map_batches(partial, batch_format="pandas")
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
+        drop = [c for c in ("__salt__", "__skey__") if c in df.columns]
+        gcols = keys + [c for c in ("__salt__",) if c in df.columns]
         if df.empty:
-            return df.drop(columns=["__salt__"], errors="ignore")
-        if "__salt__" in df.columns:
-            df = df.drop(columns=["__salt__"])
-        g = df.groupby(keys, sort=False, dropna=False)
-        out = g[sum_names + [count_alias]].sum().reset_index()
-        return out
+            return df.drop(columns=drop)
+        out = (df.groupby(gcols, sort=False, dropna=False)
+               [sum_names + [count_alias]].sum().reset_index())
+        return out.drop(columns=[c for c in drop if c in out.columns])
 
+    if salt > 0:
+        # tier 1: fold per (key, salt) on the composite exchange key;
+        # tier 2: the surviving rows are only keys x salt — a tiny final fold
+        tier1 = grouped_apply(partials, "__skey__", fold, num_buckets=32)
+        return grouped_apply(tier1, keys[0], fold, num_buckets=32)
     return grouped_apply(partials, keys[0], fold, num_buckets=32)
 
 
@@ -162,9 +176,11 @@ def groupby_stats_robust(
                             "med_value": med.to_numpy(),
                             "mad_value": mad.reindex(med.index).to_numpy()})
         if ts_col is not None:
+            from tscan_ray.ops.window import _ts_us
+
             t = df[ts_col]
-            if np.issubdtype(t.dtype, np.datetime64):
-                t = t.astype("datetime64[us]").astype("int64")
+            if not np.issubdtype(getattr(t.dtype, "type", object), np.floating):
+                t = _ts_us(t)  # tz-aware/naive timestamps or int micros
             t = t.astype("float64")
             cx = df[value_col] - df[key].map(g[value_col].mean())
             ty = t.groupby(df[key], sort=False).transform("mean")

@@ -63,15 +63,23 @@ def topk_cosine(
     q_ref = ray.put(q)
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # e.g. a fully-filtered LSH/IVF block
+            return pa.table({id_col: pa.nulls(0, batch.column(id_col).type),
+                             "cosine": pa.array([], type=pa.float64())})
         qv = ray.get(q_ref)
         m = _normalize(_as_matrix(batch.column(vec_col)))
         sims = m @ qv
         if round_to is not None:
             sims = np.round(sims, round_to)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         kk = min(k, len(sims))
-        idx = np.argpartition(-sims, kk - 1)[:kk]
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[idx]
-        return pa.table({id_col: pa.array(ids), "cosine": pa.array(sims[idx], type=pa.float64())})
+        # lexsort tie-break on id so the batch-local selection agrees
+        # with the final (-cosine, id) global sort — otherwise equal
+        # cosines straddling the cutoff make the result depend on block
+        # boundaries
+        idx = np.lexsort((ids, -sims))[:kk]
+        return pa.table({id_col: pa.array(ids[idx]),
+                         "cosine": pa.array(sims[idx], type=pa.float64())})
 
     partials = ds.select_columns([id_col, vec_col]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True

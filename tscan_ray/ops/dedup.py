@@ -145,7 +145,7 @@ def minhash_lsh_pairs(
             {
                 "band_id": pa.array(out_band, type=pa.int32()),
                 "band_key": pa.array(out_bhash, type=pa.int64()),
-                id_col: pa.array(out_id),
+                id_col: pa.array(out_id, type=batch.column(id_col).type),
                 "__shingles__": pa.array(out_sh, type=pa.list_(pa.int64())),
             }
         )

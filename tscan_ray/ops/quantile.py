@@ -26,7 +26,17 @@ def quantiles_disc(ds, col: str, qs: list[float]) -> pa.Table:
     for q in qs:
         if not 0.0 <= q <= 1.0:
             raise ValueError(q)
-    sorted_ds = ds.select_columns([col]).sort(col)
+    import pyarrow.compute as pc
+
+    def drop_nulls(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column(col)))
+
+    # SQL quantile_disc ignores NULLs: n and the target indices are over
+    # non-null values only
+    sorted_ds = (ds.select_columns([col])
+                 .map_batches(drop_nulls, batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .sort(col))
 
     block_refs: list = []
     counts: list[int] = []

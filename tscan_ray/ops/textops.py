@@ -151,17 +151,32 @@ def rolling_fingerprint(text: str, window: int = 8) -> int:
         return 0
     arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
     with np.errstate(over="ignore"):
-        # vectorized FNV-1a-style fold: position-weighted polynomial sum
-        weights = _FP_BASE ** np.arange(arr.size, dtype=np.uint64)
-        fnv = np.uint64(0xCBF29CE484222325) + (arr * weights).sum(dtype=np.uint64)
+        # vectorized FNV-1a-style fold: position-weighted polynomial sum,
+        # evaluated chunk-wise so the weight array stays bounded
+        chunk = 1 << 16
+        pw = _FP_BASE ** np.arange(min(chunk, arr.size), dtype=np.uint64)
+        fnv = np.uint64(0xCBF29CE484222325)
+        base_pow = np.uint64(1)
+        for s in range(0, arr.size, chunk):
+            e = min(arr.size, s + chunk)
+            fnv = fnv + (arr[s:e] * (pw[:e - s] * base_pow)).sum(dtype=np.uint64)
+            base_pow = base_pow * _FP_BASE ** np.uint64(e - s)
         if arr.size <= window:
             return int(fnv.astype(np.int64))
-        # min rolling window hash (all windows via strided dot)
+        # min rolling window hash — zero-copy strided windows evaluated
+        # in bounded chunks (an explicit (n, window) product would be
+        # O(n*window) memory and blow up on multi-MB documents)
         powers = _FP_BASE ** np.arange(window, dtype=np.uint64)
-        n = arr.size - window + 1
-        idx = np.arange(window)[None, :] + np.arange(n)[:, None]
-        hashes = (arr[idx] * powers[None, :]).sum(axis=1, dtype=np.uint64)
-        mixed = fnv ^ (hashes.min() * _FP_BASE)
+        n_win = arr.size - window + 1
+        chunk = 1 << 16
+        best = np.uint64(0xFFFFFFFFFFFFFFFF)
+        for s in range(0, n_win, chunk):
+            e = min(n_win, s + chunk)
+            w = np.lib.stride_tricks.sliding_window_view(
+                arr[s:e + window - 1], window)
+            h = (w * powers[None, :]).sum(axis=1, dtype=np.uint64)
+            best = min(best, h.min())
+        mixed = fnv ^ (best * _FP_BASE)
     return int(mixed.astype(np.int64))
 
 
@@ -217,7 +232,9 @@ def frequency_rank_table(ds, text_col: str, k: int = 20000,
 
     def add_rank(batch: pa.Table) -> pa.Table:
         rnk = np.arange(1, batch.num_rows + 1, dtype=np.int64)
-        band = band_arr[np.searchsorted(band_arr, rnk, side="left")]
+        # ranks past the last band edge (k > max(bands)) clamp into it
+        band = band_arr[np.minimum(np.searchsorted(band_arr, rnk, side="left"),
+                                   len(band_arr) - 1)]
         return batch.append_column("rnk", pa.array(rnk)).append_column(
             "band", pa.array(band))
 

@@ -95,3 +95,92 @@ class TestAnnEmptyBlocks:
             out = topk_cosine(rd.from_pandas(df).repartition(parts),
                               np.array([1.0, 0.0]), k=5).to_pandas()
             assert sorted(out["vec_id"]) == [0, 1, 2, 3, 4], parts
+
+
+class TestTextLayerFixes:
+    def test_normalize_matches_reference_line_loop(self):
+        from tscan_ray.text.tokenize import normalize_text
+
+        # ### truncates (prefix survives), per reference substr(0, match)
+        assert normalize_text("keep ### drop") == "keep "
+        # >>> at line start closes the block; its line and the block drop
+        out = normalize_text("before\n<<<\nhidden\n>>> trailing\nafter")
+        assert out == "before\nafter"
+        # unmatched close is lenient (engine divergence, documented)
+        assert "text" in normalize_text(">>> x\ntext")
+
+    def test_closing_quote_absorbed_into_sentence(self):
+        from tscan_ray.text.tokenize import split_sentences, tokenize
+
+        s = split_sentences(tokenize('Hij zei "stop." De man liep weg.'))
+        assert len(s) == 2
+        assert s[0][-1] == '"'
+        assert s[1][0] == "De"
+
+    def test_separable_verb_full_lemma(self):
+        from tscan_ray.config import DEFAULT_CONFIG
+        from tscan_ray.text.features import analyze_sentence
+        from tscan_ray.text.lexicons import default_lexicons
+
+        lex = default_lexicons()
+        with_part = analyze_sentence("de man liep snel weg .".split(),
+                                     None, lex, DEFAULT_CONFIG)
+        verb = next(a for a in with_part.words if a.tag == "WW")
+        assert verb.full_lemma == "weglopen"
+        assert verb.sem_type == lex.verb_sem["weglopen"]
+        without = analyze_sentence("de man liep snel .".split(),
+                                   None, lex, DEFAULT_CONFIG)
+        verb2 = next(a for a in without.words if a.tag == "WW")
+        assert verb2.full_lemma == ""
+
+    def test_memo_isolated_across_custom_bundles(self):
+        from tscan_ray.config import DEFAULT_CONFIG
+        from tscan_ray.stages.featurizer import with_custom_wordlist
+        from tscan_ray.text.features import analyze_word
+
+        a = with_custom_wordlist(["fiets"], classification="thing")
+        ann_a = analyze_word("fiets", False, a)
+        b = with_custom_wordlist([], classification="x")
+        ann_b = analyze_word("fiets", False, b)
+        assert ann_a.my_class == "thing"
+        assert ann_b.my_class == ""  # not served from bundle a's cache
+
+
+class TestDecodeBadId:
+    def test_non_numeric_id_marks_not_ok(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from tscan_ray.sources.codecs import encode_image
+        from tscan_ray.sources.images import make_pixels
+        from tscan_ray.stages.decode import decode_validate
+
+        px = make_pixels(1, 1, 8, 8)
+        blob = encode_image(px, "png")
+        ds = rd.from_arrow(pa.table({
+            "image_id": ["img-final-2"], "bytes": [blob],
+            "w": pa.array([8], type=pa.int32()),
+            "h": pa.array([8], type=pa.int32()),
+            "fmt": ["png"], "caption": ["x"],
+        }))
+        out = decode_validate(ds, concurrency=1).to_pandas()
+        # falls back to the re-encode round-trip check, no crash
+        assert len(out) == 1
+        assert bool(out["decode_ok"].iloc[0])
+
+
+class TestManifestResumeGuard:
+    def test_mismatched_bucketing_raises(self, tmp_path):
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        from tscan_ray.state.manifest import resumable_write
+
+        df = pd.DataFrame({"k": range(50), "v": range(50)})
+        out = str(tmp_path / "out")
+        resumable_write(rd.from_pandas(df), out, "k", num_buckets=8)
+        with pytest.raises(ValueError, match="resume mismatch"):
+            resumable_write(rd.from_pandas(df), out, "k", num_buckets=4)
+        with pytest.raises(ValueError, match="resume mismatch"):
+            resumable_write(rd.from_pandas(df), out, "v", num_buckets=8)

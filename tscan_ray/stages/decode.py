@@ -58,8 +58,9 @@ class DecodeValidate:
             if px.shape[0] != hs[i] or px.shape[1] != ws[i]:
                 continue
             ahash[i] = codecs.ahash64(px)
-            if self.n_entities is not None and ids[i].startswith("img-"):
-                doc_id = int(ids[i].split("-")[1])
+            seg = ids[i].split("-")[1] if ids[i].startswith("img-") else ""
+            if self.n_entities is not None and seg.isdigit():
+                doc_id = int(seg)
                 ref = make_pixels(doc_id, doc_id % self.n_entities, ws[i], hs[i])
                 p = codecs.psnr_db(ref, px)
             else:

@@ -66,6 +66,12 @@ class CaptionFeaturizer:
         self.lex = ray.get(lexicons_ref) if lexicons_ref is not None else default_lexicons()
         self.lm = ray.get(lm_ref) if lm_ref is not None else None
         self.names = feature_names()
+        # per-feature dtype for EMPTY batches (the per-batch int/float
+        # sniff below would call every column int64 when there are no
+        # values, clashing with non-empty blocks' float columns)
+        probe = featurize_document("", self.lex, self.cfg, lm=self.lm)
+        self._int_features = {n for n in self.names
+                              if isinstance(probe[n], int)}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_column).to_pylist()
@@ -77,8 +83,12 @@ class CaptionFeaturizer:
         cols = {c: batch.column(c) for c in batch.column_names}
         for n in self.names:
             vals = [r[n] for r in rows]
-            # ints stay int64; anything that can be NaN becomes float64
-            if all(isinstance(v, int) for v in vals):
+            # ints stay int64; anything that can be NaN becomes float64.
+            # Empty batches use the probe-derived dtype so the schema
+            # unifies with non-empty blocks.
+            is_int = (n in self._int_features if not vals
+                      else all(isinstance(v, int) for v in vals))
+            if is_int:
                 arr = pa.array(np.asarray(vals, dtype=np.int64), type=pa.int64())
             else:
                 arr = pa.array(np.asarray(vals, dtype=np.float64), type=pa.float64())
@@ -142,7 +152,14 @@ def with_custom_wordlist(wordlist, classification: str = "custom"):
 
     from tscan_ray.text.lexicons import default_lexicons
 
+    import itertools
+
+    from tscan_ray.text import lexicons as _lexmod
+
     lex = copy.deepcopy(default_lexicons())
+    # a deepcopy keeps the source bundle's memo token; issue a fresh one
+    # so the word-analysis memo cannot serve stale entries
+    lex.memo_token = next(_lexmod._GEN_COUNTER)
     if hasattr(wordlist, "column_names"):  # pyarrow Table
         words = wordlist.column("word").to_pylist()
         labels = (wordlist.column("classification").to_pylist()

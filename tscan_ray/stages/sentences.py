@@ -108,6 +108,8 @@ def explode_sentences(
     cfg: EngineConfig = DEFAULT_CONFIG,
     concurrency=(1, 8),
     batch_size: int = 128,
+    lexicons_ref=None,
+    lm_ref=None,
 ):
     """One output row per sentence of ``text_column`` (actor-pool stage)."""
     return ds.map_batches(
@@ -116,6 +118,8 @@ def explode_sentences(
             "text_column": text_column,
             "id_columns": id_columns,
             "cfg": cfg,
+            "lexicons_ref": lexicons_ref,
+            "lm_ref": lm_ref,
         },
         batch_format="pyarrow",
         zero_copy_batch=True,

@@ -100,6 +100,7 @@ def explode_words(
     cfg: EngineConfig = DEFAULT_CONFIG,
     concurrency=(1, 8),
     batch_size: int = 256,
+    lexicons_ref=None,
 ):
     """One output row per token of ``text_column`` (actor-pool stage)."""
     return ds.map_batches(
@@ -108,6 +109,7 @@ def explode_words(
             "text_column": text_column,
             "id_columns": id_columns,
             "cfg": cfg,
+            "lexicons_ref": lexicons_ref,
         },
         batch_format="pyarrow",
         zero_copy_batch=True,

@@ -85,6 +85,20 @@ def resumable_write(
     """
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
     done = completed_partitions(out_dir)
+    if done:
+        # resuming: the existing partitioning must match this call —
+        # skipping bucket K from an OLD (key, num_buckets) layout while
+        # writing the rest under a new one would silently lose rows
+        with open(_manifest_path(out_dir, min(done))) as f:
+            prev = json.load(f).get("lineage", {})
+        if (prev.get("key") != key
+                or prev.get("num_buckets") != num_buckets):
+            raise ValueError(
+                f"resume mismatch in {out_dir}: existing manifests were "
+                f"written with key={prev.get('key')!r}, "
+                f"num_buckets={prev.get('num_buckets')} but this call "
+                f"uses key={key!r}, num_buckets={num_buckets}; delete "
+                f"the output dir or rerun with the original settings")
     base_lineage = dict(lineage or {})
     base_lineage.setdefault("key", key)
     base_lineage.setdefault("num_buckets", num_buckets)

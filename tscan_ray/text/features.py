@@ -148,8 +148,11 @@ _ANALYZE_CACHE_LIMIT = 250_000  # bound worker heap on open-vocabulary data
 
 def analyze_word(token: str, sent_initial: bool, lex: Lexicons) -> WordAnn:
     """Word-level analysis: the wordStats ctor (src/tscan.cxx:1669-1802).
-    Memoized per (lexicon, token, sent_initial); returns a fresh copy."""
-    ck = (id(lex), token, sent_initial)
+    Memoized per (lexicon generation, token, sent_initial); returns a
+    fresh copy.  The key uses the bundle's memo_token, not id() — a
+    freed bundle's address can be reused, which would serve stale
+    analyses from the previous lexicon."""
+    ck = (lex.memo_token, token, sent_initial)
     tmpl = _ANALYZE_CACHE.get(ck)
     if tmpl is None:
         tmpl = _analyze_word_uncached(token, sent_initial, lex)
@@ -475,6 +478,29 @@ def analyze_sentence(
     c = f.c
     anns = [analyze_word(t, i == 0, lex) for i, t in enumerate(tokens)]
     f.words = anns
+
+    # separable-verb resolution (sentence context): a listed particle
+    # elsewhere in the sentence gives the verb its full lemma, and the
+    # full-lemma-first lookups (verb_sem, lemma_freq — reference
+    # src/tscan.cxx:1430-1434, 1640-1650) re-run on the fresh copies
+    if lex.separable_verbs:
+        sent_words = {a.lword for a in anns}
+        for a in anns:
+            if a.tag != "WW":
+                continue
+            parts = lex.separable_verbs.get(a.lemma)
+            if not parts:
+                continue
+            hit = sorted(parts & (sent_words - {a.lword}))
+            if hit:
+                a.full_lemma = hit[0] + a.lemma
+                lf = lex.lemma_freq.get(a.full_lemma)
+                if lf is not None:
+                    a.lemma_freq = lf
+                    a.lemma_freq_log = kernels.freq_log(lf, lex.lemma_total)
+                _set_sem_type(a, lex)
+                a.is_content = _check_content(a, False)
+                a.is_content_strict = _check_content(a, True)
 
     # surprisal attach (W26/T13; Wopr stand-in — text/surprisal.py)
     if lm is not None:

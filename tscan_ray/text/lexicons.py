@@ -22,6 +22,7 @@ not engine code.
 from __future__ import annotations
 
 import hashlib
+import itertools
 from dataclasses import dataclass, field
 
 # ---------------------------------------------------------------------------
@@ -73,8 +74,16 @@ class PosInfo:
         return ""
 
 
+_GEN_COUNTER = itertools.count()
+
+
 @dataclass
 class Lexicons:
+    # unique per-bundle generation id — memo-cache key in features.py
+    # (id() of a garbage-collected bundle can be reused by a new one,
+    # which would serve stale cached analyses)
+    memo_token: int = field(default_factory=lambda: next(_GEN_COUNTER),
+                            compare=False)
     """Frozen lexicon bundle — the engine's `settingData` equivalent."""
     pos: dict[str, PosInfo] = field(default_factory=dict)
     word_freq: dict[str, int] = field(default_factory=dict)
@@ -88,6 +97,11 @@ class Lexicons:
     adj_sem: dict[str, str] = field(default_factory=dict)
     verb_sem: dict[str, str] = field(default_factory=dict)
     compounds: dict[str, tuple[str, str, int]] = field(default_factory=dict)  # lemma -> (head, sat, n_parts)
+    # separable (particle) verbs: verb lemma -> particles; a particle in
+    # the same sentence yields full_lemma = particle + lemma
+    # (reference classifyVerb fills `full` from the Alpino svp relation,
+    # src/Alpino.cxx:640-726 — deterministic lexicon stand-in here)
+    separable_verbs: dict[str, frozenset] = field(default_factory=dict)
     # connectives: per type, single-word lemma sets + multiword (space-joined, 2-3 grams)
     conn_single: dict[str, str] = field(default_factory=dict)  # lemma -> conn type
     conn_multi: dict[str, str] = field(default_factory=dict)  # "a b [c]" -> conn type
@@ -298,6 +312,21 @@ def build_default_lexicons() -> Lexicons:
 
     # compounds: lemma -> (head, satellite, parts)
     lex.compounds["boekenkast"] = ("kast", "boeken", 2)
+
+    # separable verbs + their full-lemma entries (verb_sem / lemma_freq
+    # consult full_lemma FIRST, src/tscan.cxx:1430-1434 / 1640-1650)
+    lex.separable_verbs.update({
+        "lopen": frozenset({"weg", "door"}),
+        "zien": frozenset({"toe"}),
+        "maken": frozenset({"op", "af"}),
+        "denken": frozenset({"na"}),
+        "werken": frozenset({"mee", "uit"}),
+    })
+    for verb, parts in lex.separable_verbs.items():
+        for p in sorted(parts):
+            full = p + verb
+            lex.verb_sem[full] = "action"
+            lex.lemma_freq[full] = lex.lemma_freq.get(full, 0) + 25
 
     # connectives (single, per SURVEY W6; POS-gated to VG/VZ/BW at use site)
     lex.conn_single.update({

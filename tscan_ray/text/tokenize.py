@@ -15,7 +15,6 @@ from __future__ import annotations
 import re
 
 _BOM = "﻿"
-_COMMENT_LINE = re.compile(r"^\s*###")
 _BLOCK_OPEN = "<<<"
 _BLOCK_CLOSE = ">>>"
 _BRACKETS = str.maketrans({"[": "(", "]": ")", "{": "(", "}": ")"})
@@ -24,25 +23,39 @@ _BRACKETS = str.maketrans({"[": "(", "]": ")", "{": "(", "}": ")"})
 _TOKEN_RE = re.compile(r"[^\W_]+(?:[-'’.][^\W_]+)*|[^\w\s]", re.UNICODE)
 
 _SENT_END = {".", "!", "?"}
+_CLOSERS = {'"', "'", "\u201d", "\u2019", ")", "\u00bb"}
 _PUNCT_RE = re.compile(r"^[^\w\s]+$", re.UNICODE)
 
 
 def normalize_text(text: str) -> str:
-    """Input normalizer (reference S1 semantics, re-expressed)."""
-    if text.startswith(_BOM):
-        text = text[len(_BOM) :]
+    """Input normalizer, matching the reference line loop
+    (src/tscan.cxx:3150-3199) exactly: truncate each line at ``###``
+    (the prefix survives), strip a per-line BOM, rewrite brackets, then
+    treat a line whose first three chars are ``<<<`` / ``>>>`` as a
+    comment-block open / close (both marker lines are dropped, as is
+    everything in between).  Divergence: the reference hard-errors on
+    nested ``<<<`` or unmatched ``>>>``; the engine is lenient (state
+    simply toggles) so one malformed document cannot abort a batch.
+    """
     out_lines = []
     in_block = False
     for line in text.split("\n"):
-        stripped = line.strip()
-        if _COMMENT_LINE.match(stripped):
+        m = line.find("###")
+        if m != -1:
+            line = line[:m]
+        if line.startswith(_BOM):
+            line = line[len(_BOM):]
+        line = line.translate(_BRACKETS)
+        if len(line) > 2:
+            start = line[:3]
+            if start == _BLOCK_OPEN:
+                in_block = True
+            elif start == _BLOCK_CLOSE:
+                in_block = False
+                continue
+        if in_block:
             continue
-        if stripped.startswith(_BLOCK_OPEN):
-            in_block = True
-        if not in_block:
-            out_lines.append(line.translate(_BRACKETS))
-        if stripped.endswith(_BLOCK_CLOSE):
-            in_block = False
+        out_lines.append(line)
     return "\n".join(out_lines)
 
 
@@ -63,6 +76,13 @@ def split_sentences(tokens: list[str]) -> list[list[str]]:
     sents: list[list[str]] = []
     cur: list[str] = []
     for tok in tokens:
+        if not cur and sents and tok in _CLOSERS:
+            # closing quote/bracket right after terminal punctuation
+            # belongs to the sentence it closes — otherwise it becomes a
+            # spurious word-less "sentence" that resets the
+            # prev-sentence overlap buffer (T5)
+            sents[-1].append(tok)
+            continue
         cur.append(tok)
         if tok in _SENT_END:
             sents.append(cur)

@@ -1274,11 +1274,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_docfreq": r"""
             with toks as (
-              select distinct doc_id, unnest(string_split(lower(text), ' '))
+              select distinct doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
                        as token
-              from documents)
+              from documents where length(trim(text)) > 0)
             select token, count(*) as df
-            from toks where token <> ''
+            from toks
             group by token order by df desc, token limit 20
         """,
     }

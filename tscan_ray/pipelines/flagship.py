@@ -113,6 +113,36 @@ def add_timeline_features(
     return grouped_apply(ds, key, fn, num_buckets or cfg.num_key_buckets)
 
 
+def amplify_docs(docs, sf_dir: str, amplify: int):
+    """Deterministically replicate the documents table ``amplify``x with
+    fresh doc_ids, INSIDE one map op (a union of K read branches adds
+    ~2K operators of fixed streaming-executor overhead), then re-split
+    so downstream codec work fans out."""
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    if amplify <= 1:
+        return docs
+    n0 = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def replicate(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        i = batch.column_names.index("doc_id")
+        copies = [batch]
+        for r in range(1, amplify):
+            copies.append(batch.set_column(
+                i, "doc_id",
+                pc.add(batch.column("doc_id"), pa.scalar(r * n0))))
+        return pa.concat_tables(copies)
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    return docs.map_batches(replicate, batch_format="pyarrow",
+                            zero_copy_batch=True).repartition(cpus * 4)
+
+
 def materialize_images(
     sf_dir: str,
     out_path: str,
@@ -122,33 +152,17 @@ def materialize_images(
 ) -> str:
     """Synthesize the image+caption table to parquet (benchmark setup /
     fixture generation — NOT part of the timed pipeline)."""
-    import pyarrow.compute as pc  # noqa: F401 (used inside replicate)
-    import pyarrow.parquet as pq
+    import pyarrow.parquet as pq  # noqa: F401 (amplify_docs reads metadata)
 
     import ray.data as rd
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    if amplify > 1:
-        n0 = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = amplify_docs(docs, sf_dir, amplify)
+    if amplify <= 1:
+        import ray as _ray
 
-        def replicate(batch):
-            import pyarrow as pa
-            import pyarrow.compute as pc
-
-            i = batch.column_names.index("doc_id")
-            copies = [batch]
-            for r in range(1, amplify):
-                copies.append(batch.set_column(
-                    i, "doc_id",
-                    pc.add(batch.column("doc_id"), pa.scalar(r * n0))))
-            return pa.concat_tables(copies)
-
-        docs = docs.map_batches(replicate, batch_format="pyarrow",
-                                zero_copy_batch=True)
-    import ray as _ray
-
-    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-    docs = docs.repartition(cpus * 4)
+        cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        docs = docs.repartition(cpus * 4)
     synth_images(docs, n_entities=n_entities, cfg=cfg).write_parquet(out_path)
     return out_path
 
@@ -230,29 +244,7 @@ def flagship(
         return enriched
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    if amplify > 1:
-        n0 = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-
-        # replicate INSIDE one map op (a union of K read branches adds
-        # ~2K operators of fixed streaming-executor overhead), then
-        # re-split so the downstream codec work fans out
-        def replicate(batch):
-            import pyarrow as pa
-            import pyarrow.compute as pc
-
-            i = batch.column_names.index("doc_id")
-            copies = [batch]
-            for r in range(1, amplify):
-                copies.append(batch.set_column(
-                    i, "doc_id",
-                    pc.add(batch.column("doc_id"), pa.scalar(r * n0))))
-            return pa.concat_tables(copies)
-
-        import ray as _ray
-
-        cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-        docs = docs.map_batches(replicate, batch_format="pyarrow",
-                                zero_copy_batch=True).repartition(cpus * 4)
+    docs = amplify_docs(docs, sf_dir, amplify)
     images = synth_images(docs, n_entities=n_entities, cfg=cfg)
     validated = decode_validate(images, cfg=cfg, drop_bytes=True,
                                 n_entities=n_entities,

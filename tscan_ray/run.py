@@ -32,7 +32,8 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
 
-    if not ray.is_initialized():  # the driver may own the session already
+    owns_session = not ray.is_initialized()
+    if owns_session:  # the driver may own the session already
         kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
         if args.num_cpus:
             kwargs["num_cpus"] = args.num_cpus
@@ -68,7 +69,8 @@ def main(argv: list[str] | None = None) -> int:
         "wall_s": round(wall, 3),
     }
     print(json.dumps(report))
-    ray.shutdown()
+    if owns_session:  # never tear down a driver-owned session
+        ray.shutdown()
     return 0
 
 

@@ -47,22 +47,34 @@ def make_pixels(doc_id: int, entity_k: int, w: int, h: int) -> np.ndarray:
     return np.clip(base + noise, 0, 255).astype(np.uint8)
 
 
+# per-process prefix cache: event_time_us is called once per row with
+# monotonically growing seq; recomputing the gap prefix from scratch made
+# synthesis O(seq) per row (quadratic per entity timeline).  Values are
+# identical to the direct recurrence.  Assumes cfg.session_gap_us is
+# constant within a process (it is — EngineConfig is module-level).
+_TIME_PREFIX: dict[int, list[int]] = {}
+
+
 def event_time_us(entity_k: int, seq: int, cfg: EngineConfig = DEFAULT_CONFIG) -> int:
     """Per-entity strictly-increasing-ish event time with:
     - jittered ~5 min gaps,
     - a session-sized gap every 7th event (drives sessionize tests),
-    - duplicate timestamps every 11th event (tie-break tests)."""
-    base = _EPOCH_US + (_h64(f"ent_t0:{entity_k}") % 86_400_000_000)
-    t = base
-    for i in range(1, seq + 1):
+    - duplicate timestamps every 11th event (tie-break tests).
+    Amortized O(1) per call via a per-entity prefix cache."""
+    prefix = _TIME_PREFIX.get(entity_k)
+    if prefix is None:
+        prefix = [_EPOCH_US + (_h64(f"ent_t0:{entity_k}") % 86_400_000_000)]
+        _TIME_PREFIX[entity_k] = prefix
+    while len(prefix) <= seq:
+        i = len(prefix)
         if i % 11 == 0:
             gap = 0  # duplicate-ts pair with the previous event
         elif i % 7 == 0:
             gap = cfg.session_gap_us + 60_000_000  # force a session break
         else:
             gap = 120_000_000 + (_h64(f"gap:{entity_k}:{i}") % 360_000_000)
-        t += gap
-    return t
+        prefix.append(prefix[-1] + gap)
+    return prefix[seq]
 
 
 def synthesize_row(doc_id: int, caption: str, n_entities: int,
@@ -134,14 +146,3 @@ def synth_images(docs_ds, n_entities: int = 50,
         batch_size=cfg.decode_batch_size,
     )
 
-
-def read_images(path: str):
-    """Read an images table: Lance when available, else Parquet."""
-    import ray.data as rd
-
-    try:
-        import lance  # noqa: F401
-
-        return rd.read_lance(path)
-    except ImportError:
-        return rd.read_parquet(path)

@@ -718,6 +718,17 @@ def q_dedup_minhash(sf_dir):
     return minhash_lsh_pairs(_docs(sf_dir), "text", "doc_id", jaccard_threshold=0.7)
 
 
+def q_dedup_components(sf_dir):
+    """Near-dup pairs clustered into duplicate groups: MinHash+LSH pairs
+    -> distributed connected components (hash-min label propagation);
+    component = smallest doc_id = the canonical representative."""
+    from tscan_ray.ops.dedup import connected_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs(sf_dir), "text", "doc_id",
+                              jaccard_threshold=0.7)
+    return connected_components(pairs)
+
+
 def q_dedup_simhash(sf_dir):
     from tscan_ray.ops.dedup import add_simhash
 
@@ -848,6 +859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": q_image_features,
         "image_resize": q_image_resize,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,

@@ -104,3 +104,48 @@ class TestSimhash:
         out = add_simhash(docs.limit(20), "text").to_pandas()
         assert "simhash" in out.columns
         assert out["simhash"].nunique() > 1
+
+
+class TestConnectedComponents:
+    def test_matches_union_find(self):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from tscan_ray.ops.dedup import connected_components
+
+        rng = np.random.default_rng(13)
+        # random sparse graph over 60 nodes
+        pairs = pd.DataFrame({
+            "id_a": rng.integers(0, 60, 40),
+            "id_b": rng.integers(0, 60, 40),
+        })
+        pairs = pairs[pairs["id_a"] != pairs["id_b"]]
+        out = connected_components(rd.from_pandas(pairs)).to_pandas()
+        got = dict(zip(out["node"], out["component"]))
+
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs.itertuples(index=False):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {n: find(n) for n in parent}
+        assert got == want
+
+    def test_component_is_min_id(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from tscan_ray.ops.dedup import connected_components
+
+        pairs = pd.DataFrame({"id_a": [9, 8, 7], "id_b": [8, 7, 3]})
+        out = connected_components(rd.from_pandas(pairs)).to_pandas()
+        assert (out["component"] == 3).all()

@@ -243,3 +243,88 @@ def add_simhash(ds, text_col: str, out_col: str = "simhash"):
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def connected_components(
+    pairs,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 50,
+    num_buckets: int | None = None,
+):
+    """Cluster duplicate PAIRS into duplicate GROUPS: distributed
+    connected components by hash-min label propagation.
+
+    Returns a Dataset of (node, component) where ``component`` is the
+    MINIMUM node id in the cluster — the canonical representative (the
+    same keep-smallest-id convention as :func:`dedup_exact`).
+
+    Plan per iteration (driver-coordinated loop, the documented shape
+    for iterative algorithms):
+      1. one keyed exchange joins current labels onto the edge list by
+         endpoint and emits (neighbor, my_label) messages both ways;
+      2. one keyed exchange folds messages + own labels with a min.
+    Hash-min converges in O(diameter) iterations — near-dup clusters are
+    shallow (most are cliques from LSH bands), so 2-3 iterations is
+    typical; the loop stops as soon as an iteration changes nothing.
+    Each iteration's datasets are materialized (an iterative lineage
+    would otherwise recompute all prior rounds on every pass).
+    """
+    import ray.data.aggregate as agg
+
+    from tscan_ray.config import DEFAULT_CONFIG
+    from tscan_ray.ops.keyed import grouped_apply
+
+    if num_buckets is None:
+        num_buckets = DEFAULT_CONFIG.num_key_buckets
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column(src_col)
+        b = batch.column(dst_col)
+        return pa.table({"u": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+                         "v": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()])})
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    # initial labels: each node starts at min(self, smallest neighbor)
+    # (arrow blocks throughout — union requires matching block types)
+    import pyarrow.compute as pc
+
+    labels = edges.groupby("u").aggregate(agg.Min("v", alias_name="label"))
+    labels = labels.map_batches(
+        lambda t: pa.table({
+            "node": t.column("u"),
+            "label": pc.min_element_wise(t.column("u"), t.column("label")),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    for _ in range(max_iters):
+        # messages: each edge forwards the src's current label to dst
+        def send(df: pd.DataFrame) -> pd.DataFrame:
+            lab = df.loc[df["__side__"] == 0, ["node", "label"]]
+            edg = df.loc[df["__side__"] == 1, ["u", "v"]]
+            m = edg.merge(lab, left_on="u", right_on="node", how="inner")
+            return pd.DataFrame({"node": m["v"], "label": m["label"]})
+
+        # side-tag labels (0) and edges (1) on the shared key u/node
+        l_t = labels.map_batches(
+            lambda df: df.assign(u=df["node"], v=-1, __side__=np.int8(0)),
+            batch_format="pandas")
+        e_t = edges.map_batches(
+            lambda df: df.assign(node=-1, label=-1, __side__=np.int8(1)),
+            batch_format="pandas")
+        msgs = grouped_apply(l_t.union(e_t), "u", send, num_buckets)
+        folded = (msgs.union(labels)
+                  .groupby("node").aggregate(agg.Min("label", alias_name="label"))
+                  .materialize())
+        # labels are monotonically non-increasing under hash-min, so the
+        # fixpoint is reached exactly when the label sum stops moving —
+        # one tiny scalar aggregate instead of a join-based diff
+        new_sum = folded.sum("label")
+        old_sum = labels.sum("label")
+        labels = folded
+        if new_sum == old_sum:
+            break
+    return labels.map_batches(
+        lambda df: df.rename(columns={"label": "component"}),
+        batch_format="pandas")

@@ -49,12 +49,17 @@ def _docs(sf_dir):
 
 
 def _round_cols(ds, cols: list[str], ndigits: int = 6):
+    # DuckDB round() is half-away-from-zero; np.round is half-to-even and
+    # failed the pit_expanding oracle in r01 on exact binary ties.
     def fn(batch: pa.Table) -> pa.Table:
+        from tscan_ray.ops.rounding import round_half_away
+
         for c in cols:
             arr = batch.column(c).to_numpy(zero_copy_only=False)
             batch = batch.set_column(
                 batch.column_names.index(c), c,
-                pa.array(np.round(arr.astype(np.float64), ndigits), type=pa.float64()),
+                pa.array(round_half_away(arr.astype(np.float64), ndigits),
+                         type=pa.float64()),
             )
         return batch
 
@@ -419,10 +424,33 @@ def q_pit_expanding(sf_dir):
 
     out = expanding_agg(_events(sf_dir), "user_id", "ts", "value",
                         order_col="event_id")
-    out = out.select_columns(["event_id", "user_id", "value_cnt",
-                              "value_csum", "value_cmean", "value_cmin",
-                              "value_cmax"])
-    return _round_cols(out, ["value_csum", "value_cmean"])
+
+    # cross-engine determinism: a sequential cumsum and DuckDB's
+    # segment-tree windowed sum differ in the last float bits, which
+    # flips 6-dp rounding on exact ties.  Both sides therefore derive the
+    # mean from the 6-dp-ROUNDED sum (identical doubles -> identical
+    # division -> identical round).
+    def derive_mean(batch: pa.Table) -> pa.Table:
+        from tscan_ray.ops.rounding import round_half_away
+
+        csum = round_half_away(
+            batch.column("value_csum").to_numpy(zero_copy_only=False), 6)
+        cnt = batch.column("value_cnt").to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cmean = round_half_away(
+                np.where(cnt > 0, csum / np.maximum(cnt, 1), np.nan), 6)
+        batch = batch.set_column(
+            batch.column_names.index("value_csum"), "value_csum",
+            pa.array(csum, type=pa.float64()))
+        return batch.set_column(
+            batch.column_names.index("value_cmean"), "value_cmean",
+            pa.array(cmean, type=pa.float64()))
+
+    out = out.map_batches(derive_mean, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return out.select_columns(["event_id", "user_id", "value_cnt",
+                               "value_csum", "value_cmean", "value_cmin",
+                               "value_cmax"])
 
 
 def q_pit_topn_per_key(sf_dir):
@@ -952,15 +980,18 @@ def oracle_sql() -> dict[str, str]:
             where v.event_type = 'view'
         """,
         "pit_expanding": """
-            select event_id, user_id,
-                   count(value) over w as value_cnt,
-                   round(sum(value) over w, 6) as value_csum,
-                   round(avg(value) over w, 6) as value_cmean,
-                   min(value) over w as value_cmin,
-                   max(value) over w as value_cmax
-            from events
-            window w as (partition by user_id order by ts, event_id
-                         rows between unbounded preceding and current row)
+            select event_id, user_id, value_cnt, value_csum,
+                   round(value_csum / nullif(value_cnt, 0), 6) as value_cmean,
+                   value_cmin, value_cmax
+            from (
+              select event_id, user_id,
+                     count(value) over w as value_cnt,
+                     round(sum(value) over w, 6) as value_csum,
+                     min(value) over w as value_cmin,
+                     max(value) over w as value_cmax
+              from events
+              window w as (partition by user_id order by ts, event_id
+                           rows between unbounded preceding and current row))
         """,
         "pit_topn_per_key": """
             select event_id, user_id, value, rn from (

@@ -129,12 +129,14 @@ def pivot_counts(
         keys = df[key]
         out = {}
         for v, c in zip(values, cols):
-            out[c] = (df[pivot_col] == v).groupby(keys, sort=False).sum()
+            # dropna=False: SQL GROUP BY keeps a NULL-key group
+            out[c] = (df[pivot_col] == v).groupby(keys, sort=False,
+                                                  dropna=False).sum()
         res = pd.DataFrame(out).reset_index()
         return res
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby(key, sort=False)[cols].sum().reset_index()
+        out = df.groupby(key, sort=False, dropna=False)[cols].sum().reset_index()
         for c in cols:
             out[c] = out[c].astype("int64")
         return out
@@ -168,10 +170,11 @@ def groupby_stats_robust(
         num_buckets = DEFAULT_CONFIG.num_key_buckets
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(key, sort=False)
+        # dropna=False throughout: SQL GROUP BY keeps a NULL-key group
+        g = df.groupby(key, sort=False, dropna=False)
         med = g[value_col].median()
         dev = (df[value_col] - df[key].map(med)).abs()
-        mad = dev.groupby(df[key], sort=False).median()
+        mad = dev.groupby(df[key], sort=False, dropna=False).median()
         out = pd.DataFrame({key: med.index,
                             "med_value": med.to_numpy(),
                             "mad_value": mad.reindex(med.index).to_numpy()})
@@ -183,11 +186,11 @@ def groupby_stats_robust(
                 t = _ts_us(t)  # tz-aware/naive timestamps or int micros
             t = t.astype("float64")
             cx = df[value_col] - df[key].map(g[value_col].mean())
-            ty = t.groupby(df[key], sort=False).transform("mean")
+            ty = t.groupby(df[key], sort=False, dropna=False).transform("mean")
             cy = t - ty
-            sxy = (cx * cy).groupby(df[key], sort=False).sum()
-            sxx = (cx * cx).groupby(df[key], sort=False).sum()
-            syy = (cy * cy).groupby(df[key], sort=False).sum()
+            sxy = (cx * cy).groupby(df[key], sort=False, dropna=False).sum()
+            sxx = (cx * cx).groupby(df[key], sort=False, dropna=False).sum()
+            syy = (cy * cy).groupby(df[key], sort=False, dropna=False).sum()
             with np.errstate(invalid="ignore", divide="ignore"):
                 corr = sxy / np.sqrt(sxx * syy)
             out["corr_ts"] = corr.reindex(med.index).to_numpy()

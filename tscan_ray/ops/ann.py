@@ -70,7 +70,9 @@ def topk_cosine(
         m = _normalize(_as_matrix(batch.column(vec_col)))
         sims = m @ qv
         if round_to is not None:
-            sims = np.round(sims, round_to)
+            from tscan_ray.ops.rounding import round_half_away
+
+            sims = round_half_away(sims, round_to)  # DuckDB round() parity
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         kk = min(k, len(sims))
         # lexsort tie-break on id so the batch-local selection agrees

@@ -103,6 +103,13 @@ def _split_sides(tbl: pa.Table, left_cols: list[str], rcols: list[str],
     return ldf, rdf.reset_index(drop=True)
 
 
+def nullable_int_dtype(dtype) -> str:
+    """Numpy integer dtype -> pandas nullable extension name.  str
+    .capitalize() would produce 'Uint64' (unregistered) for unsigned
+    dtypes; pandas only knows 'UInt64' etc."""
+    return dtype.name.replace("uint", "UInt").replace("int", "Int")
+
+
 def _gather(s: pd.Series, ridx: np.ndarray, out_index) -> pd.Series:
     """Positional gather of ``s`` (RangeIndexed) by ``ridx`` with -1 =
     missing -> NA.  Integer/bool sources go through their nullable
@@ -110,7 +117,7 @@ def _gather(s: pd.Series, ridx: np.ndarray, out_index) -> pd.Series:
     results are downcast back to the original numpy dtype."""
     orig = s.dtype
     if np.issubdtype(s.dtype, np.integer):
-        s = s.astype(s.dtype.name.capitalize())  # int64 -> Int64 etc.
+        s = s.astype(nullable_int_dtype(s.dtype))  # int64 -> Int64 etc.
     elif s.dtype == bool:
         s = s.astype("boolean")
     g = s.reindex(ridx).set_axis(out_index)

@@ -73,6 +73,13 @@ def broadcast_join(
                 [on] + [c for c in right_cols if c != on]
             )
         rdf = right.to_pandas()
+    # fail loudly if a big side was mis-passed as the broadcast side —
+    # silently ray.put-ing it would OOM the driver/object store instead
+    approx_bytes = int(rdf.memory_usage(index=False, deep=False).sum())
+    if approx_bytes > 2 << 30:
+        raise ValueError(
+            f"broadcast side is ~{approx_bytes >> 20} MiB; broadcast_join "
+            "expects a dimension-sized right side — use exchange_join")
     ref = ray.put(rdf)
     return left.map_batches(
         _BroadcastMerge,
@@ -134,9 +141,11 @@ def exchange_join(
         if how == "left":
             # unmatched left rows would degrade int payload columns to
             # float64; nullable Int64 keeps them exact alongside NAs
+            from tscan_ray.ops.asof import nullable_int_dtype
+
             for c in rdf.columns:
                 if c != on and np.issubdtype(rdf[c].dtype, np.integer):
-                    rdf[c] = rdf[c].astype(rdf[c].dtype.name.capitalize())
+                    rdf[c] = rdf[c].astype(nullable_int_dtype(rdf[c].dtype))
         return ldf.merge(rdf.rename(columns=out_rename), on=on, how=how)
 
     return grouped_apply(both, on, merge, num_buckets,

@@ -13,6 +13,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from tscan_ray.ops.rounding import round_half_away, round_half_away_scalar
+
 _WS_RE = r"\s+"
 # BPE-ish pretokenizer: word pieces, numbers, or single non-space symbols
 _BPE_RE = re.compile(r"[A-Za-zÀ-ɏ]+|\d+|[^\sA-Za-zÀ-ɏ\d]")
@@ -60,7 +62,9 @@ def add_ttr(ds, text_col: str, prefix: str = ""):
             toks = (t or "").lower().split()
             n_tok.append(len(toks))
             n_typ.append(len(set(toks)))
-            ttr.append(round(len(set(toks)) / len(toks), 6) if toks else None)
+            # half-away rounding = DuckDB round() (ties occur, e.g. 1/128)
+            ttr.append(round_half_away_scalar(len(set(toks)) / len(toks), 6)
+                       if toks else None)
         batch = batch.append_column(prefix + "n_tokens", pa.array(n_tok, type=pa.int64()))
         batch = batch.append_column(prefix + "n_types", pa.array(n_typ, type=pa.int64()))
         batch = batch.append_column(prefix + "ttr", pa.array(ttr, type=pa.float64()))
@@ -103,13 +107,14 @@ def add_quality_score(ds, text_col: str, prefix: str = ""):
         word_ok = np.clip((out["mean_word_len"] - 1) / 5.0, 0, 1)
         clean = 1.0 - np.clip(out["punct_ratio"] * 3 + out["digit_ratio"] * 2, 0, 1)
         diverse = 1.0 - np.clip(out["repetition_ratio"] * 1.25, 0, 1)
-        out["quality_score"] = np.round(
+        out["quality_score"] = round_half_away(
             0.25 * length_ok + 0.25 * word_ok + 0.25 * clean + 0.25 * diverse, 6
         )
         for k, v in out.items():
             typ = pa.int64() if v.dtype == np.int64 else pa.float64()
             name = prefix + k
-            arr = pa.array(np.round(v, 6) if typ == pa.float64() else v, type=typ)
+            arr = pa.array(round_half_away(v, 6) if typ == pa.float64() else v,
+                           type=typ)
             if name in batch.column_names:  # replace (e.g. a source n_chars)
                 batch = batch.set_column(batch.column_names.index(name), name, arr)
             else:

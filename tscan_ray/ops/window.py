@@ -293,13 +293,24 @@ def expanding_agg(
         df[value_col + "_cnt"] = (
             df[value_col].notna().groupby(df[key], sort=False).cumsum()
             .astype("int64"))
-        df[value_col + "_csum"] = g.cumsum()
+        csum, cmin, cmax = g.cumsum(), g.cummin(), g.cummax()
+        if df[value_col].isna().any():
+            # SQL running sum/min/max AT a null-value row return the
+            # aggregate of prior non-null values; pandas cum* emit NaN at
+            # the null row itself (they only skip nulls for later rows).
+            # Forward-fill per key; rows before the first non-null stay
+            # NaN (= SQL NULL, no values in frame yet).
+            gk = df[key]
+            csum = csum.groupby(gk, sort=False).ffill()
+            cmin = cmin.groupby(gk, sort=False).ffill()
+            cmax = cmax.groupby(gk, sort=False).ffill()
+        df[value_col + "_csum"] = csum
         with np.errstate(invalid="ignore", divide="ignore"):
             df[value_col + "_cmean"] = (
                 df[value_col + "_csum"] / df[value_col + "_cnt"].where(
                     df[value_col + "_cnt"] > 0))
-        df[value_col + "_cmin"] = g.cummin()
-        df[value_col + "_cmax"] = g.cummax()
+        df[value_col + "_cmin"] = cmin
+        df[value_col + "_cmax"] = cmax
         return df
 
     return grouped_apply(ds, key, fn, num_buckets)

@@ -98,7 +98,7 @@ class TestFeaturizeDocument:
         assert f["stoplistCnt"] == 1
         assert f["wordInclCnt"] == 3
         assert f["sentCnt"] == 1
-        assert f["Wrd_per_zin"] == 2.0
+        assert f["Wrd_per_zin"] == 3.0  # wordInclCnt/sentCnt (ref formula)
 
     def test_char_morph_proportions(self):
         f = featurize_document("kat loopt")
@@ -130,17 +130,17 @@ class TestFeaturizeDocument:
     def test_prev_sentence_overlap(self):
         # 'kat' (noun, overlap candidate) repeats in the next sentence
         f = featurize_document("De kat loopt . De kat ziet .")
-        assert f["Wrd_overlap_sent"] == 1
-        assert f["Lem_overlap_sent"] == 1
+        assert f["wordOverlapCnt"] == 1
+        assert f["lemmaOverlapCnt"] == 1
         # pronoun equivalence across sentences: ik ... mijn
         f2 = featurize_document("Ik loopt . Mijn kat ziet .")
-        assert f2["Wrd_overlap_sent"] >= 1
+        assert f2["wordOverlapCnt"] >= 1
 
     def test_overlap_resets_across_paragraphs(self):
         cont = featurize_document("De kat loopt . De kat ziet .")
         split = featurize_document("De kat loopt .\n\nDe kat ziet .")
-        assert cont["Wrd_overlap_sent"] == 1
-        assert split["Wrd_overlap_sent"] == 0
+        assert cont["wordOverlapCnt"] == 1
+        assert split["wordOverlapCnt"] == 0
 
     def test_doc_overlap_requires_window(self):
         # fewer than overlap_size words -> 0 by construction
@@ -178,7 +178,7 @@ class TestFeaturizeDocument:
         # 1 rare lemma out of 2 unique (kat appears 5x, loopt 1x; level=4)
         text = "kat kat kat kat kat loopt"
         f = featurize_document(text)
-        assert f["Rar_index"] == pytest.approx(0.5)
+        assert f["Zeldz_index"] == pytest.approx(0.5)
 
     def test_intensifier_and_formal(self):
         f = featurize_document("De kat is heel erg groot .")
@@ -189,3 +189,136 @@ class TestFeaturizeDocument:
     def test_prep_expr(self):
         f = featurize_document("De kat loopt op grond van de reden .")
         assert f["prepExprCnt"] == 1
+
+
+class TestReferenceSections:
+    """Conformance for the r02 derived-column families (reference emit
+    bodies src/structstats.cxx:123-1049) — hand-computed on curated
+    lexicon entries."""
+
+    def test_noun_sem_subtype_counts(self):
+        from tscan_ray.text.features import featurize_document
+
+        # man=human kat=nonhuman huis=artefact stad=place politie=institut
+        # brood=voed_verz water=substance_conc feest=dynamic_conc (curated)
+        f = featurize_document(
+            "de man ziet de kat . het huis staat in de stad . "
+            "de politie eet brood met water op het feest .")
+        assert f["humanCnt"] == 1 and f["nonHumanCnt"] == 1
+        assert f["artefactCnt"] == 1 and f["placeCnt"] == 1
+        assert f["institutCnt"] == 1 and f["foodcareCnt"] == 1
+        assert f["substanceConcCnt"] == 1 and f["dynamicConcCnt"] == 1
+        # strict: human+nonhuman+artefact+voed_verz+substance_conc+dynamic_conc
+        assert f["strictNounCnt"] == 6
+        # broad adds place (stad); institut is NOT broad (src/sem.cxx:292-309)
+        assert f["broadNounCnt"] == 7
+        covered = f["nounCnt"] + f["nameCnt"] - f["uncoveredNounCnt"]
+        import math
+        assert math.isclose(f["Conc_nw_strikt_p"], 6 / covered)
+        assert math.isclose(f["Pers_nw_d"], 1000.0 * 1 / f["wordCnt"])
+
+    def test_verb_atp_families(self):
+        from tscan_ray.text.features import WordAnn, _word_sem_counts
+        from collections import Counter
+
+        c = Counter()
+        for sem, tag in (("abstract_action", "WW"), ("concrete_state", "WW"),
+                         ("undefined_process", "WW"), ("undefined", "WW"),
+                         ("abstract_undefined", "WW"), ("UNFOUND_VERB", "WW")):
+            _word_sem_counts(c, WordAnn("w", "w", "w", tag, sem_type=sem))
+        assert c["abstractWwCnt"] == 2   # abstract_action + abstract_undefined
+        assert c["concreteWwCnt"] == 1
+        assert c["undefinedWwCnt"] == 2  # undefined_process + undefined
+        assert c["actionCnt"] == 1 and c["stateCnt"] == 1 and c["processCnt"] == 1
+        assert c["undefinedATPCnt"] == 1  # only bare "undefined"
+        assert c["uncoveredVerbCnt"] == 1
+
+    def test_adj_aggregates(self):
+        from tscan_ray.text.features import WordAnn, _word_sem_counts
+        from collections import Counter
+
+        c = Counter()
+        for sem in ("shape", "color", "human", "time", "spec_pos",
+                    "evaluative", "abstract", "undefined"):
+            _word_sem_counts(c, WordAnn("w", "w", "w", "ADJ", sem_type=sem))
+        assert c["nonhumanAdjCnt"] == 2      # shape + color
+        assert c["strictAdjCnt"] == 3        # shape + color + human
+        assert c["broadAdjCnt"] == 4         # + time
+        assert c["subjectiveAdjCnt"] == 2    # spec_pos + evaluative
+        assert c["undefinedAdjCnt"] == 1 and c["abstractAdjCnt"] == 1
+
+    def test_intens_formal_afk_classes(self):
+        from tscan_ray.text.features import featurize_document
+
+        # erg=BVBW intensifier; tevens=BW formal; bv=generiek, tv=media afk
+        f = featurize_document("de man is erg blij . tevens komt de bv en de tv .")
+        assert f["intensBvbwCnt"] == 1 and f["intensCnt"] >= 1
+        assert f["formalBwCnt"] == 1
+        assert f["afk_generiekCnt"] == 1 and f["afk_mediaCnt"] == 1
+        import math
+        wic = f["wordInclCnt"]
+        assert math.isclose(f["Int_bvbw_d"], 1000.0 / wic)
+        assert math.isclose(f["Afk_med_d"], 1000.0 / wic)
+
+    def test_compound_section(self):
+        from tscan_ray.text.features import analyze_word
+        from tscan_ray.text.lexicons import default_lexicons
+
+        lex = default_lexicons()
+        ann = analyze_word("boekenkast", False, lex)
+        assert ann.is_compound and ann.compound_parts == 2
+        assert ann.char_cnt_head == len("kast")
+        assert ann.char_cnt_sat == len("boeken")
+        assert ann.word_freq_log_head_sat == (
+            ann.word_freq_log_head + ann.word_freq_log_sat) / 2
+        assert ann.word_freq_log_corr == ann.word_freq_log_head
+
+        from tscan_ray.text.features import featurize_document
+
+        f = featurize_document("de boekenkast staat daar .")
+        assert f["compoundCnt"] == 1
+        assert f["Samenst_p"] == 1 / f["nounCnt"]
+        assert f["Let_per_wrd_hfdwrd"] == 4.0  # "kast"
+        assert f["Let_per_wrd_satwrd"] == 6.0  # "boeken"
+
+    def test_participle_position_counts(self):
+        from tscan_ray.text.features import Fold, WordAnn, _common_counts
+
+        f = Fold()
+        for prop, pos in (("ISVD", "PRENOM"), ("ISVD", "VRIJ"),
+                          ("ISINF", "NOMIN"), ("ISOD", "VRIJ")):
+            _common_counts(f, WordAnn("w", "w", "w", "WW", prop=prop,
+                                      position=pos))
+        assert f.c["vdBvCnt"] == 1 and f.c["vdVrijCnt"] == 1
+        assert f.c["infNwCnt"] == 1 and f.c["odVrijCnt"] == 1
+
+    def test_coherence_ttr_excludes_reeks_wg_from_all(self):
+        from tscan_ray.text.features import featurize_document
+
+        # "en"=OPSOMMEND_WG (excluded from allConn), "maar"=CONTRASTIEF
+        f = featurize_document("jan en piet lopen maar piet valt .")
+        assert f["opsomWgConnCnt"] >= 1
+        assert f["contrastConnCnt"] == 1
+        assert f["allConnCnt"] == f["contrastConnCnt"]  # WG excluded
+        assert f["Conn_TTR"] == 1.0
+
+    def test_clause_families_doc(self):
+        from tscan_ray.text.features import featurize_document
+
+        # "omdat" = adverbial subordinate; "dat" = complement clause
+        f = featurize_document(
+            "hij loopt omdat hij werkt . hij ziet dat hij loopt .")
+        assert f["bijwCnt"] == 1
+        assert f["complCnt"] == 1
+        assert f["Bijw_bijzin_per_zin"] == 0.5
+        assert f["Compl_bijzin_per_zin"] == 0.5
+        assert f["Fin_bijzin_per_zin"] == 1.0
+
+    def test_ner_density_section(self):
+        from tscan_ray.text.features import featurize_document
+        import math
+
+        f = featurize_document("Jan ziet Amsterdam en Philips .")
+        assert f["nerPERCnt"] == 1 and f["nerLOCCnt"] == 1 and f["nerORGCnt"] == 1
+        assert math.isclose(f["Pers_namen_d"], 1000.0 / f["wordCnt"])
+        assert f["Pers_namen_p"] == 1 / f["nerCnt"]

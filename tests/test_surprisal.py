@@ -55,15 +55,15 @@ class TestBigramLM:
 class TestDocIntegration:
     def test_doc_features_present_and_finite(self):
         out = featurize_document("De man ziet de kat . De kat is groot .")
-        for k in ("Avg_prob10_fwd", "Avg_prob10_bwd", "Entropy_fwd",
-                  "Perplexity_bwd", "Entropy_fwd_norm", "Perplexity_fwd_norm",
-                  "Avg_prob10_fwd_content", "Avg_prob10_bwd_ex_names"):
+        for k in ("Log_prob_fwd", "Log_prob_bwd", "Entropie_fwd",
+                  "Perplexiteit_bwd", "Entropie_fwd_norm", "Perplexiteit_fwd_norm",
+                  "Log_prob_fwd_inhwrd", "Log_prob_bwd_zn"):
             assert k in out
             assert not math.isnan(out[k]), k
         # logprobs are negative
-        assert out["Avg_prob10_fwd"] < 0
-        assert out["Entropy_fwd"] > 0
-        assert out["Perplexity_fwd"] > 1
+        assert out["Log_prob_fwd"] < 0
+        assert out["Entropie_fwd"] > 0
+        assert out["Perplexiteit_fwd"] > 1
 
     def test_doc_mean_over_sentences(self):
         lm = default_lm()
@@ -71,11 +71,11 @@ class TestDocIntegration:
         # single sentence: doc avg == sentence avg; two identical sentences
         # give the same per-sentence mean
         two = featurize_document("De man ziet de kat . De man ziet de kat .", lm=lm)
-        assert two["Avg_prob10_fwd"] == pytest.approx(one["Avg_prob10_fwd"])
+        assert two["Log_prob_fwd"] == pytest.approx(one["Log_prob_fwd"])
 
     def test_empty_doc_nan(self):
         out = featurize_document("")
-        assert math.isnan(out["Avg_prob10_fwd"])
+        assert math.isnan(out["Log_prob_fwd"])
 
 
 class TestDistributedFit:

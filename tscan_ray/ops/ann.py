@@ -250,13 +250,17 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     nbits: int = 10,
+    round_to: int | None = 6,
 ):
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
 
     One groupby exchange on the LSH bucket; exact cosine verification per
     bucket (vectorized gram matrix).  Pairs split across buckets are
     missed with probability falling with nbits — the standard LSH recall
-    trade; run with multiple seeds and union for higher recall."""
+    trade; run with multiple seeds and union for higher recall.
+    ``round_to``: similarities are rounded (half-away, DuckDB parity)
+    BEFORE the threshold compare, so the pair set is deterministic
+    across engines whose float association order differs."""
     bucketed = add_lsh_bucket(ds.select_columns([id_col, vec_col]), vec_col,
                               nbits=nbits)
 
@@ -278,6 +282,10 @@ def cosine_neardup_pairs(
             ids = ids_all[s:e]
             m = _normalize(np.stack(vecs_all[s:e]).astype(np.float64))
             sims = m @ m.T
+            if round_to is not None:
+                from tscan_ray.ops.rounding import round_half_away
+
+                sims = round_half_away(sims, round_to)
             iu, ju = np.triu_indices(len(ids), k=1)
             mask = sims[iu, ju] >= threshold
             ia, jb = ids[iu[mask]], ids[ju[mask]]

@@ -8,13 +8,22 @@ Scale design:
 * exact: content hash computed vectorized per batch (one C-speed pass),
   then ONE ``groupby(hash)`` exchange of (hash, id) — the full text only
   travels when ``keep_text``; representative = min(id) (deterministic).
-* MinHash-LSH: shingles -> 64 permutations (vectorized universal hashing
-  over uint64 numpy), banded into (band_id, band_hash) rows, ONE
-  ``groupby`` on the band key; candidate pairs verified with exact
-  Jaccard.  Per-batch work is numpy; the exchange carries only
-  (band_id, band_hash, doc_id) triples.
+* MinHash-LSH: shingles -> 64 permutations -> 16 banded Horner hashes;
+  the exchange carries ONLY (band_key:int64, doc_id) pairs — 20 bytes ×
+  bands per doc, no shingle/signature payload (the r01 design shipped
+  the full shingle set into every band row, a bands× amplification of
+  the pipeline's largest intermediate).  Candidate pairs come out of
+  the band groupby; exact-Jaccard verification recomputes shingles for
+  the CANDIDATE docs only (broadcast semi-filter + small shingle map).
 * SimHash: 64-bit fingerprint per doc from token hashes (near-dup via
   Hamming distance on prefix buckets).
+
+Cross-engine verifiability: every hash in the MinHash/SimHash path is
+md5-derived with arithmetic confined to [0, 2^31-1) (products < 2^62,
+exact in uint64 AND in SQL hugeint), so a DuckDB oracle can reproduce
+the exact pair set — see ``oracle_sql()['dedup_minhash']``.  Swap
+``_md5_u64`` for a faster vectorized hash (xxhash) at production scale
+if oracle parity is not needed.
 """
 
 from __future__ import annotations
@@ -28,32 +37,39 @@ import pyarrow as pa
 
 from tscan_ray.config import DEFAULT_CONFIG
 
-_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+# ASCII token class, lowercased input: identical semantics in Python re
+# and RE2/DuckDB (`\w` is unicode-aware in Python but ASCII in RE2 —
+# an ASCII class keeps the two tokenizers bit-identical).
+_TOKEN_RE = re.compile(r"[0-9a-z_]+")
 
-_MERSENNE = np.uint64((1 << 61) - 1)
+_P31 = np.uint64((1 << 31) - 1)  # modulus: keeps all products < 2^62
+_HORNER_K = np.uint64(1_000_003)
 
 
-def _sha1_64(s: str) -> int:
-    return int.from_bytes(hashlib.sha1(s.encode()).digest()[:8], "big")
+def _md5_u64(strs: list[str]) -> np.ndarray:
+    """First 8 bytes of md5 as uint64 (big-endian) — matches DuckDB's
+    ('0x' || substr(md5(s), 1, 16))::ubigint exactly."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+         for s in strs),
+        np.uint64, len(strs))
 
 
 def _hash_tokens64(tokens: list[str]) -> np.ndarray:
-    """Deterministic 64-bit hashes of tokens (stable across processes)."""
-    return pd.util.hash_array(np.asarray(tokens, dtype=object)).astype(np.uint64)
-
-
-_BAND_POWERS = None
+    """Deterministic 64-bit hashes of tokens (stable across processes
+    and reproducible in SQL)."""
+    return _md5_u64(tokens)
 
 
 def _minhash_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(0x75CA)  # fixed seed: reproducible across runs
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    a = rng.integers(1, int(_P31), size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(_P31), size=num_perm, dtype=np.uint64)
     return a, b
 
 
 def shingles(text: str, k: int) -> np.ndarray:
-    """Word k-shingle hashes (uint64)."""
+    """Word k-shingle hashes: distinct md5-u64 mod 2^31-1 (uint64)."""
     toks = _TOKEN_RE.findall(text.lower())
     if len(toks) < k:
         grams = [" ".join(toks)] if toks else []
@@ -61,16 +77,28 @@ def shingles(text: str, k: int) -> np.ndarray:
         grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
     if not grams:
         return np.empty(0, dtype=np.uint64)
-    return np.unique(pd.util.hash_array(np.asarray(grams, dtype=object)).astype(np.uint64))
+    return np.unique(_md5_u64(grams) % _P31)
 
 
 def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """num_perm minima of (a*x + b) mod p — vectorized over shingles."""
+    """num_perm minima of (a*x + b) mod (2^31-1) — vectorized over
+    shingles; a, x < 2^31 so products stay < 2^62 (exact in uint64)."""
     if sh.size == 0:
-        return np.full(a.shape[0], np.iinfo(np.uint64).max, dtype=np.uint64)
-    # (P, S) universal hash; overflow-safe in uint64 modular arithmetic
-    prod = (sh[None, :] * a[:, None] + b[:, None]) % _MERSENNE
+        return np.full(a.shape[0], _P31, dtype=np.uint64)
+    prod = (sh[None, :] * a[:, None] + b[:, None]) % _P31
     return prod.min(axis=1)
+
+
+def band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
+    """Fold a (num_perm,) signature into ``bands`` int64 keys: Horner
+    hash of each band's rows mod 2^31-1, offset by band_id*(2^31-1) so
+    keys never collide across bands (single-column exchange key)."""
+    rows = sig.shape[0] // bands
+    view = sig.reshape(bands, rows)
+    bh = np.zeros(bands, dtype=np.uint64)
+    for j in range(rows):
+        bh = (bh * _HORNER_K + view[:, j]) % _P31
+    return (np.arange(bands, dtype=np.uint64) * _P31 + bh).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -110,96 +138,128 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via MinHash banding, verified with exact
     Jaccard over shingle sets.
 
-    Returns a Dataset of (id_a, id_b, jaccard) with id_a < id_b and
-    jaccard >= threshold.  Verification recomputes shingles from the texts
-    carried through the band exchange — self-contained; at larger scale
-    carry the (small) signature and verify against a shingle store.
+    Returns a Dataset of (id_a, id_b, jaccard) with id_a < id_b, pairs
+    restricted to band collisions (standard LSH recall trade) and
+    jaccard >= threshold (exact, over distinct shingle hashes).
+
+    Plan (the de-amplified r02 design):
+      1. one pass over the corpus emits (band_key:int64, id) rows —
+         bands × 20 bytes per doc, no shingle/signature payload;
+      2. ONE exchange on band_key; equal-key runs yield candidate pairs;
+      3. candidate ids (≪ corpus under any sane threshold — the LSH
+         assumption) are broadcast as a semi-filter; shingle sets are
+         recomputed for candidate docs ONLY and broadcast as a map;
+      4. a distributed map over the pair list computes exact Jaccard.
+    For adversarial candidate volumes (low threshold / pathological
+    corpora) swap step 3-4 for a doc-keyed exchange join of the pair
+    list against a shingle table; same semantics, no broadcast bound.
+    Docs with zero shingles never enter the banding (a doc with no
+    tokens has no similarity evidence).
     """
-    rows_per_band = num_perm // bands
+    import ray
+
     a, b = _minhash_params(num_perm)
+    docs = ds.select_columns([id_col, text_col])
 
     def to_bands(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_pylist()
-        out_band, out_bhash, out_id, out_sh = [], [], [], []
-        # deterministic per-band combiner: polynomial roll in uint64 wraparound
-        powers = np.uint64(0x100000001B3) ** np.arange(rows_per_band, dtype=np.uint64)
+        out_key, out_id = [], []
         for i, t in enumerate(texts):
             sh = shingles(t or "", shingle_k)
+            if sh.size == 0:
+                continue
             sig = minhash_signature(sh, a, b)
-            bands_view = sig.reshape(bands, rows_per_band)
-            bh = (bands_view * powers[None, :]).sum(axis=1, dtype=np.uint64).view(np.int64)
-            # shingle sets travel with the row (computed ONCE per doc, not
-            # once per band/bucket); int64 view for Arrow
-            sh_list = sh.view(np.int64).tolist()
-            for bi in range(bands):
-                # one combined exchange key per (band, hash) — grouping by
-                # the raw pair would make ~rows×bands tiny groups; instead
-                # we hash-bucket this key (ops/keyed.py) and detect runs
-                # vectorized inside each bucket
-                out_band.append(bi)
-                out_bhash.append(int(bh[bi] ^ np.int64(bi * 0x9E3779B9)))
-                out_id.append(ids[i])
-                out_sh.append(sh_list)
-        return pa.table(
-            {
-                "band_id": pa.array(out_band, type=pa.int32()),
-                "band_key": pa.array(out_bhash, type=pa.int64()),
-                id_col: pa.array(out_id, type=batch.column(id_col).type),
-                "__shingles__": pa.array(out_sh, type=pa.list_(pa.int64())),
-            }
-        )
+            out_key.extend(band_keys(sig, bands).tolist())
+            out_id.extend([ids[i]] * bands)
+        return pa.table({
+            "band_key": pa.array(out_key, type=pa.int64()),
+            id_col: pa.array(out_id, type=batch.column(id_col).type),
+        })
 
-    banded = ds.select_columns([id_col, text_col]).map_batches(
-        to_bands, batch_format="pyarrow", zero_copy_batch=True
-    )
+    banded = docs.map_batches(to_bands, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        """One hash bucket of band keys: sort by (band_key, id), detect the
-        equal-key runs vectorized, pairwise-verify only within runs of
-        length > 1 (the actual LSH candidates)."""
+    def bucket_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        """One hash bucket of band keys: sort, detect equal-key runs
+        vectorized, emit unique (id_a < id_b) candidate pairs."""
         df = df.sort_values(["band_key", id_col], kind="mergesort")
         keys = df["band_key"].to_numpy()
         ids = df[id_col].to_numpy()
-        shs = df["__shingles__"].to_numpy()
         n = len(df)
-        out_a, out_b, out_j = [], [], []
+        out_a, out_b = [], []
         starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
         ends = np.r_[starts[1:], n]
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
-            run_ids = ids[s:e]
-            # drop duplicate ids inside one band bucket
-            keep = np.r_[True, run_ids[1:] != run_ids[:-1]]
-            idxs = np.arange(s, e)[keep]
-            sh = [np.asarray(shs[i], dtype=np.int64).view(np.uint64) for i in idxs]
-            for i in range(len(idxs)):
-                for j in range(i + 1, len(idxs)):
-                    inter = np.intersect1d(sh[i], sh[j], assume_unique=True).size
-                    union = sh[i].size + sh[j].size - inter
-                    jac = inter / union if union else 0.0
-                    if jac >= jaccard_threshold:
-                        out_a.append(ids[idxs[i]])
-                        out_b.append(ids[idxs[j]])
-                        out_j.append(jac)
-        return pd.DataFrame(
-            {
-                "id_a": pd.array(out_a, dtype="int64"),
-                "id_b": pd.array(out_b, dtype="int64"),
-                "jaccard": pd.array(out_j, dtype="float64"),
-            }
-        )
+            run = ids[s:e]
+            for i in range(len(run)):
+                for j in range(i + 1, len(run)):
+                    out_a.append(run[i])
+                    out_b.append(run[j])
+        return pd.DataFrame({"id_a": pd.array(out_a, dtype="int64"),
+                             "id_b": pd.array(out_b, dtype="int64")})
 
     from tscan_ray.ops.keyed import grouped_apply
 
-    pairs = grouped_apply(banded, "band_key", bucket_pairs, num_buckets=64)
-    # a pair can surface from several bands -> reduce to one row
+    cand = grouped_apply(banded, "band_key", bucket_candidates, num_buckets=64)
+    # a pair can collide in several bands -> one candidate row
+    import ray.data as rd
     import ray.data.aggregate as agg
 
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        agg.Max("jaccard", alias_name="jaccard")
-    )
+    cand = cand.groupby(["id_a", "id_b"]).aggregate(agg.Count(alias_name="__nb__"))
+    cand_df = cand.to_pandas()  # candidate pairs only — broadcast-small
+    empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                      "id_b": pa.array([], type=pa.int64()),
+                      "jaccard": pa.array([], type=pa.float64())})
+    if len(cand_df) == 0:
+        return rd.from_arrow(empty)
+
+    # shingle sets for candidate docs only (semi-filter streams the
+    # corpus once; only matching docs' texts reach the compute)
+    from tscan_ray.ops.join import broadcast_join
+
+    ids = pd.unique(np.concatenate([cand_df["id_a"].to_numpy(),
+                                    cand_df["id_b"].to_numpy()]))
+    cand_docs = broadcast_join(
+        docs, pd.DataFrame({id_col: ids}), on=id_col, how="semi")
+
+    def to_shingle_rows(batch: pa.Table) -> pa.Table:
+        sh = [shingles(t or "", shingle_k).view(np.int64).tolist()
+              for t in batch.column(text_col).to_pylist()]
+        return pa.table({id_col: batch.column(id_col),
+                         "__sh__": pa.array(sh, type=pa.list_(pa.int64()))})
+
+    sh_df = cand_docs.map_batches(to_shingle_rows, batch_format="pyarrow",
+                                  zero_copy_batch=True).to_pandas()
+    shmap = {i: np.asarray(s, dtype=np.int64).view(np.uint64)
+             for i, s in zip(sh_df[id_col], sh_df["__sh__"])}
+    sh_ref = ray.put(shmap)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        from tscan_ray.ops.rounding import round_half_away_scalar
+
+        m = ray.get(sh_ref)
+        out_a, out_b, out_j = [], [], []
+        for ia, ib in zip(batch.column("id_a").to_pylist(),
+                          batch.column("id_b").to_pylist()):
+            sa, sb = m.get(ia), m.get(ib)
+            if sa is None or sb is None:
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            jac = inter / union if union else 0.0
+            if jac >= jaccard_threshold:
+                out_a.append(ia)
+                out_b.append(ib)
+                out_j.append(round_half_away_scalar(jac, 6))
+        return pa.table({"id_a": pa.array(out_a, type=pa.int64()),
+                         "id_b": pa.array(out_b, type=pa.int64()),
+                         "jaccard": pa.array(out_j, type=pa.float64())})
+
+    return rd.from_pandas(cand_df[["id_a", "id_b"]]).map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = DEFAULT_CONFIG.shingle_k) -> float:

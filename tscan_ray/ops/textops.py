@@ -144,53 +144,40 @@ def add_lang_id(ds, text_col: str, out_col: str = "lang_pred"):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-_FP_BASE = np.uint64(0x100000001B3)
+_P31_INT = (1 << 31) - 1
 
 
-def rolling_fingerprint(text: str, window: int = 8) -> int:
-    """Document fingerprint: whole-document FNV-1a mixed with the minimum
-    rolling polynomial window hash (winnowing-style).  Deterministic,
-    order-sensitive, and sensitive to any byte edit (via the FNV part)."""
-    data = text.encode("utf-8", errors="replace")
-    if not data:
+def rolling_fingerprint(text: str, k: int = 4) -> int:
+    """Document fingerprint combining an exact-content hash with a
+    winnowing-style rolling minimum:
+
+      ``fp = (md5_u64(text) mod 2^31-1) * (2^31-1) + min_gram``
+
+    where ``min_gram`` is the minimum md5-u64-mod-(2^31-1) over the
+    lowercased word ``k``-grams (0 when the text has no tokens).  The
+    exact-content part changes on any byte edit; the min-gram part is
+    shared by heavily-overlapping documents, so equal low halves flag
+    near-dup candidates.  Values stay < 2^62 (exact in int64 and in SQL
+    hugeint arithmetic — cross-engine verifiable, see
+    ``oracle_sql()['text_fingerprint']``).  Empty text -> 0."""
+    from tscan_ray.ops.dedup import shingles
+
+    if not text:
         return 0
-    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-    with np.errstate(over="ignore"):
-        # vectorized FNV-1a-style fold: position-weighted polynomial sum,
-        # evaluated chunk-wise so the weight array stays bounded
-        chunk = 1 << 16
-        pw = _FP_BASE ** np.arange(min(chunk, arr.size), dtype=np.uint64)
-        fnv = np.uint64(0xCBF29CE484222325)
-        base_pow = np.uint64(1)
-        for s in range(0, arr.size, chunk):
-            e = min(arr.size, s + chunk)
-            fnv = fnv + (arr[s:e] * (pw[:e - s] * base_pow)).sum(dtype=np.uint64)
-            base_pow = base_pow * _FP_BASE ** np.uint64(e - s)
-        if arr.size <= window:
-            return int(fnv.astype(np.int64))
-        # min rolling window hash — zero-copy strided windows evaluated
-        # in bounded chunks (an explicit (n, window) product would be
-        # O(n*window) memory and blow up on multi-MB documents)
-        powers = _FP_BASE ** np.arange(window, dtype=np.uint64)
-        n_win = arr.size - window + 1
-        chunk = 1 << 16
-        best = np.uint64(0xFFFFFFFFFFFFFFFF)
-        for s in range(0, n_win, chunk):
-            e = min(n_win, s + chunk)
-            w = np.lib.stride_tricks.sliding_window_view(
-                arr[s:e + window - 1], window)
-            h = (w * powers[None, :]).sum(axis=1, dtype=np.uint64)
-            best = min(best, h.min())
-        mixed = fnv ^ (best * _FP_BASE)
-    return int(mixed.astype(np.int64))
+    h_text = int.from_bytes(
+        __import__("hashlib").md5(text.encode()).digest()[:8], "big") % _P31_INT
+    sh = shingles(text, k)
+    min_gram = int(sh.min()) if sh.size else 0
+    return h_text * _P31_INT + min_gram
 
 
 def add_fingerprint(ds, text_col: str, out_col: str = "fingerprint",
-                    window: int = 8):
-    """Append the rolling-hash fingerprint column."""
+                    k: int = 4):
+    """Append the fingerprint column (one md5 per doc + one per word
+    k-gram — memoize or swap for a vectorized hash at production scale)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        vals = [rolling_fingerprint(t or "", window) for t in batch.column(text_col).to_pylist()]
+        vals = [rolling_fingerprint(t or "", k) for t in batch.column(text_col).to_pylist()]
         return batch.append_column(out_col, pa.array(vals, type=pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

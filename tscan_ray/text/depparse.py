@@ -71,6 +71,25 @@ class SentParse:
     adj_np_mod_cnt: int = 0
     betr_cnt: int = 0  # relative clauses (rel-pronoun directly after a noun)
     imperative_idx: int = -1  # token index of the imperative finite verb, -1 none
+    # clause families (resolveRelativeClauses src/sentstats.cxx:546-677 —
+    # reduced proxies over the flat clause split, divergence documented):
+    bijw_cnt: int = 0          # adverbial finite sub clauses (onder-VG != dat/of)
+    compl_cnt: int = 0         # finite complement clauses (onder-VG dat/of)
+    infin_compl_bep_cnt: int = 0  # "te"+infinitive complements (ti/oti)
+    mv_fin_inbed_cnt: int = 0  # multiply-embedded finite clauses (proxy)
+    mv_inbed_cnt: int = 0      # multiply-embedded incl. infinitival (proxy)
+    los_betr_cnt: int = 0      # loose relative clause at sentence start
+    los_bijw_cnt: int = 0      # loose adverbial clause at sentence start
+    # conjunction families (resolveConjunctions src/sentstats.cxx:690-699)
+    smain_cnj_cnt: int = 0
+    ssub_cnj_cnt: int = 0
+    sv1_cnj_cnt: int = 0
+    small_cnj_cnt: int = 0       # non-clausal conjuncts ("X en Y")
+    small_cnj_extra_cnt: int = 0  # extra conjuncts beyond one per group
+    # adverbials (resolveAdverbials src/tscan.cxx:2997-3012): BW/PP
+    # modifiers of clause verbs; single = one-word GENERAL adverbs
+    vc_mod_cnt: int = 0
+    vc_mod_single_cnt: int = 0
 
     def all_distances(self) -> list[int]:
         out: list[int] = []
@@ -203,30 +222,46 @@ def parse_sentence(anns: list) -> SentParse:
 
     # ---- per-clause verb frame ---------------------------------------------
     main_verb_idx = -1  # first main-clause finite verb (for d-level 6 vs 3)
+    clause_cls: list[str | None] = []  # per clause: smain|ssub|sv1|None
     for ci, cl in enumerate(clauses):
         idxs = [i for i in range(cl.start, cl.end) if i not in puncts]
         if not idxs:
+            clause_cls.append(None)
             continue
         finites = [i for i in idxs if _is_finite(anns[i])]
         verbs = [i for i in idxs if anns[i].tag == "WW"]
         verb = finites[0] if finites else (verbs[0] if verbs else -1)
 
         # clause-type counters (resolveFiniteVerbs, src/sentstats.cxx:684-691)
+        cls = None
         if finites:
             verb_first = idxs[0] == finites[0]
             su = next((i for i in idxs if i < verb and _is_su_candidate(anns[i])), -1)
             if cl.kind == "sub":
                 parse.ssub_cnt += 1
+                cls = "ssub"
+                # clause-family split by the introducing conjunction
+                # (resolveRelativeClauses — dat/of head a complement
+                # clause, other subordinators an adverbial clause)
+                conj_lemma = (anns[cl.conj_idx].lword
+                              if cl.conj_idx >= 0 else "")
+                if conj_lemma in ("dat", "of"):
+                    parse.compl_cnt += 1
+                else:
+                    parse.bijw_cnt += 1
             elif verb_first and su < 0:
                 # finite verb with no subject sibling -> sv1 (imperative /
                 # verb-initial; checkImp src/Alpino.cxx:956-966)
                 parse.sv1_cnt += 1
+                cls = "sv1"
                 if ci == 0:
                     parse.imperative_idx = finites[0]
             else:
                 parse.smain_cnt += 1
+                cls = "smain"
                 if main_verb_idx < 0:
                     main_verb_idx = finites[0]
+        clause_cls.append(cls)
         if verb < 0:
             continue
 
@@ -258,6 +293,7 @@ def parse_sentence(anns: list) -> SentParse:
             b = anns[j]
             if b.tag == "VZ":
                 _store(parse, "VERB_PP", verb, j, puncts)
+                parse.vc_mod_cnt += 1  # adverbial PP (getAdverbialNodes)
                 # object of the preposition: next nounish token before the
                 # next VZ/WW
                 k = j + 1
@@ -276,6 +312,9 @@ def parse_sentence(anns: list) -> SentParse:
                     _store(parse, "OBJ2_VERB", verb, j, puncts)
             elif b.tag == "BW":
                 _store(parse, "VERB_MOD_BW", verb, j, puncts)
+                parse.vc_mod_cnt += 1
+                if b.adverb_type == "GENERAL":
+                    parse.vc_mod_single_cnt += 1
             elif b.tag == "ADJ":
                 nxt = j + 1
                 prenominal = nxt < cl.end and (
@@ -296,6 +335,48 @@ def parse_sentence(anns: list) -> SentParse:
 
     parse.clause_cnt = parse.smain_cnt + parse.ssub_cnt + parse.sv1_cnt
     parse.corrected_clause_cnt = parse.clause_cnt if parse.clause_cnt > 0 else 1
+
+    # ---- clause/conjunction families (reduced proxies; the reference
+    # walks the Alpino DOM, src/sentstats.cxx:546-712) ----------------------
+    # "te" + infinitive complements (cat ti/oti)
+    for i in range(n - 1):
+        if anns[i].lword == "te" and anns[i + 1].tag == "WW" \
+                and anns[i + 1].prop == "ISINF":
+            parse.infin_compl_bep_cnt += 1
+    # loose clauses: sentence STARTS with the subordinator/relativizer
+    first = next((i for i in range(n) if i not in puncts), -1)
+    if first >= 0 and parse.clause_cnt > 0:
+        a0 = anns[first]
+        if a0.tag == "VNW" and a0.lword in _REL_PRONOUNS:
+            parse.los_betr_cnt = 1
+        elif a0.tag == "VG" and a0.conjtype == "onder":
+            parse.los_bijw_cnt = 1
+    # multiple-embedding proxies: finite sub clauses beyond the first
+    n_fin_sub = sum(1 for c in clause_cls if c == "ssub")
+    parse.mv_fin_inbed_cnt = max(0, n_fin_sub - 1)
+    n_embed = n_fin_sub + parse.infin_compl_bep_cnt
+    parse.mv_inbed_cnt = max(0, n_embed - 1)
+    # conjunction families: clause conjuncts joined by a coordinating VG
+    # count per their own class, INCLUDING the clause left of the first
+    # conjunction in a run (Alpino's conj node has every conjunct as cnj);
+    # a coordinating VG whose right side has no finite clause is a small
+    # (phrase-level) conjunction: 2 conjuncts, 1 extra
+    for ci, cl in enumerate(clauses):
+        if cl.kind != "coord" or cl.conj_idx < 0:
+            continue
+        if clause_cls[ci] is not None:
+            key = {"smain": "smain_cnj_cnt", "ssub": "ssub_cnj_cnt",
+                   "sv1": "sv1_cnj_cnt"}[clause_cls[ci]]
+            setattr(parse, key, getattr(parse, key) + 1)
+            # left conjunct joins the same conj group (once per run start)
+            if ci > 0 and clauses[ci - 1].kind != "coord" \
+                    and clause_cls[ci - 1] is not None:
+                lkey = {"smain": "smain_cnj_cnt", "ssub": "ssub_cnj_cnt",
+                        "sv1": "sv1_cnj_cnt"}[clause_cls[ci - 1]]
+                setattr(parse, lkey, getattr(parse, lkey) + 1)
+        else:
+            parse.small_cnj_cnt += 2
+            parse.small_cnj_extra_cnt += 1
 
     parse.d_level = _d_level(anns, clauses, rel_after_noun, main_verb_idx, puncts)
     parse.d_level_gt4 = 1 if parse.d_level > 4 else 0

@@ -115,6 +115,17 @@ class WordAnn:
     word_freq_log: float = NA
     lemma_freq: int = 0
     lemma_freq_log: float = NA
+    # compound fields (wordStats compound section, src/tscan.cxx:1786-1799)
+    is_compound: bool = False
+    compound_parts: int = 0
+    char_cnt_head: int = 0
+    char_cnt_sat: int = 0
+    word_freq_log_head: float = NA
+    word_freq_log_sat: float = NA
+    word_freq_log_head_sat: float = NA
+    word_freq_log_corr: float = NA
+    top_freq_head: int = 0
+    top_freq_sat: int = 0
     prevalence_p: float = NA
     prevalence_z: float = NA
     f50: bool = False
@@ -255,11 +266,32 @@ def _analyze_word_uncached(token: str, sent_initial: bool, lex: Lexicons) -> Wor
         ann.f77 = staph <= 77
         ann.f80 = staph <= 80
 
+    # compound stats (src/tscan.cxx:1786-1799): head/sat char counts,
+    # head/sat frequency features, compound-corrected word frequency
+    comp = lex.compounds.get(ann.lemma) if ann.tag == "N" else None
+    if comp is not None:
+        head, sat, parts = comp
+        ann.is_compound = True
+        ann.compound_parts = parts
+        ann.char_cnt_head = len(head)
+        ann.char_cnt_sat = len(sat)
+        ann.word_freq_log_head = kernels.freq_log(
+            lex.word_freq.get(head, 0), lex.word_total)
+        ann.word_freq_log_sat = kernels.freq_log(
+            lex.word_freq.get(sat, 0), lex.word_total)
+        ann.word_freq_log_head_sat = (
+            ann.word_freq_log_head + ann.word_freq_log_sat) / 2.0
+        ann.top_freq_head = lex.top_freq.get(head, 0)
+        ann.top_freq_sat = lex.top_freq.get(sat, 0)
+        ann.word_freq_log_corr = ann.word_freq_log_head
+    else:
+        ann.word_freq_log_corr = ann.word_freq_log
+
     ann.is_pron_ref = (
         ann.prop == "ISPPRON3" and ann.tag == "VNW"
     ) or ann.prop == "ISAANW"
     ann.is_pers_ref = (
-        ann.sem_type == "human"
+        (ann.sem_type == "human" and ann.tag in ("N", "SPEC"))
         or ann.ner == "PER"
         or ann.prop in ("ISPPRON1", "ISPPRON2", "ISPPRON3")
     )
@@ -377,32 +409,130 @@ _COUNT_KEYS = (
     "propNegCnt morphNegCnt multiNegCnt persRefCnt pronRefCnt archaicsCnt "
     "impCnt nominalCnt charCnt charCntExNames morphCnt morphCntExNames "
     "f50Cnt f65Cnt f77Cnt f80Cnt top1000Cnt top2000Cnt top3000Cnt top5000Cnt "
-    "top10000Cnt top20000Cnt top1000ContentCnt top5000ContentCnt "
-    "generalAdverbCnt specificAdverbCnt intensCnt intensBvbwCnt "
-    "intensCombiCnt formalCnt formalMultiCnt generalNounCnt generalVerbCnt "
-    "afkCnt stoplistCnt myClassCnt questCnt sentCnt "
+    "top10000Cnt top20000Cnt "
+    "top1000ContentCnt top2000ContentCnt top3000ContentCnt "
+    "top5000ContentCnt top10000ContentCnt top20000ContentCnt "
+    "top1000ContentStrictCnt top2000ContentStrictCnt top3000ContentStrictCnt "
+    "top5000ContentStrictCnt top10000ContentStrictCnt top20000ContentStrictCnt "
+    "generalAdverbCnt specificAdverbCnt intensCnt intensBvnwCnt intensBvbwCnt "
+    "intensBwCnt intensCombiCnt intensNwCnt intensTussCnt intensWwCnt "
+    "formalCnt formalMultiCnt formalBvnwCnt formalBwCnt formalVgwCnt "
+    "formalVnwCnt formalVzCnt formalVzgCnt formalWwCnt formalZnwCnt "
+    "generalNounCnt generalVerbCnt "
+    "generalNounSepCnt generalNounRelCnt generalNounActCnt "
+    "generalNounKnowCnt generalNounDiscCnt generalNounDeveCnt "
+    "generalVerbSepCnt generalVerbRelCnt generalVerbActCnt "
+    "generalVerbKnowCnt generalVerbDiscCnt generalVerbDeveCnt "
+    "afkCnt afk_generiekCnt afk_internationaalCnt afk_juridischCnt "
+    "afk_mediaCnt afk_onderwijsCnt afk_overheidCnt afk_overigeCnt "
+    "afk_zorgCnt stoplistCnt myClassCnt questCnt sentCnt "
     "tempConnCnt opsomWgConnCnt opsomZinConnCnt contrastConnCnt "
-    "comparConnCnt causeConnCnt timeSitCnt causalSitCnt spaceSitCnt "
-    "emoSitCnt prepExprCnt wordOverlapCnt lemmaOverlapCnt nerCnt "
-    "humanCnt uncoveredNounCnt uncoveredAdjCnt uncoveredVerbCnt broadNounCnt "
+    "comparConnCnt causeConnCnt allConnCnt timeSitCnt causalSitCnt "
+    "spaceSitCnt emoSitCnt prepExprCnt wordOverlapCnt lemmaOverlapCnt "
+    "nerCnt nerPERCnt nerLOCCnt nerORGCnt nerPROCnt nerEVECnt nerMISCCnt "
+    "humanCnt nonHumanCnt artefactCnt substanceConcCnt foodcareCnt "
+    "concrotherCnt dynamicConcCnt placeCnt timeCnt measureCnt "
+    "substanceAbstrCnt dynamicAbstrCnt nonDynamicCnt institutCnt "
+    "undefinedNounCnt strictNounCnt broadNounCnt "
+    "uncoveredNounCnt uncoveredAdjCnt uncoveredVerbCnt "
+    "humanAdjCnt emoAdjCnt shapeAdjCnt colorAdjCnt matterAdjCnt soundAdjCnt "
+    "nonhumanOtherAdjCnt nonhumanAdjCnt techAdjCnt timeAdjCnt placeAdjCnt "
+    "specPosAdjCnt specNegAdjCnt posAdjCnt negAdjCnt evaluativeAdjCnt "
+    "epiPosAdjCnt epiNegAdjCnt abstractAdjCnt undefinedAdjCnt "
+    "strictAdjCnt broadAdjCnt subjectiveAdjCnt "
+    "concreteWwCnt abstractWwCnt undefinedWwCnt stateCnt actionCnt "
+    "processCnt undefinedATPCnt "
+    "vdBvCnt vdNwCnt vdVrijCnt infBvCnt infNwCnt infVrijCnt "
+    "odBvCnt odNwCnt odVrijCnt "
+    "compoundCnt compound3Cnt charCntNoun charCntNonComp charCntComp "
+    "charCntHead charCntSat charCntNounCorr charCntCorr "
+    "top1000CntNoun top5000CntNoun top20000CntNoun "
+    "top1000CntNonComp top5000CntNonComp top20000CntNonComp "
+    "top1000CntComp top5000CntComp top20000CntComp "
+    "top1000CntHead top5000CntHead top20000CntHead "
+    "top1000CntSat top5000CntSat top20000CntSat "
+    "top1000CntNounCorr top5000CntNounCorr top20000CntNounCorr "
+    "top1000CntCorr top5000CntCorr top20000CntCorr "
     "smainCnt ssubCnt sv1Cnt clauseCnt correctedClauseCnt npCnt indefNpCnt "
-    "npSizeSum npModCnt adjNpModCnt betrCnt dLevelGt4Cnt"
+    "npSizeSum npModCnt adjNpModCnt betrCnt dLevelGt4Cnt "
+    "bijwCnt complCnt infinComplBepCnt mvFinInbedCnt mvInbedCnt "
+    "losBetrCnt losBijwCnt smainCnjCnt ssubCnjCnt sv1CnjCnt "
+    "smallCnjCnt smallCnjExtraCnt vcModCnt vcModSingleCnt"
 ).split()
 
-# broad-concrete noun semtypes (reference broadNounCnt: every covered noun
-# type that is not abstract/undefined feeds conc_nw_ruim_p,
-# src/structstats.cxx:1009)
-_CONCRETE_BROAD = frozenset({
-    "concrete_other", "human", "nonhuman", "artefact", "place", "time",
-    "measure", "institut",
-})
+# --- the full reference SEM taxonomy (include/tscan/sem.h:9-35; count
+# switch src/tscan.cxx:2402-2607) — counter key per lexicon class ---------
+_NOUN_SEM_KEY = {
+    "human": "humanCnt", "nonhuman": "nonHumanCnt", "artefact": "artefactCnt",
+    "substance_conc": "substanceConcCnt", "voed_verz": "foodcareCnt",
+    "concrother": "concrotherCnt", "dynamic_conc": "dynamicConcCnt",
+    "place": "placeCnt", "time": "timeCnt", "measure": "measureCnt",
+    "substance_abstr": "substanceAbstrCnt", "dynamic_abstr": "dynamicAbstrCnt",
+    "nondynamic": "nonDynamicCnt", "institut": "institutCnt",
+    "undefined": "undefinedNounCnt",
+}
+# isStrictNoun / isBroadNoun (src/sem.cxx:277-309)
+_NOUN_STRICT = frozenset({"human", "nonhuman", "artefact", "substance_conc",
+                          "voed_verz", "concrother", "dynamic_conc"})
+_NOUN_BROAD = _NOUN_STRICT | {"place", "time", "measure"}
+_ADJ_SEM_KEY = {
+    "human": "humanAdjCnt", "emo": "emoAdjCnt", "shape": "shapeAdjCnt",
+    "color": "colorAdjCnt", "matter": "matterAdjCnt", "sound": "soundAdjCnt",
+    "nonhuman_other": "nonhumanOtherAdjCnt", "tech": "techAdjCnt",
+    "time": "timeAdjCnt", "place": "placeAdjCnt", "spec_pos": "specPosAdjCnt",
+    "spec_neg": "specNegAdjCnt", "pos": "posAdjCnt", "neg": "negAdjCnt",
+    "evaluative": "evaluativeAdjCnt", "epi_pos": "epiPosAdjCnt",
+    "epi_neg": "epiNegAdjCnt", "abstract": "abstractAdjCnt",
+    "undefined": "undefinedAdjCnt",
+}
+_ADJ_NONHUMAN = frozenset({"shape", "color", "matter", "sound", "nonhuman_other"})
+_ADJ_STRICT = _ADJ_NONHUMAN | {"human", "emo"}        # isStrictAdj
+_ADJ_BROAD = _ADJ_STRICT | {"time", "place"}          # isBroadAdj
+_ADJ_SUBJECTIVE = frozenset({"spec_pos", "spec_neg", "pos", "neg",
+                             "evaluative", "epi_pos", "epi_neg"})
+# verb classes: prefix = concreteness, suffix = ATP family
+_VERB_ATP_KEY = {"state": "stateCnt", "action": "actionCnt",
+                 "process": "processCnt"}
+# General::is* families (src/general.cxx:147-244) over the 6 aggregate
+# lexicon values (see lexicons.py)
+_GENERAL_FAMS = {
+    "separate": ("Sep",),
+    "related": ("Rel",),
+    "acting": ("Rel", "Act"),
+    "knowledge": ("Know",),
+    "discussion": ("Know", "Disc"),
+    "development": ("Rel", "Deve"),
+}
+_INTENS_KEY = {"BVNW": "intensBvnwCnt", "BVBW": "intensBvbwCnt",
+               "BW": "intensBwCnt", "COMBI": "intensCombiCnt",
+               "NW": "intensNwCnt", "TUSS": "intensTussCnt",
+               "WW": "intensWwCnt"}
+_FORMAL_KEY = {"BVNW": "formalBvnwCnt", "BW": "formalBwCnt",
+               "VGW": "formalVgwCnt", "VNW": "formalVnwCnt",
+               "VZ": "formalVzCnt", "VZG": "formalVzgCnt",
+               "WW": "formalWwCnt", "ZNW": "formalZnwCnt"}
+_AFK_DOMAINS = ("generiek", "internationaal", "juridisch", "media",
+                "onderwijs", "overheid", "overige", "zorg")
+# unique-token families per connective/situation class (reference
+# unique_*_conn / unique_*_sits maps, src/sentstats.cxx:425-520)
+_CONN_UNIQ = {"TEMPOREEL": "temp_conn", "OPSOMMEND_WG": "reeks_wg_conn",
+              "OPSOMMEND_ZIN": "reeks_zin_conn", "CONTRASTIEF": "contr_conn",
+              "COMPARATIEF": "comp_conn", "CAUSAAL": "cause_conn"}
+_SIT_UNIQ = {"TIME_SIT": "tijd_sits", "CAUSAL_SIT": "cause_sits",
+             "SPACE_SIT": "ruimte_sits", "EMO_SIT": "emotion_sits"}
 
 _SUM_KEYS = (
     "word_freq word_freq_n word_freq_strict word_freq_n_strict "
     "lemma_freq lemma_freq_n lemma_freq_strict lemma_freq_n_strict "
     "prevalenceP_sum prevalenceZ_sum prevalenceCovered "
+    "prevalenceContentP_sum prevalenceContentZ_sum prevalenceContentCovered "
     "prob_fwd_content prob_fwd_ex_names prob_fwd_content_ex_names "
-    "prob_bwd_content prob_bwd_ex_names prob_bwd_content_ex_names"
+    "prob_bwd_content prob_bwd_ex_names prob_bwd_content_ex_names "
+    # compound-corrected frequency sums (src/tscan.cxx:2627-2790)
+    "word_freq_log_noun word_freq_log_non_comp word_freq_log_comp "
+    "word_freq_log_head word_freq_log_sat word_freq_log_head_sat "
+    "word_freq_log_noun_corr word_freq_log_corr word_freq_log_n_corr "
+    "word_freq_log_corr_strict word_freq_log_n_corr_strict"
 ).split()
 
 _CONN_KEY = {
@@ -432,9 +562,15 @@ class Fold:
     unique_names: Counter = field(default_factory=Counter)
     unique_contents: Counter = field(default_factory=Counter)
     unique_contents_strict: Counter = field(default_factory=Counter)
+    # per-class connective/situation unique maps ("all_conn", "temp_conn",
+    # ..., "tijd_sits", ...) — reference unique_*_conn/unique_*_sits
+    uniq: dict[str, Counter] = field(default_factory=dict)
     words: list[WordAnn] = field(default_factory=list)
     parses: list[SentParse] = field(default_factory=list)
     surps: list[dict] = field(default_factory=list)  # per-sentence LM stats
+
+    def uniq_add(self, family: str, token: str) -> None:
+        self.uniq.setdefault(family, Counter())[token] += 1
 
     def __post_init__(self):
         for k in _SUM_KEYS:
@@ -479,6 +615,18 @@ def analyze_sentence(
     anns = [analyze_word(t, i == 0, lex) for i, t in enumerate(tokens)]
     f.words = anns
 
+    # "dat"/"of" disambiguation: the lexicon tags them VNW/VG-neven; after
+    # a verb they head a finite complement clause (VG/onder) — reduced
+    # stand-in for the Alpino cp/whsub decision (resolveRelativeClauses)
+    for k in range(1, len(anns)):
+        a = anns[k]
+        if a.lword == "dat" and a.tag == "VNW":
+            p = next((anns[j] for j in range(k - 1, -1, -1)
+                      if anns[j].prop != "ISLET"), None)
+            if p is not None and p.tag == "WW":
+                a.tag = "VG"
+                a.conjtype = "onder"
+
     # separable-verb resolution (sentence context): a listed particle
     # elsewhere in the sentence gives the verb its full lemma, and the
     # full-lemma-first lookups (verb_sem, lemma_freq — reference
@@ -514,7 +662,23 @@ def analyze_sentence(
 
         fwd = sentence_stats([anns[i].lprob_fwd for i, _ in content_words])
         bwd = sentence_stats([anns[i].lprob_bwd for i, _ in content_words])
-        f.surps.append({"fwd": fwd, "bwd": bwd})
+        surp = {"fwd": fwd, "bwd": bwd}
+        # per-sentence subset means (content / excluding names / both) —
+        # the doc level divides their per-sentence SUMS by sentCnt
+        # (misc emit, src/structstats.cxx:978-1003)
+        def _mean(vals: list[float]) -> float:
+            return sum(vals) / len(vals) if vals else float("nan")
+
+        for key, pred in (
+            ("content", lambda a: a.is_content),
+            ("ex_names", lambda a: a.prop != "ISNAME"),
+            ("content_ex_names",
+             lambda a: a.is_content and a.prop != "ISNAME"),
+        ):
+            subset = [i for i, _ in content_words if pred(anns[i])]
+            surp["fwd_" + key] = _mean([anns[i].lprob_fwd for i in subset])
+            surp["bwd_" + key] = _mean([anns[i].lprob_bwd for i in subset])
+        f.surps.append(surp)
 
     # previous-sentence overlap buffers (src/tscan.cxx:2092-2103)
     wordbuffer: list[str] = []
@@ -542,6 +706,9 @@ def analyze_sentence(
     c["intensCnt"] += len(intens_hits)
     c["formalMultiCnt"] += len(formal_hits)
     c["formalCnt"] += len(formal_hits)
+    for _s, _l, t in formal_hits:  # class-split the multiword formal hits
+        if t in _FORMAL_KEY:
+            c[_FORMAL_KEY[t]] += 1
     c["prepExprCnt"] += len(prep_hits)
 
     # parse-derived resolution pass (T7-T12; reduced deterministic parser)
@@ -557,6 +724,19 @@ def analyze_sentence(
         ("npSizeSum", parse.np_size_sum), ("npModCnt", parse.np_mod_cnt),
         ("adjNpModCnt", parse.adj_np_mod_cnt), ("betrCnt", parse.betr_cnt),
         ("dLevelGt4Cnt", parse.d_level_gt4),
+        ("bijwCnt", parse.bijw_cnt), ("complCnt", parse.compl_cnt),
+        ("infinComplBepCnt", parse.infin_compl_bep_cnt),
+        ("mvFinInbedCnt", parse.mv_fin_inbed_cnt),
+        ("mvInbedCnt", parse.mv_inbed_cnt),
+        ("losBetrCnt", parse.los_betr_cnt),
+        ("losBijwCnt", parse.los_bijw_cnt),
+        ("smainCnjCnt", parse.smain_cnj_cnt),
+        ("ssubCnjCnt", parse.ssub_cnj_cnt),
+        ("sv1CnjCnt", parse.sv1_cnj_cnt),
+        ("smallCnjCnt", parse.small_cnj_cnt),
+        ("smallCnjExtraCnt", parse.small_cnj_extra_cnt),
+        ("vcModCnt", parse.vc_mod_cnt),
+        ("vcModSingleCnt", parse.vc_mod_single_cnt),
     ):
         if val:
             c[key] += val
@@ -594,18 +774,9 @@ def analyze_sentence(
             c["adjCnt"] += 1
         if ann.ner:
             c["nerCnt"] += 1
-        if ann.sem_type == "human":
-            c["humanCnt"] += 1
-        if ann.sem_type == "UNFOUND_NOUN":
-            c["uncoveredNounCnt"] += 1
-        if ann.sem_type == "UNFOUND_ADJ":
-            c["uncoveredAdjCnt"] += 1
-        if ann.sem_type == "UNFOUND_VERB":
-            c["uncoveredVerbCnt"] += 1
-        if ann.sem_type in _CONCRETE_BROAD and (
-            ann.tag == "N" or ann.prop == "ISNAME"
-        ):
-            c["broadNounCnt"] += 1
+            c["ner" + ann.ner + "Cnt"] += 1
+        _word_sem_counts(c, ann)
+        _compound_counts(f, ann)
 
         _common_counts(f, ann)
 
@@ -632,6 +803,10 @@ def analyze_sentence(
             s["prevalenceP_sum"] += ann.prevalence_p
             s["prevalenceZ_sum"] += ann.prevalence_z
             s["prevalenceCovered"] += 1
+            if ann.is_content:  # content-word prevalence (Inhwrd_prev*)
+                s["prevalenceContentP_sum"] += ann.prevalence_p
+                s["prevalenceContentZ_sum"] += ann.prevalence_z
+                s["prevalenceContentCovered"] += 1
         if not math.isnan(ann.lprob_fwd):
             # Wopr per-word sums (src/tscan.cxx:2855-2860 normalizers)
             if ann.is_content:
@@ -656,16 +831,15 @@ def analyze_sentence(
             c["f80Cnt"] += 1
 
         # cumulative top-k bands (fallthrough switch, src/tscan.cxx:2366-2400)
+        # with the content / strict-content variants per band
         if ann.top_freq:
-            for band, key in ((1000, "top1000Cnt"), (2000, "top2000Cnt"),
-                              (3000, "top3000Cnt"), (5000, "top5000Cnt"),
-                              (10000, "top10000Cnt"), (20000, "top20000Cnt")):
+            for band in (1000, 2000, 3000, 5000, 10000, 20000):
                 if ann.top_freq <= band:
-                    c[key] += 1
-            if ann.top_freq <= 1000 and ann.is_content:
-                c["top1000ContentCnt"] += 1
-            if ann.top_freq <= 5000 and ann.is_content:
-                c["top5000ContentCnt"] += 1
+                    c[f"top{band}Cnt"] += 1
+                    if ann.is_content:
+                        c[f"top{band}ContentCnt"] += 1
+                    if ann.is_content_strict:
+                        c[f"top{band}ContentStrictCnt"] += 1
 
     if question:
         c["questCnt"] = 1
@@ -673,6 +847,115 @@ def analyze_sentence(
         c["multiNegCnt"] = 1
     c["sentCnt"] = 1 if c["wordCnt"] > 0 else 0
     return f
+
+
+def _word_sem_counts(c: Counter, ann: WordAnn) -> None:
+    """The wordSemCounts switch (src/tscan.cxx:2402-2607): per-class sem
+    counters + the strict/broad/subjective/nonhuman aggregates."""
+    sem = ann.sem_type
+    if ann.tag == "N" or ann.prop == "ISNAME":
+        if sem in _NOUN_SEM_KEY:
+            c[_NOUN_SEM_KEY[sem]] += 1
+            if sem in _NOUN_STRICT:
+                c["strictNounCnt"] += 1
+            if sem in _NOUN_BROAD:
+                c["broadNounCnt"] += 1
+        else:  # UNFOUND_NOUN / a name with no sem entry
+            c["uncoveredNounCnt"] += 1
+    elif ann.tag == "ADJ":
+        if sem in _ADJ_SEM_KEY:
+            c[_ADJ_SEM_KEY[sem]] += 1
+            if sem in _ADJ_NONHUMAN:
+                c["nonhumanAdjCnt"] += 1
+            if sem in _ADJ_STRICT:
+                c["strictAdjCnt"] += 1
+            if sem in _ADJ_BROAD:
+                c["broadAdjCnt"] += 1
+            if sem in _ADJ_SUBJECTIVE:
+                c["subjectiveAdjCnt"] += 1
+        else:
+            c["uncoveredAdjCnt"] += 1
+    elif ann.tag == "WW":
+        if sem == "UNFOUND_VERB" or not sem:
+            c["uncoveredVerbCnt"] += 1
+        else:
+            if sem.startswith("abstract"):
+                c["abstractWwCnt"] += 1
+            elif sem.startswith("concrete"):
+                c["concreteWwCnt"] += 1
+            else:
+                c["undefinedWwCnt"] += 1
+            fam = sem.split("_")[-1]
+            if fam in _VERB_ATP_KEY:
+                c[_VERB_ATP_KEY[fam]] += 1
+            elif sem == "undefined":  # UNDEFINED_VERB
+                c["undefinedATPCnt"] += 1
+
+
+def _compound_counts(f: Fold, ann: WordAnn) -> None:
+    """Compound / compound-corrected frequency accumulation
+    (src/tscan.cxx:2627-2790): nouns split into compound vs non-compound
+    branches (corrected stats use the HEAD word's features for
+    compounds); non-nouns feed only the *Corr totals."""
+    c, s = f.c, f.s
+
+    def bands(top: int, *suffixes: str) -> None:
+        if top:
+            for band, nm in ((1000, "top1000"), (5000, "top5000"),
+                             (20000, "top20000")):
+                if top <= band:
+                    for suf in suffixes:
+                        c[nm + "Cnt" + suf] += 1
+
+    if ann.tag == "N":
+        c["charCntNoun"] += ann.char_cnt
+        s["word_freq_log_noun"] += ann.word_freq_log
+        bands(ann.top_freq, "Noun")
+        if ann.is_compound:
+            c["compoundCnt"] += 1
+            if ann.compound_parts == 3:
+                c["compound3Cnt"] += 1
+            c["charCntComp"] += ann.char_cnt
+            c["charCntHead"] += ann.char_cnt_head
+            c["charCntSat"] += ann.char_cnt_sat
+            c["charCntNounCorr"] += ann.char_cnt_head
+            c["charCntCorr"] += ann.char_cnt_head
+            s["word_freq_log_comp"] += ann.word_freq_log
+            s["word_freq_log_head"] += ann.word_freq_log_head
+            s["word_freq_log_sat"] += ann.word_freq_log_sat
+            s["word_freq_log_head_sat"] += ann.word_freq_log_head_sat
+            s["word_freq_log_noun_corr"] += ann.word_freq_log_head
+            s["word_freq_log_corr"] += ann.word_freq_log_head
+            s["word_freq_log_n_corr"] += ann.word_freq_log_head
+            if ann.is_content_strict:
+                s["word_freq_log_corr_strict"] += ann.word_freq_log_head
+                s["word_freq_log_n_corr_strict"] += ann.word_freq_log_head
+            bands(ann.top_freq, "Comp")
+            bands(ann.top_freq_head, "Head", "NounCorr", "Corr")
+            bands(ann.top_freq_sat, "Sat")
+        else:
+            c["charCntNonComp"] += ann.char_cnt
+            c["charCntNounCorr"] += ann.char_cnt
+            c["charCntCorr"] += ann.char_cnt
+            s["word_freq_log_non_comp"] += ann.word_freq_log
+            s["word_freq_log_noun_corr"] += ann.word_freq_log
+            s["word_freq_log_corr"] += ann.word_freq_log
+            s["word_freq_log_n_corr"] += ann.word_freq_log
+            if ann.is_content_strict:
+                s["word_freq_log_corr_strict"] += ann.word_freq_log
+                s["word_freq_log_n_corr_strict"] += ann.word_freq_log
+            bands(ann.top_freq, "NonComp", "NounCorr", "Corr")
+    else:
+        c["charCntCorr"] += ann.char_cnt
+        if ann.is_content:
+            s["word_freq_log_corr"] += ann.word_freq_log
+            if ann.prop != "ISNAME":
+                s["word_freq_log_n_corr"] += ann.word_freq_log
+        if ann.is_content_strict:
+            s["word_freq_log_corr_strict"] += ann.word_freq_log
+            if ann.prop != "ISNAME":
+                s["word_freq_log_n_corr_strict"] += ann.word_freq_log
+        bands(ann.top_freq, "Corr")
 
 
 def _common_counts(f: Fold, ann: WordAnn) -> None:
@@ -687,6 +970,13 @@ def _common_counts(f: Fold, ann: WordAnn) -> None:
     }.get(ann.prop)
     if prop_key:
         c[prop_key] += 1
+    # participle/infinitive position split (setCommonCounts,
+    # src/sentstats.cxx:17-58): prenominal/nominal/free usage
+    if ann.prop in ("ISVD", "ISINF", "ISOD"):
+        stem = {"ISVD": "vd", "ISINF": "inf", "ISOD": "od"}[ann.prop]
+        pos_key = {"PRENOM": "Bv", "NOMIN": "Nw", "VRIJ": "Vrij"}.get(ann.position)
+        if pos_key:
+            c[stem + pos_key + "Cnt"] += 1
     if ann.prop == "ISNAME":
         f.unique_names[ann.lword] += 1
     tag_key = {
@@ -726,26 +1016,44 @@ def _common_counts(f: Fold, ann: WordAnn) -> None:
         f.unique_contents_strict[ann.lword] += 1
     if ann.afk_type:
         c["afkCnt"] += 1
+        c["afk_" + ann.afk_type + "Cnt"] += 1  # 8 Afk::Type domains
     if ann.adverb_type == "GENERAL":
         c["generalAdverbCnt"] += 1
     elif ann.adverb_type == "SPECIFIC":
         c["specificAdverbCnt"] += 1
-    if ann.intensify_type:
+    # intensifier classes (src/sentstats.cxx:161-192)
+    ik = _INTENS_KEY.get(ann.intensify_type)
+    if ik:
         c["intensCnt"] += 1
-        if ann.intensify_type == "BVBW":
-            c["intensBvbwCnt"] += 1
-    if ann.formal_type:
+        c[ik] += 1
+    # formal classes (setFormalCounts, src/sentstats.cxx:201-238)
+    fk = _FORMAL_KEY.get(ann.formal_type)
+    if fk:
         c["formalCnt"] += 1
+        c[fk] += 1
+    # general noun/verb aggregate families (src/tscan.cxx:2609-2625)
     if ann.general_noun_type:
         c["generalNounCnt"] += 1
+        for fam in _GENERAL_FAMS.get(ann.general_noun_type, ()):
+            c["generalNoun" + fam + "Cnt"] += 1
     if ann.general_verb_type:
         c["generalVerbCnt"] += 1
+        for fam in _GENERAL_FAMS.get(ann.general_verb_type, ()):
+            c["generalVerb" + fam + "Cnt"] += 1
     if ann.my_class:
         c["myClassCnt"] += 1
+    # connectives: per-class counts + unique maps + allConnCnt, which
+    # EXCLUDES word-group enumeration (OPSOMMEND_WG) — resolveConnectives
+    # (src/sentstats.cxx:425-470)
     if ann.conn_type in _CONN_KEY:
         c[_CONN_KEY[ann.conn_type]] += 1
+        f.uniq_add(_CONN_UNIQ[ann.conn_type], ann.lword)
+        if ann.conn_type != "OPSOMMEND_WG":
+            c["allConnCnt"] += 1
+            f.uniq_add("all_conn", ann.lword)
     if ann.sit_type in _SIT_KEY:
         c[_SIT_KEY[ann.sit_type]] += 1
+        f.uniq_add(_SIT_UNIQ[ann.sit_type], ann.lemma)
 
 
 def merge_folds(folds: list[Fold]) -> Fold:
@@ -761,6 +1069,8 @@ def merge_folds(folds: list[Fold]) -> Fold:
         out.unique_names.update(f.unique_names)
         out.unique_contents.update(f.unique_contents)
         out.unique_contents_strict.update(f.unique_contents_strict)
+        for fam, cnt in f.uniq.items():
+            out.uniq.setdefault(fam, Counter()).update(cnt)
         out.words.extend(f.words)
         out.parses.extend(f.parses)
         out.surps.extend(f.surps)
@@ -860,167 +1170,520 @@ def featurize_document(
     doc = merge_folds(sent_folds)
     c, s = doc.c, doc.s
 
+    return _emit_doc(doc, len(paragraphs), cfg)
+
+
+def _emit_doc(doc: Fold, par_cnt: int, cfg: EngineConfig) -> dict[str, float]:
+    """The full structStats CSV emit (src/structstats.cxx:85-1049), in the
+    reference's section order and with the reference's column names and
+    formulas.  Raw counters are appended after the derived columns (the
+    reference keeps them in FoLiA metrics; here they are plain columns).
+    """
+    c, s = doc.c, doc.s
     out: dict[str, float] = {}
-    # raw counts (ints)
-    for k in _COUNT_KEYS:
-        out[k] = int(c[k])
-    out["parCnt"] = len(paragraphs)
+    wc = c["wordCnt"]
+    wic = c["wordInclCnt"]
+    n_sent = c["sentCnt"]
+    ccc = c["correctedClauseCnt"]
+    covered_nouns = c["nounCnt"] + c["nameCnt"] - c["uncoveredNounCnt"]
+    covered_adj = c["adjCnt"] - c["uncoveredAdjCnt"]
+    covered_verbs = c["verbCnt"] - c["uncoveredVerbCnt"]
+    bijzin_cnt = c["betrCnt"] + c["bijwCnt"] + c["complCnt"]
+    np_mod_corr = max(0, c["npModCnt"] - c["betrCnt"])
+    vc_mod_corr = max(0, c["vcModCnt"] - c["bijwCnt"])
+    mt = _mtld_families(doc.words)
 
-    # per-structure proportions (reference sentDifficulties/wordDifficulties)
-    out["Wrd_per_zin"] = proportion(c["wordCnt"], c["sentCnt"])
-    out["Zin_per_wrd"] = proportion(c["sentCnt"], c["wordCnt"])
-    out["Let_per_wrd"] = proportion(c["charCnt"], c["wordCnt"])
-    out["Let_per_wrd_zn"] = proportion(c["charCntExNames"], c["wordCnt"] - c["nameCnt"])
-    out["Morf_per_wrd"] = proportion(c["morphCnt"], c["wordCnt"])
-    out["Morf_per_wrd_zn"] = proportion(c["morphCntExNames"], c["wordCnt"] - c["nameCnt"])
+    out["Alpino_status"] = int(c["parseFailCnt"])
 
-    # TTRs (src/structstats.cxx:462-474 emit proportion(unique, incl))
-    out["TTR_wrd"] = proportion(len(doc.unique_words), c["wordInclCnt"])
-    out["TTR_lem"] = proportion(len(doc.unique_lemmas), c["wordInclCnt"])
-    out["TTR_namen"] = proportion(len(doc.unique_names), c["nameInclCnt"])
-    out["TTR_inhwrd"] = proportion(len(doc.unique_contents), c["contentInclCnt"])
-    out["TTR_inhwrd_strict"] = proportion(
-        len(doc.unique_contents_strict), c["contentStrictInclCnt"]
-    )
+    # --- topPredictors (src/structstats.cxx:123-163) ----------------------
+    wrd_freq_log_zn_corr = proportion(s["word_freq_log_n_corr"],
+                                      c["contentCnt"] - c["nameCnt"])
+    out["wrd_freq_log_zn_corr"] = wrd_freq_log_zn_corr
+    out["wrd_freq_zn_log"] = proportion(s["word_freq_n"],
+                                        c["contentCnt"] - c["nameCnt"])
+    conc_nw_ruim_p = proportion(c["broadNounCnt"], covered_nouns)
+    out["Conc_nw_ruim_p"] = conc_nw_ruim_p
+    out["Conc_nw_strikt_p"] = proportion(c["strictNounCnt"], covered_nouns)
+    alg_nw_d = density(c["generalNounCnt"], wc)
+    out["Alg_nw_d"] = alg_nw_d
+    out["Pers_ref_d"] = density(c["persRefCnt"], wic)
+    out["Pers_vnw_d"] = density(c["pron1Cnt"] + c["pron2Cnt"] + c["pron3Cnt"], wic)
+    out["Wrd_per_zin"] = proportion(wic, n_sent)
+    out["Wrd_per_dz"] = proportion(wic, ccc)
+    inhwrd_dz_zonder_abw = proportion(c["contentStrictInclCnt"], ccc)
+    out["Inhwrd_dz_zonder_abw"] = inhwrd_dz_zonder_abw
+    al_max = depparse.doc_mean_al([p.al_max for p in doc.parses])
+    out["AL_max"] = al_max
+    out["Bijzin_per_zin"] = proportion(bijzin_cnt + c["infinComplBepCnt"], n_sent)
+    bijv_bep_dz_zbijzin = proportion(np_mod_corr, ccc)
+    out["Bijv_bep_dz_zbijzin"] = bijv_bep_dz_zbijzin
+    out["Extra_KConj_dz"] = proportion(c["smallCnjExtraCnt"], ccc)
+    out["MTLD_inhwrd_zonder_abw"] = mt["MTLD_inhwrd_strict"]
 
-    out.update(_mtld_families(doc.words))
-
-    # frequency rollups (src/tscan.cxx:3114-3122: merged sums / merged counts)
+    # --- wordDifficulties (src/structstats.cxx:165-235) -------------------
+    out["Let_per_wrd"] = proportion(c["charCnt"], wc)
+    out["Wrd_per_let"] = proportion(wc, c["charCnt"])
+    out["Let_per_wrd_zn"] = proportion(c["charCntExNames"], wc - c["nameCnt"])
+    out["Wrd_per_let_zn"] = proportion(wc - c["nameCnt"], c["charCntExNames"])
+    out["Morf_per_wrd"] = proportion(c["morphCnt"], wc)
+    out["Wrd_per_morf"] = proportion(wc, c["morphCnt"])
+    out["Morf_per_wrd_zn"] = proportion(c["morphCntExNames"], wc - c["nameCnt"])
+    out["Wrd_per_morf_zn"] = proportion(wc - c["nameCnt"], c["morphCntExNames"])
+    out["Namen_p"] = proportion(c["nameCnt"], c["nameCnt"] + c["nounCnt"])
+    out["Namen_d"] = density(c["nameCnt"], wc)
+    out["Wrd_prev"] = proportion(s["prevalenceP_sum"], s["prevalenceCovered"])
+    out["Wrd_prev_z"] = proportion(s["prevalenceZ_sum"], s["prevalenceCovered"])
+    out["Inhwrd_prev"] = proportion(s["prevalenceContentP_sum"],
+                                    s["prevalenceContentCovered"])
+    out["Inhwrd_prev_z"] = proportion(s["prevalenceContentZ_sum"],
+                                      s["prevalenceContentCovered"])
+    out["Dekking_inhwrd_prev"] = proportion(s["prevalenceContentCovered"],
+                                            c["contentCnt"])
+    out["Freq50_staph"] = proportion(c["f50Cnt"], wc)
+    out["Freq65_Staph"] = proportion(c["f65Cnt"], wc)
+    out["Freq77_Staph"] = proportion(c["f77Cnt"], wc)
+    out["Freq80_Staph"] = proportion(c["f80Cnt"], wc)
     out["Wrd_freq_log"] = proportion(s["word_freq"], c["contentCnt"])
     out["Lem_freq_log"] = proportion(s["lemma_freq"], c["contentCnt"])
-    out["Wrd_freq_zn_log"] = proportion(s["word_freq_n"], c["contentCnt"] - c["nameCnt"])
-    out["Lem_freq_zn_log"] = proportion(s["lemma_freq_n"], c["contentCnt"] - c["nameCnt"])
-    out["Wrd_freq_log_strikt"] = proportion(s["word_freq_strict"], c["contentStrictCnt"])
-    out["Lem_freq_log_strikt"] = proportion(s["lemma_freq_strict"], c["contentStrictCnt"])
-    out["Wrd_freq_zn_log_strikt"] = proportion(
-        s["word_freq_n_strict"], c["contentStrictCnt"] - c["nameCnt"]
-    )
-    out["Lem_freq_zn_log_strikt"] = proportion(
-        s["lemma_freq_n_strict"], c["contentStrictCnt"] - c["nameCnt"]
-    )
-    out["Prev_p"] = proportion(s["prevalenceP_sum"], s["prevalenceCovered"])
-    out["Prev_z"] = proportion(s["prevalenceZ_sum"], s["prevalenceCovered"])
-    out["Prev_coverage"] = proportion(s["prevalenceCovered"], c["wordCnt"])
-
-    # densities / proportions over word count
-    wc = c["wordCnt"]
-    out["Inhwrd_d"] = density(c["contentCnt"], wc)
-    out["Inhwrd_dz"] = density(c["contentStrictCnt"], wc)
-    out["Naam_d"] = density(c["nameCnt"], wc)
-    out["Pers_ref_d"] = density(c["persRefCnt"], wc)
-    out["Pers_vnw_d"] = density(c["pron1Cnt"] + c["pron2Cnt"] + c["pron3Cnt"], wc)
-    out["Alg_nw_d"] = density(c["generalNounCnt"], wc)
-    out["Alg_ww_d"] = density(c["generalVerbCnt"], wc)
-    out["Nom_d"] = density(c["nominalCnt"], wc)
-    out["Ontk_tot_d"] = density(c["propNegCnt"] + c["morphNegCnt"], wc)
-    out["Intens_d"] = density(c["intensCnt"], wc)
-    out["Formeel_d"] = density(c["formalCnt"], wc)
-    out["Conn_d"] = density(
-        c["tempConnCnt"] + c["opsomWgConnCnt"] + c["opsomZinConnCnt"]
-        + c["contrastConnCnt"] + c["comparConnCnt"] + c["causeConnCnt"], wc
-    )
-    out["Vzexpr_d"] = density(c["prepExprCnt"], wc)
-    out["Arch_d"] = density(c["archaicsCnt"], wc)
-    out["Afk_d"] = density(c["afkCnt"], wc)
-
-    # top-k band proportions (src/structstats.cxx freq emit)
+    out["Lem_freq_zn_log"] = proportion(s["lemma_freq_n"],
+                                        c["contentCnt"] - c["nameCnt"])
+    out["Wrd_freq_log_zonder_abw"] = proportion(s["word_freq_strict"],
+                                                c["contentStrictCnt"])
+    out["Wrd_freq_zn_log_zonder_abw"] = proportion(
+        s["word_freq_n_strict"], c["contentStrictCnt"] - c["nameCnt"])
+    out["Lem_freq_log_zonder_abw"] = proportion(s["lemma_freq_strict"],
+                                                c["contentStrictCnt"])
+    out["Lem_freq_zn_log_zonder_abw"] = proportion(
+        s["lemma_freq_n_strict"], c["contentStrictCnt"] - c["nameCnt"])
     for band in (1000, 2000, 3000, 5000, 10000, 20000):
         out[f"Freq{band}"] = proportion(c[f"top{band}Cnt"], wc)
-    out["Freq50_staph"] = proportion(c["f50Cnt"], wc)
-    out["Freq65_staph"] = proportion(c["f65Cnt"], wc)
-    out["Freq77_staph"] = proportion(c["f77Cnt"], wc)
-    out["Freq80_staph"] = proportion(c["f80Cnt"], wc)
+    for band in (1000, 2000, 3000, 5000, 10000, 20000):
+        out[f"Freq{band}_inhwrd"] = proportion(c[f"top{band}ContentCnt"],
+                                               c["contentCnt"])
+    for band in (1000, 2000, 3000, 5000, 10000, 20000):
+        out[f"Freq{band}_inhwrd_zonder_abw"] = proportion(
+            c[f"top{band}ContentStrictCnt"], c["contentStrictCnt"])
 
-    # overlap features (T5 sentence-lag, T6 doc window)
-    out["Wrd_overlap_sent"] = int(c["wordOverlapCnt"])
-    out["Lem_overlap_sent"] = int(c["lemmaOverlapCnt"])
-    dw, dl = _doc_overlap(doc.words, cfg.overlap_size)
-    out["Wrd_overlap_doc"] = dw
-    out["Lem_overlap_doc"] = dl
+    # --- compound (src/structstats.cxx:237-302) ---------------------------
+    non_compound_cnt = c["nounCnt"] - c["compoundCnt"]
+    out["Samenst_d"] = density(c["compoundCnt"], wc)
+    out["Samenst_p"] = proportion(c["compoundCnt"], c["nounCnt"])
+    out["Samenst3_d"] = density(c["compound3Cnt"], wc)
+    out["Samenst3_p"] = proportion(c["compound3Cnt"], c["nounCnt"])
+    out["Let_per_wrd_nw"] = proportion(c["charCntNoun"], c["nounCnt"])
+    out["Let_per_wrd_nsam"] = proportion(c["charCntNonComp"], non_compound_cnt)
+    out["Let_per_wrd_sam"] = proportion(c["charCntComp"], c["compoundCnt"])
+    out["Let_per_wrd_hfdwrd"] = proportion(c["charCntHead"], c["compoundCnt"])
+    out["Let_per_wrd_satwrd"] = proportion(c["charCntSat"], c["compoundCnt"])
+    out["Let_per_wrd_nw_corr"] = proportion(c["charCntNounCorr"], c["nounCnt"])
+    out["Let_per_wrd_corr"] = proportion(c["charCntCorr"], wc)
+    out["Wrd_freq_log_nw"] = proportion(s["word_freq_log_noun"], c["nounCnt"])
+    out["Wrd_freq_log_ong_nw"] = proportion(s["word_freq_log_non_comp"],
+                                            non_compound_cnt)
+    out["Wrd_freq_log_sam_nw"] = proportion(s["word_freq_log_comp"],
+                                            c["compoundCnt"])
+    out["Wrd_freq_log_hfdwrd"] = proportion(s["word_freq_log_head"],
+                                            c["compoundCnt"])
+    out["Wrd_freq_log_satwrd"] = proportion(s["word_freq_log_sat"],
+                                            c["compoundCnt"])
+    out["Wrd_freq_log_(hfd_sat)"] = proportion(s["word_freq_log_head_sat"],
+                                               c["compoundCnt"])
+    out["Wrd_freq_log_nw_corr"] = proportion(s["word_freq_log_noun_corr"],
+                                             c["nounCnt"])
+    out["Wrd_freq_log_corr"] = proportion(s["word_freq_log_corr"],
+                                          c["contentCnt"])
+    out["Wrd_freq_log_corr_zonder_abw"] = proportion(
+        s["word_freq_log_corr_strict"], c["contentStrictCnt"])
+    out["Wrd_freq_log_zn_corr_zonder_abw"] = proportion(
+        s["word_freq_log_n_corr_strict"], c["contentStrictCnt"] - c["nameCnt"])
+    for band in (1000, 5000, 20000):
+        out[f"Freq{band}_nw"] = proportion(c[f"top{band}CntNoun"], c["nounCnt"])
+    for band in (1000, 5000, 20000):
+        out[f"Freq{band}_nsam_nw"] = proportion(c[f"top{band}CntNonComp"],
+                                                non_compound_cnt)
+    for band in (1000, 5000, 20000):
+        out[f"Freq{band}_sam_nw"] = proportion(c[f"top{band}CntComp"],
+                                               c["compoundCnt"])
+    for band in (1000, 5000, 20000):
+        out[f"Freq{band}_hfdwrd_nw"] = proportion(c[f"top{band}CntHead"],
+                                                  c["compoundCnt"])
+    for band in (1000, 5000, 20000):
+        out[f"Freq{band}_satwrd_nw"] = proportion(c[f"top{band}CntSat"],
+                                                  c["compoundCnt"])
+    for band in (1000, 5000, 20000):
+        out[f"Freq{band}_nw_corr"] = proportion(c[f"top{band}CntNounCorr"],
+                                                c["nounCnt"])
+    for band in (1000, 5000, 20000):
+        out[f"Freq{band}_corr"] = proportion(c[f"top{band}CntCorr"], wc)
 
-    # rarity (src/docstats.cxx:9-18)
-    out["Rar_index"] = kernels.rarity(dict(doc.unique_lemmas), cfg.rarity_level)
-
-    # --- parse-derived features (T7-T12 via the reduced parser) -----------
-    # per-type dependency-length means: doc pools the map-unioned distance
-    # bags (MMtoString per type, src/Alpino.cxx:29-42)
+    # --- sentDifficulties (src/structstats.cxx:304-410) -------------------
+    out["Zin_per_wrd"] = proportion(n_sent, wic)
+    out["Dzin_per_wrd"] = proportion(ccc, wic)
+    out["Wrd_per_nwg"] = proportion(wic, n_sent)
+    out["Betr_bijzin_per_zin"] = proportion(c["betrCnt"], n_sent)
+    out["Bijw_bijzin_per_zin"] = proportion(c["bijwCnt"], n_sent)
+    out["Compl_bijzin_per_zin"] = proportion(c["complCnt"], n_sent)
+    out["Fin_bijzin_per_zin"] = proportion(bijzin_cnt, n_sent)
+    out["Mv_fin_inbed_per_zin"] = proportion(c["mvFinInbedCnt"], n_sent)
+    out["Infin_compl_bep_per_zin"] = proportion(c["infinComplBepCnt"], n_sent)
+    out["Mv_inbed_per_zin"] = proportion(c["mvInbedCnt"], n_sent)
+    out["Betr_bijzin_los"] = proportion(c["losBetrCnt"], n_sent)
+    out["Bijw_compl_bijzin_los"] = proportion(c["losBijwCnt"], n_sent)
+    out["Pv_hzin_per_zin"] = proportion(c["smainCnt"], n_sent)
+    out["Pv_bijzin_per_zin"] = proportion(c["ssubCnt"], n_sent)
+    out["Pv_ww1_per_zin"] = proportion(c["sv1Cnt"], n_sent)
+    out["Hzin_conj"] = proportion(c["smainCnjCnt"], n_sent)
+    out["Bijzin_conj"] = proportion(c["ssubCnjCnt"], n_sent)
+    out["Ww1_conj"] = proportion(c["sv1CnjCnt"], n_sent)
+    out["Pv_Alpino_per_zin"] = proportion(c["clauseCnt"], n_sent)
+    frog_clause_cnt = c["pastCnt"] + c["presentCnt"]
+    out["Pv_Frog_d"] = density(frog_clause_cnt, wic)
+    out["Pv_Frog_per_zin"] = proportion(frog_clause_cnt, n_sent)
+    dlevel_sum = depparse.merge_d_level([p.d_level for p in doc.parses])
+    out["D_level"] = (proportion(dlevel_sum, n_sent)
+                      if dlevel_sum >= 0 else NA)
+    out["D_level_gt4_p"] = proportion(c["dLevelGt4Cnt"], n_sent)
+    out["Nom_d"] = density(c["nominalCnt"], wc)
+    out["Lijdv_d"] = density(c["passiveCnt"], wic)
+    out["Lijdv_dz"] = proportion(c["passiveCnt"], ccc)
+    out["Ontk_zin_d"] = density(c["propNegCnt"], wic)
+    out["Ontk_zin_dz"] = proportion(c["propNegCnt"], ccc)
+    out["Ontk_morf_d"] = density(c["morphNegCnt"], wic)
+    out["Ontk_morf_dz"] = proportion(c["morphNegCnt"], ccc)
+    out["Ontk_tot_d"] = density(c["propNegCnt"] + c["morphNegCnt"], wic)
+    out["Ontk_tot_dz"] = proportion(c["propNegCnt"] + c["morphNegCnt"], ccc)
+    out["Meerv_ontk_d"] = density(c["multiNegCnt"], wic)
+    out["Meerv_ontk_dz"] = proportion(c["multiNegCnt"], ccc)
+    # MMtoString per DD type: mean of the doc-pooled distance bag
     pooled: dict[str, list[int]] = {}
     for p in doc.parses:
         for t, vals in p.distances.items():
             pooled.setdefault(t, []).extend(vals)
+    _AL_NAME = {
+        "SUB_VERB": "AL_sub_ww", "OBJ1_VERB": "AL_ob_ww",
+        "OBJ2_VERB": "AL_indirob_ww", "VERB_PP": "AL_ww_vzg",
+        "NOUN_DET": "AL_lidw_znw", "PREP_OBJ1": "AL_vz_znw",
+        "VERB_VC": "AL_ww_wwvc", "COMP_BODY": "AL_vg_wwbijzin",
+        "CRD_CNJ": "AL_vg_conj", "VERB_COMP": "AL_vg_wwhoofdzin",
+        "NOUN_VC": "AL_znw_bijzin", "VERB_SVP": "AL_ww_schdw",
+        "VERB_PREDC_N": "AL_ww_znwpred", "VERB_PREDC_A": "AL_ww_bnwpred",
+        "VERB_MOD_A": "AL_ww_bnwbwp", "VERB_MOD_BW": "AL_ww_bwbwp",
+        "VERB_NOUN": "AL_ww_znwbwp",
+    }
     for t in DD_TYPES:
         vals = pooled.get(t)
-        out[f"AL_{t.lower()}"] = (sum(vals) / len(vals)) if vals else NA
-    # doc AL_gem / AL_max are MEANS OF SENTENCE means/maxes
-    # (src/structstats.cxx:28-54), not pooled means
+        out[_AL_NAME[t]] = (sum(vals) / len(vals)) if vals else NA
     out["AL_gem"] = depparse.doc_mean_al([p.al_gem for p in doc.parses])
-    al_max = depparse.doc_mean_al([p.al_max for p in doc.parses])
-    out["AL_max"] = al_max
 
-    # D-level (sentinel merge src/structstats.cxx:1620-1625)
-    dlevel_sum = depparse.merge_d_level([p.d_level for p in doc.parses])
-    out["Dlevel"] = dlevel_sum
-    out["Dlevel_per_zin"] = (
-        proportion(dlevel_sum, c["sentCnt"]) if dlevel_sum >= 0 else NA
-    )
-    out["Dlevel_gt4_prop"] = proportion(c["dLevelGt4Cnt"], c["sentCnt"])
+    # --- information density (src/structstats.cxx:411-518) ----------------
+    out["Bijw_bep_d"] = density(c["vcModCnt"], wic)
+    out["Bijw_bep_dz"] = proportion(c["vcModCnt"], ccc)
+    out["Bijw_bep_dz_zbijzin"] = proportion(vc_mod_corr, ccc)
+    out["Bijw_bep_alg_d"] = density(c["vcModSingleCnt"], wic)
+    out["Bijw_bep_alg_dz"] = proportion(c["vcModSingleCnt"], ccc)
+    out["Bijv_bep_d"] = density(c["npModCnt"], wic)
+    out["Bijv_bep_dz"] = proportion(c["npModCnt"], ccc)
+    out["Attr_bijv_nw_d"] = density(c["adjNpModCnt"], wic)
+    out["Attr_bijv_nw_dz"] = proportion(c["adjNpModCnt"], ccc)
+    out["Ov_bijv_bep_d"] = density(c["npModCnt"] - c["adjNpModCnt"], wic)
+    out["Ov_bijv_bep_dz"] = proportion(c["npModCnt"] - c["adjNpModCnt"], ccc)
+    out["KConj_per_zin"] = proportion(c["smallCnjCnt"], n_sent)
+    out["Extra_KConj_per_zin"] = proportion(c["smallCnjExtraCnt"], n_sent)
+    out["KConj_dz"] = proportion(c["smallCnjCnt"], ccc)
+    props = vc_mod_corr + np_mod_corr + c["smallCnjExtraCnt"]
+    props_pr = proportion(props, ccc)
+    out["Props_dz_tot"] = (props_pr + 1.0) if not math.isnan(props_pr) else NA
+    out["TTR_wrd"] = proportion(len(doc.unique_words), wic)
+    out["MTLD_wrd"] = mt["MTLD_wrd"]
+    out["TTR_lem"] = proportion(len(doc.unique_lemmas), wic)
+    out["MTLD_lem"] = mt["MTLD_lem"]
+    out["TTR_namen"] = proportion(len(doc.unique_names), c["nameInclCnt"])
+    out["MTLD_namen"] = mt["MTLD_naam"]
+    out["TTR_inhwrd"] = proportion(len(doc.unique_contents), c["contentInclCnt"])
+    out["MTLD_inhwrd"] = mt["MTLD_inhwrd"]
+    out["TTR_inhwrd_zonder_abw"] = proportion(
+        len(doc.unique_contents_strict), c["contentStrictInclCnt"])
+    out["Inhwrd_d"] = density(c["contentInclCnt"], wic)
+    out["Inhwrd_dz"] = proportion(c["contentInclCnt"], ccc)
+    out["Inhwrd_d_zonder_abw"] = density(c["contentStrictInclCnt"], wic)
+    out["Zeldz_index"] = kernels.rarity(dict(doc.unique_lemmas),
+                                        cfg.rarity_level)
+    out["Vnw_ref_d"] = density(c["pronRefCnt"], wic)
+    out["Vnw_ref_dz"] = proportion(c["pronRefCnt"], ccc)
+    out["Arg_over_vzin_d"] = density(c["wordOverlapCnt"], wic)
+    out["Arg_over_vzin_dz"] = proportion(c["wordOverlapCnt"], ccc)
+    out["Lem_over_vzin_d"] = density(c["lemmaOverlapCnt"], wic)
+    out["Lem_over_vzin_dz"] = proportion(c["lemmaOverlapCnt"], ccc)
+    dw, dl = _doc_overlap(doc.words, cfg.overlap_size)
+    out["Arg_over_buf_d"] = density(dw, wic - cfg.overlap_size)
+    out["Arg_over_buf_dz"] = proportion(dw, ccc)
+    out["Lem_over_buf_d"] = density(dl, wic - cfg.overlap_size)
+    out["Lem_over_buf_dz"] = proportion(dl, ccc)
+    out["Onbep_nwg_p"] = proportion(c["indefNpCnt"], c["npCnt"])
+    out["Onbep_nwg_dz"] = proportion(c["indefNpCnt"], ccc)
 
-    # clause / embedding measures (src/sentstats.cxx:684-691 counts)
-    out["Bijzin_per_zin"] = proportion(c["ssubCnt"], c["sentCnt"])
-    out["Pv_per_zin"] = proportion(c["clauseCnt"], c["sentCnt"])
-    out["Wrd_per_dz"] = proportion(c["wordCnt"], c["correctedClauseCnt"])
+    # --- coherence (src/structstats.cxx:520-577) --------------------------
+    def _uniq_n(fam: str) -> int:
+        return len(doc.uniq.get(fam, ()))
 
-    # NP stats (T11)
-    out["NP_d"] = density(c["npCnt"], wc)
-    out["NP_size"] = proportion(c["npSizeSum"], c["npCnt"])
-    out["Indef_np_p"] = proportion(c["indefNpCnt"], c["npCnt"])
-    out["Bijv_bep_d"] = density(c["npModCnt"], wc)
-    out["Betr_bijzin_per_zin"] = proportion(c["betrCnt"], c["sentCnt"])
+    out["Conn_d"] = density(c["allConnCnt"], wic)
+    out["Conn_dz"] = proportion(c["allConnCnt"], ccc)
+    out["Conn_TTR"] = proportion(_uniq_n("all_conn"), c["allConnCnt"])
+    out["Conn_MTLD"] = mt["MTLD_alle_conn"]
+    for label, cnt_key, fam, mtld_key in (
+        ("temp", "tempConnCnt", "temp_conn", "MTLD_temp_conn"),
+        # NOTE: the reference emits reeks_zin_conn_mtld for BOTH reeks_wg
+        # and reeks_zin (src/structstats.cxx:532-539) — mirrored verbatim
+        ("reeks_wg", "opsomWgConnCnt", "reeks_wg_conn", "MTLD_reeks_zin_conn"),
+        ("reeks_zin", "opsomZinConnCnt", "reeks_zin_conn", "MTLD_reeks_zin_conn"),
+        ("contr", "contrastConnCnt", "contr_conn", "MTLD_contr_conn"),
+        ("comp", "comparConnCnt", "comp_conn", "MTLD_comp_conn"),
+        ("caus", "causeConnCnt", "cause_conn", "MTLD_cause_conn"),
+    ):
+        out[f"Conn_{label}_d"] = density(c[cnt_key], wic)
+        out[f"Conn_{label}_dz"] = proportion(c[cnt_key], ccc)
+        out[f"Conn_{label}_TTR"] = proportion(_uniq_n(fam), c[cnt_key])
+        out[f"Conn_{label}_MTLD"] = mt[mtld_key]
+    out["Causaal_d"] = density(c["causalSitCnt"], wic)
+    out["Ruimte_d"] = density(c["spaceSitCnt"], wic)
+    out["Tijd_d"] = density(c["timeSitCnt"], wic)
+    out["Emotie_d"] = density(c["emoSitCnt"], wic)
+    out["Causaal_TTR"] = proportion(_uniq_n("cause_sits"), c["causalSitCnt"])
+    out["Causaal_MTLD"] = mt["MTLD_cause_sit"]
+    out["Ruimte_TTR"] = proportion(_uniq_n("ruimte_sits"), c["spaceSitCnt"])
+    out["Ruimte_MTLD"] = mt["MTLD_ruimte_sit"]
+    out["Tijd_TTR"] = proportion(_uniq_n("tijd_sits"), c["timeSitCnt"])
+    out["Tijd_MTLD"] = mt["MTLD_tijd_sit"]
+    out["Emotie_TTR"] = proportion(_uniq_n("emotion_sits"), c["emoSitCnt"])
+    out["Emotie_MTLD"] = mt["MTLD_emo_sit"]
 
-    # --- surprisal (W26/T13; doc = mean over sentences of the sentence
-    #     metrics, reference emits proportion(sum, sentCnt)) ---------------
-    n_sent = c["sentCnt"]
-    for direction in ("fwd", "bwd"):
-        for metric, out_name in (
-            ("avg_prob10", f"Avg_prob10_{direction}"),
-            ("entropy", f"Entropy_{direction}"),
-            ("perplexity", f"Perplexity_{direction}"),
-            ("entropy_norm", f"Entropy_{direction}_norm"),
-            ("perplexity_norm", f"Perplexity_{direction}_norm"),
-        ):
-            vals = [sp[direction][metric] for sp in doc.surps
-                    if not math.isnan(sp[direction][metric])]
-            out[out_name] = proportion(sum(vals), n_sent) if vals else NA
-    out["Avg_prob10_fwd_content"] = proportion(s["prob_fwd_content"], c["contentCnt"])
-    out["Avg_prob10_bwd_content"] = proportion(s["prob_bwd_content"], c["contentCnt"])
-    out["Avg_prob10_fwd_ex_names"] = proportion(
-        s["prob_fwd_ex_names"], c["wordCnt"] - c["nameCnt"])
-    out["Avg_prob10_bwd_ex_names"] = proportion(
-        s["prob_bwd_ex_names"], c["wordCnt"] - c["nameCnt"])
-    out["Avg_prob10_fwd_content_ex_names"] = proportion(
-        s["prob_fwd_content_ex_names"], c["contentCnt"] - c["nameCnt"])
-    out["Avg_prob10_bwd_content_ex_names"] = proportion(
-        s["prob_bwd_content_ex_names"], c["contentCnt"] - c["nameCnt"])
+    # --- concreteness (src/structstats.cxx:579-789) -----------------------
+    out["Conc_nw_strikt_d"] = density(c["strictNounCnt"], wc)
+    out["Conc_nw_ruim_d"] = density(c["broadNounCnt"], wc)
+    for label, key in (
+        ("Pers_nw", "humanCnt"), ("PlantDier_nw", "nonHumanCnt"),
+        ("Gebr_vw_nw", "artefactCnt"), ("Subst_conc_nw", "substanceConcCnt"),
+        ("Voed_verz_nw", "foodcareCnt"), ("Concr_ov_nw", "concrotherCnt"),
+        ("Gebeuren_conc_nw", "dynamicConcCnt"), ("Plaats_nw", "placeCnt"),
+        ("Tijd_nw", "timeCnt"), ("Maat_nw", "measureCnt"),
+        ("Subst_abstr_nw", "substanceAbstrCnt"),
+        ("Gebeuren_abstr_nw", "dynamicAbstrCnt"),
+        ("Organisatie_nw", "institutCnt"), ("Ov_abstr_nw", "nonDynamicCnt"),
+    ):
+        out[f"{label}_p"] = proportion(c[key], covered_nouns)
+        out[f"{label}_d"] = density(c[key], wc)
+    out["Undefined_nw_p"] = proportion(c["undefinedNounCnt"], covered_nouns)
+    out["Gedekte_nw_p"] = proportion(covered_nouns, c["nounCnt"] + c["nameCnt"])
+    out["Alg_nw_p"] = proportion(c["generalNounCnt"], covered_nouns)
+    for label, key in (
+        ("Alg_nw_afz_sit", "generalNounSepCnt"),
+        ("Alg_nw_rel_sit", "generalNounRelCnt"),
+        ("Alg_nw_hand", "generalNounActCnt"),
+        ("Alg_nw_kenn", "generalNounKnowCnt"),
+        ("Alg_nw_disc_caus", "generalNounDiscCnt"),
+        ("Alg_nw_ontw", "generalNounDeveCnt"),
+    ):
+        out[f"{label}_d"] = density(c[key], wc)
+        out[f"{label}_p"] = proportion(c[key], covered_nouns)
+    for label, key in (
+        ("Waarn_mens_bvnw", "humanAdjCnt"), ("Emosoc_bvnw", "emoAdjCnt"),
+        ("Waarn_nmens_bvnw", "nonhumanAdjCnt"),
+        ("Vorm_omvang_bvnw", "shapeAdjCnt"), ("Kleur_bvnw", "colorAdjCnt"),
+        ("Stof_bvnw", "matterAdjCnt"), ("Geluid_bvnw", "soundAdjCnt"),
+        ("Waarn_nmens_ov_bvnw", "nonhumanOtherAdjCnt"),
+        ("Technisch_bvnw", "techAdjCnt"), ("Tijd_bvnw", "timeAdjCnt"),
+        ("Plaats_bvnw", "placeAdjCnt"), ("Spec_positief_bvnw", "specPosAdjCnt"),
+        ("Spec_negatief_bvnw", "specNegAdjCnt"),
+        ("Alg_positief_bvnw", "posAdjCnt"), ("Alg_negatief_bvnw", "negAdjCnt"),
+        ("Alg_ev_zr_bvnw", "evaluativeAdjCnt"),
+        ("Ep_positief_bvnw", "epiPosAdjCnt"),
+        ("Ep_negatief_bvnw", "epiNegAdjCnt"),
+        ("Ov_abstr_bvnw", "abstractAdjCnt"),
+    ):
+        out[f"{label}_p"] = proportion(c[key], covered_adj)
+        out[f"{label}_d"] = density(c[key], wc)
+    out["Spec_ev_bvnw_p"] = proportion(c["specPosAdjCnt"] + c["specNegAdjCnt"],
+                                       covered_adj)
+    out["Spec_ev_bvnw_d"] = density(c["specPosAdjCnt"] + c["specNegAdjCnt"], wc)
+    alg_ev = c["posAdjCnt"] + c["negAdjCnt"] + c["evaluativeAdjCnt"]
+    out["Alg_ev_bvnw_p"] = proportion(alg_ev, covered_adj)
+    out["Alg_ev_bvnw_d"] = density(alg_ev, wc)
+    out["Ep_ev_bvnw_p"] = proportion(c["epiPosAdjCnt"] + c["epiNegAdjCnt"],
+                                     covered_adj)
+    out["Ep_ev_bvnw_d"] = density(c["epiPosAdjCnt"] + c["epiNegAdjCnt"], wc)
+    out["Conc_bvnw_strikt_p"] = proportion(c["strictAdjCnt"], covered_adj)
+    out["Conc_bvnw_strikt_d"] = density(c["strictAdjCnt"], wc)
+    out["Conc_bvnw_ruim_p"] = proportion(c["broadAdjCnt"], covered_adj)
+    out["Conc_bvnw_ruim_d"] = density(c["broadAdjCnt"], wc)
+    out["Subj_bvnw_p"] = proportion(c["subjectiveAdjCnt"], covered_adj)
+    out["Subj_bvnw_d"] = density(c["subjectiveAdjCnt"], wc)
+    out["Undefined_bvnw_p"] = proportion(c["undefinedAdjCnt"], covered_adj)
+    out["Gelabeld_bvnw_p"] = proportion(covered_adj - c["undefinedAdjCnt"],
+                                        covered_adj)
+    out["Gedekte_bvnw_p"] = proportion(covered_adj, c["adjCnt"])
+    out["Conc_ww_p"] = proportion(c["concreteWwCnt"], covered_verbs)
+    out["Conc_ww_d"] = density(c["concreteWwCnt"], wc)
+    out["Abstr_ww_p"] = proportion(c["abstractWwCnt"], covered_verbs)
+    out["Abstr_ww_d"] = density(c["abstractWwCnt"], wc)
+    out["Undefined_ww_p"] = proportion(c["undefinedWwCnt"], covered_verbs)
+    out["Gedekte_ww_p"] = proportion(covered_verbs, c["verbCnt"])
+    out["Alg_ww_d"] = density(c["generalVerbCnt"], wc)
+    out["Alg_ww_p"] = proportion(c["generalVerbCnt"], covered_verbs)
+    for label, key in (
+        ("Alg_ww_afz_sit", "generalVerbSepCnt"),
+        ("Alg_ww_rel_sit", "generalVerbRelCnt"),
+        ("Alg_ww_hand", "generalVerbActCnt"),
+        ("Alg_ww_kenn", "generalVerbKnowCnt"),
+        ("Alg_ww_disc_caus", "generalVerbDiscCnt"),
+        ("Alg_ww_ontw", "generalVerbDeveCnt"),
+    ):
+        out[f"{label}_d"] = density(c[key], wc)
+        out[f"{label}_p"] = proportion(c[key], covered_verbs)
+    total_covered = covered_nouns + covered_adj + covered_verbs
+    total_conc = c["strictNounCnt"] + c["strictAdjCnt"] + c["concreteWwCnt"]
+    out["Conc_tot_p"] = proportion(total_conc, total_covered)
+    out["Conc_tot_d"] = density(total_conc, wc)
+    covered_adverbs = c["generalAdverbCnt"] + c["specificAdverbCnt"]
+    out["Alg_bijw_d"] = density(c["generalAdverbCnt"], wic)
+    out["Alg_bijw_p"] = proportion(c["generalAdverbCnt"], covered_adverbs)
+    out["Spec_bijw_d"] = density(c["specificAdverbCnt"], wic)
+    out["Spec_bijw_p"] = proportion(c["specificAdverbCnt"], covered_adverbs)
+    out["Gedekte_bw_p"] = proportion(covered_adverbs, c["bwCnt"])
 
-    # --- LiNT, full inputs (src/structstats.cxx:1005-1040) ----------------
-    wrd_freq_log_zn_corr = proportion(s["word_freq_n"], c["contentCnt"] - c["nameCnt"])
-    bijv_bep_dz_zbijzin = proportion(
-        max(0, c["npModCnt"] - c["betrCnt"]), c["correctedClauseCnt"]
-    )
-    inhwrd_dz_zonder_abw = proportion(
-        c["contentStrictInclCnt"], c["correctedClauseCnt"]
-    )
-    conc_nw_ruim_p = proportion(
-        c["broadNounCnt"], c["nounCnt"] + c["nameCnt"] - c["uncoveredNounCnt"]
-    )
+    # --- persoonlijkheid (src/structstats.cxx:790-813) --------------------
+    out["Pers_vnw1_d"] = density(c["pron1Cnt"], wic)
+    out["Pers_vnw2_d"] = density(c["pron2Cnt"], wic)
+    out["Pers_vnw3_d"] = density(c["pron3Cnt"], wic)
+    out["Pers_namen_p"] = proportion(c["nerPERCnt"], c["nerCnt"])
+    out["Pers_namen_p2"] = proportion(c["nerPERCnt"],
+                                      c["nounCnt"] + c["nameCnt"])
+    out["Pers_namen_d"] = density(c["nerPERCnt"], wc)
+    out["Plaatsnamen_d"] = density(c["nerLOCCnt"], wc)
+    out["Org_namen_d"] = density(c["nerORGCnt"], wc)
+    out["Prod_namen_d"] = density(c["nerPROCnt"], wc)
+    out["Event_namen_d"] = density(c["nerEVECnt"], wc)
+
+    # --- verb (src/structstats.cxx:815-869) -------------------------------
+    out["Actieww_p"] = proportion(c["actionCnt"], c["verbCnt"])
+    out["Actieww_d"] = density(c["actionCnt"], wc)
+    out["Toestww_p"] = proportion(c["stateCnt"], c["verbCnt"])
+    out["Toestww_d"] = density(c["stateCnt"], wc)
+    out["Procesww_p"] = proportion(c["processCnt"], c["verbCnt"])
+    out["Procesww_d"] = density(c["processCnt"], wc)
+    out["Undefined_ATP_ww_p"] = proportion(c["undefinedATPCnt"], covered_verbs)
+    out["Ww_tt_p"] = density(c["presentCnt"], wic)
+    out["Ww_tt_dz"] = proportion(c["presentCnt"], ccc)
+    out["Ww_mod_d_"] = density(c["modalCnt"], wic)
+    out["Ww_mod_dz"] = proportion(c["modalCnt"], ccc)
+    out["Huww_tijd_d"] = density(c["timeVCnt"], wic)
+    out["Huww_tijd_dz"] = proportion(c["timeVCnt"], ccc)
+    out["Koppelww_d"] = density(c["koppelCnt"], wic)
+    out["Koppelww_dz"] = proportion(c["koppelCnt"], ccc)
+    for stem, label in (("inf", "Infin"), ("vd", "Vd"), ("od", "Ovd")):
+        for pos_key, suffix in (("Bv", "bv"), ("Nw", "nw"), ("Vrij", "vrij")):
+            key = stem + pos_key + "Cnt"
+            out[f"{label}_{suffix}_d"] = density(c[key], wic)
+            out[f"{label}_{suffix}_dz"] = proportion(c[key], ccc)
+
+    # --- imperative (src/structstats.cxx:871-881) -------------------------
+    out["Imp_ellips_p"] = proportion(c["impCnt"], n_sent)
+    out["Imp_ellips_d"] = density(c["impCnt"], wic)
+    out["Vragen_p"] = proportion(c["questCnt"], n_sent)
+    out["Vragen_d"] = density(c["questCnt"], wic)
+
+    # --- wordSort (src/structstats.cxx:883-920) ---------------------------
+    out["Bvnw_d"] = density(c["adjInclCnt"], wic)
+    out["Vg_d"] = density(c["vgCnt"], wic)
+    out["Vnw_d"] = density(c["vnwCnt"], wic)
+    out["Lidw_d"] = density(c["lidCnt"], wic)
+    out["Vz_d"] = density(c["vzCnt"], wic)
+    out["Bijw_d"] = density(c["bwCnt"], wic)
+    out["Tw_d"] = density(c["twCnt"], wic)
+    out["Nw_d"] = density(c["nounInclCnt"], wic)
+    out["Ww_d"] = density(c["verbInclCnt"], wic)
+    out["Tuss_d"] = density(c["tswCnt"], wic)
+    out["Spec_d"] = density(c["specCnt"], wic)
+    out["Interp_d"] = density(c["letCnt"], wic)
+    afk_total = sum(c[f"afk_{d}Cnt"] for d in _AFK_DOMAINS)
+    out["Afk_d"] = density(afk_total, wic)
+    out["Afk_gen_d"] = density(c["afk_generiekCnt"], wic)
+    out["Afk_int_d"] = density(c["afk_internationaalCnt"], wic)
+    out["Afk_jur_d"] = density(c["afk_juridischCnt"], wic)
+    out["Afk_med_d"] = density(c["afk_mediaCnt"], wic)
+    out["Afk_ond_d"] = density(c["afk_onderwijsCnt"], wic)
+    out["Afk_pol_d"] = density(c["afk_overheidCnt"], wic)
+    out["Afk_ov_d"] = density(c["afk_overigeCnt"], wic)
+    out["Afk_zorg_d"] = density(c["afk_zorgCnt"], wic)
+
+    # --- prepPhrase (src/structstats.cxx:922-930) -------------------------
+    out["Vzu_d"] = density(c["prepExprCnt"], wic)
+    out["Vzu_dz"] = proportion(c["prepExprCnt"], ccc)
+    out["Arch_d"] = density(c["archaicsCnt"], wic)
+
+    # --- intensifiers (src/structstats.cxx:932-947) -----------------------
+    out["Int_d"] = density(c["intensCnt"], wic)
+    out["Int_bvnw_d"] = density(c["intensBvnwCnt"], wic)
+    out["Int_bvbw_d"] = density(c["intensBvbwCnt"], wic)
+    out["Int_bw_d"] = density(c["intensBwCnt"], wic)
+    out["Int_combi_d"] = density(c["intensCombiCnt"], wic)
+    out["Int_nw_d"] = density(c["intensNwCnt"], wic)
+    out["Int_tuss_d"] = density(c["intensTussCnt"], wic)
+    out["Int_ww_d"] = density(c["intensWwCnt"], wic)
+
+    # --- formal (src/structstats.cxx:949-973) -----------------------------
+    out["Form_d"] = density(c["formalCnt"], wic)
+    out["Form_d_z_vnw"] = density(c["formalCnt"] - c["formalVnwCnt"], wic)
+    out["Form_bvnw_d"] = density(c["formalBvnwCnt"], wic)
+    out["Form_bw_d"] = density(c["formalBwCnt"], wic)
+    out["Form_vgw_d"] = density(c["formalVgwCnt"], wic)
+    out["Form_vnw_d"] = density(c["formalVnwCnt"], wic)
+    out["Form_vz_d"] = density(c["formalVzCnt"], wic)
+    out["Form_vzg_d"] = density(c["formalVzgCnt"], wic)
+    out["Form_ww_d"] = density(c["formalWwCnt"], wic)
+    out["Form_znw_d"] = density(c["formalZnwCnt"], wic)
+
+    # --- misc / surprisal / LiNT (src/structstats.cxx:975-1049) -----------
+    def _surp_sum(key: str) -> float:
+        vals = [sp[key] for sp in doc.surps
+                if key in sp and not math.isnan(sp[key])]
+        return sum(vals) if vals else float("nan")
+
+    def _surp_stat(direction: str, metric: str) -> float:
+        vals = [sp[direction][metric] for sp in doc.surps
+                if not math.isnan(sp[direction][metric])]
+        return proportion(sum(vals), n_sent) if vals else NA
+
+    for d_lbl, d_key in (("fwd", "fwd"), ("bwd", "bwd")):
+        out[f"Log_prob_{d_lbl}"] = _surp_stat(d_key, "avg_prob10")
+        out[f"Log_prob_{d_lbl}_inhwrd"] = proportion(
+            _surp_sum(f"{d_key}_content"), n_sent)
+        out[f"Log_prob_{d_lbl}_zn"] = proportion(
+            _surp_sum(f"{d_key}_ex_names"), n_sent)
+        out[f"Log_prob_{d_lbl}_inhwrd_zn"] = proportion(
+            _surp_sum(f"{d_key}_content_ex_names"), n_sent)
+        out[f"Entropie_{d_lbl}"] = _surp_stat(d_key, "entropy")
+        out[f"Entropie_{d_lbl}_norm"] = _surp_stat(d_key, "entropy_norm")
+        out[f"Perplexiteit_{d_lbl}"] = _surp_stat(d_key, "perplexity")
+        out[f"Perplexiteit_{d_lbl}_norm"] = _surp_stat(d_key, "perplexity_norm")
+    out["Eigen_classificatie_cnt"] = int(c["myClassCnt"])
     s1, l1, s2, l2 = kernels.lint_scores(
-        wrd_freq_log_zn_corr, bijv_bep_dz_zbijzin, out["Alg_nw_d"], al_max,
+        wrd_freq_log_zn_corr, bijv_bep_dz_zbijzin, alg_nw_d, al_max,
         inhwrd_dz_zonder_abw, conc_nw_ruim_p,
     )
     out["LiNT_score1"] = s1
-    out["LiNT_level1"] = l1
+    out["LiNT_niveau1"] = l1
     out["LiNT_score2"] = s2
-    out["LiNT_level2"] = l2
+    out["LiNT_niveau2"] = l2
+
+    # --- raw counters + engine extras (diagnostics; not in the reference
+    #     CSV, which keeps counts in FoLiA metrics) ------------------------
+    for k in _COUNT_KEYS:
+        out[k] = int(c[k])
+    out["parCnt"] = par_cnt
+    out["Wrd_overlap_doc"] = dw
+    out["Lem_overlap_doc"] = dl
+    for k, v in mt.items():  # full MTLD family set (engine extra)
+        out.setdefault(k, v)
     return out
 
 

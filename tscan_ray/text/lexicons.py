@@ -293,24 +293,49 @@ def build_default_lexicons() -> Lexicons:
     for w in sorted(pos):
         lex.staph_freq[w] = 30.0 + _stable_int("staph:" + w, 7000) / 100.0
 
-    # semantic types
-    sem_noun_types = ("concrete_other", "human", "nonhuman", "artefact",
-                      "abstract", "place", "time", "measure", "institut",
-                      "undefined")
+    # semantic types — the FULL reference taxonomy (include/tscan/sem.h:9-35,
+    # classifier strings src/sem.cxx:classifyNoun/classifyADJ/classifyWW);
+    # assignment is the deterministic stand-in for the reference's sem TSVs
+    sem_noun_types = (
+        "undefined", "concrother", "institut", "substance_conc", "artefact",
+        "nonhuman", "human", "voed_verz", "dynamic_conc", "substance_abstr",
+        "dynamic_abstr", "nondynamic", "place", "time", "measure",
+    )
     for lem in sorted({i.lemma for i in pos.values() if i.tag == "N"}):
         lex.noun_sem[lem] = sem_noun_types[_stable_int("ns:" + lem, len(sem_noun_types))]
     lex.noun_sem.update({"man": "human", "vrouw": "human", "kind": "human",
                          "huis": "artefact", "kat": "nonhuman", "stad": "place",
-                         "tijd": "time", "idee": "abstract", "gevoel": "abstract",
-                         "politie": "institut", "customer": "human"})
+                         "tijd": "time", "idee": "nondynamic",
+                         "gevoel": "nondynamic", "politie": "institut",
+                         "customer": "human", "brood": "voed_verz",
+                         "water": "substance_conc", "feest": "dynamic_conc"})
+    sem_adj_types = (
+        "human", "emo", "shape", "color", "matter", "sound", "nonhuman_other",
+        "tech", "time", "place", "spec_pos", "spec_neg", "pos", "neg",
+        "evaluative", "epi_pos", "epi_neg", "abstract", "undefined",
+    )
     for lem in sorted({i.lemma for i in pos.values() if i.tag == "ADJ"}):
-        lex.adj_sem[lem] = ("concrete", "abstract", "emotion", "time",
-                            "place")[_stable_int("as:" + lem, 5)]
+        lex.adj_sem[lem] = sem_adj_types[_stable_int("as:" + lem, len(sem_adj_types))]
+    sem_verb_types = (
+        "abstract_state", "concrete_state", "undefined_state",
+        "abstract_action", "concrete_action", "undefined_action",
+        "abstract_process", "concrete_process", "undefined_process",
+        "abstract_undefined", "concrete_undefined", "undefined",
+    )
     for lem in sorted({i.lemma for i in pos.values() if i.tag == "WW"}):
-        lex.verb_sem[lem] = ("concrete", "abstract", "state", "action",
-                             "process", "undefined")[_stable_int("vs:" + lem, 6)]
+        lex.verb_sem[lem] = sem_verb_types[_stable_int("vs:" + lem, len(sem_verb_types))]
 
-    # compounds: lemma -> (head, satellite, parts)
+    # compounds: lemma -> (head, satellite, parts); deterministic synthetic
+    # compound assignment over the noun vocabulary (the reference reads a
+    # compound-split lexicon; same shape here) + one curated entry
+    noun_lemmas = sorted({i.lemma for i in pos.values() if i.tag == "N"})
+    for lem in noun_lemmas:
+        r = _stable_int("comp:" + lem, 10)
+        if r < 2 and len(noun_lemmas) > 2:  # ~20% of nouns are compounds
+            head = noun_lemmas[_stable_int("ch:" + lem, len(noun_lemmas))]
+            sat = noun_lemmas[_stable_int("cs:" + lem, len(noun_lemmas))]
+            parts = 3 if r == 0 and _stable_int("c3:" + lem, 4) == 0 else 2
+            lex.compounds[lem] = (head, sat, parts)
     lex.compounds["boekenkast"] = ("kast", "boeken", 2)
 
     # separable verbs + their full-lemma entries (verb_sem / lemma_freq
@@ -363,17 +388,27 @@ def build_default_lexicons() -> Lexicons:
     })
 
     # intensifiers
+    # intensifiers: the reference's 7 classes (include/tscan/intensify.h:10)
     lex.intensify.update({"erg": "BVBW", "heel": "BVBW", "zeer": "BVBW",
-                          "enorm": "BVBW", "vaak": "FREQ"})
-    lex.intensify_multi.update({"heel erg": "BVBW", "in hoge mate": "STRONG"})
+                          "enorm": "BVBW", "vaak": "BW", "bijzonder": "BVNW",
+                          "ontzettend": "BVBW", "hoop": "NW", "tjonge": "TUSS",
+                          "overtreffen": "WW"})
+    lex.intensify_multi.update({"heel erg": "COMBI", "in hoge mate": "COMBI"})
 
-    # formal words
+    # formal words: the reference's 8 classes (include/tscan/formal.h:9)
     lex.formal.update({"tevens": "BW", "gaarne": "BW", "reeds": "BW",
                        "omtrent": "VZ", "aangaande": "VZ", "geschieden": "WW",
-                       "organisatie": "N"})
-    lex.formal_multi.update({"ten behoeve van": "VZ", "met betrekking tot": "VZ"})
+                       "organisatie": "ZNW", "desbetreffend": "BVNW",
+                       "dewelke": "VNW", "doch": "VGW"})
+    lex.formal_multi.update({"ten behoeve van": "VZG",
+                             "met betrekking tot": "VZG"})
 
-    # general nouns/verbs
+    # general nouns/verbs: 6 aggregate families — the reference's 25
+    # General::Type values only surface in the CSV through the
+    # isSeparate/isRelated/isActing/isKnowledge/isDiscussion/isDevelopment
+    # aggregates (src/general.cxx:147-244), so the lexicon stores the
+    # family directly; "discussion" implies knowledge+discussion,
+    # "acting"/"development" imply related (same overlap structure)
     lex.general_nouns.update({"ding": "separate", "deel": "related",
                               "idee": "knowledge", "reden": "discussion",
                               "gevolg": "development", "data": "knowledge",
@@ -394,9 +429,13 @@ def build_default_lexicons() -> Lexicons:
         "niet": ("GENERAL", "NEGATION"), "nooit": ("SPECIFIC", "NEGATION"),
     })
 
-    # abbreviations -> domain (reference fill afkos, 8 domains)
-    lex.afkos.update({"bv": "generic", "enz": "generic", "ca": "measure",
-                      "nl": "geo", "dhr": "person", "mw": "person"})
+    # abbreviations -> domain: the reference's 8 Afk::Type domains
+    # (include/tscan/afk.h:8-12)
+    lex.afkos.update({"bv": "generiek", "enz": "generiek", "ca": "generiek",
+                      "nl": "internationaal", "eu": "internationaal",
+                      "dhr": "overige", "mw": "overige", "min": "overheid",
+                      "wet": "juridisch", "uni": "onderwijs", "tv": "media",
+                      "ggz": "zorg"})
 
     lex.stop_lemmata.update({"de", "het", "een", "the", "a"})
     lex.my_classification.update({"spark": "tech", "ray": "tech", "data": "tech"})

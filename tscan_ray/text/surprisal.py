@@ -102,13 +102,17 @@ def fit_bigram_lm(ds, text_col: str, min_count: int = 1) -> BigramLM:
 
     Scale shape: per-batch token/bigram Counters (C-speed dict ops) emit
     partial (gram, n) rows — each batch's partial is ALREADY vocabulary-
-    bounded — and the driver folds the partial streams into the final
-    Counter.  No all-to-all exchange: the reduction is over
-    vocab × num_batches rows, ≪ corpus size (apply ``min_count`` to cap
-    the tail at 100 TB).  The fitted LM is broadcast to scoring actors
-    via ``ray.put``.
+    bounded — then a DISTRIBUTED ``groupby(gram).Sum`` reduces them and
+    ``min_count`` prunes the long tail BEFORE anything reaches the
+    driver.  The driver only materializes the trimmed vocabulary table
+    (the thing that must fit in the LM anyway); an unbounded driver-side
+    Counter fold (the r01 design) would not survive an open-vocabulary
+    web corpus.  The fitted LM is broadcast to scoring actors via
+    ``ray.put``.
     """
     import pyarrow as pa
+
+    import ray.data.aggregate as agg
 
     from tscan_ray.text.tokenize import is_punct, segment
 
@@ -129,21 +133,19 @@ def fit_bigram_lm(ds, text_col: str, min_count: int = 1) -> BigramLM:
     partials = ds.select_columns([text_col]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    merged: Counter = Counter()
-    for batch in partials.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for gram, n in zip(batch.column("gram").to_pylist(),
-                           batch.column("n").to_pylist()):
-            merged[gram] += n
+    totals = partials.groupby("gram").aggregate(agg.Sum("n", alias_name="n"))
+    if min_count > 1:
+        totals = totals.filter(expr=f"n >= {min_count}")
     unigrams: dict[str, int] = {}
     bigrams: dict[tuple[str, str], int] = {}
-    for gram, n in merged.items():
-        if n < min_count:
-            continue
-        parts = gram.split("\x00")
-        if parts[0] == "u":
-            unigrams[parts[1]] = n
-        else:
-            bigrams[(parts[1], parts[2])] = n
+    for batch in totals.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for gram, n in zip(batch.column("gram").to_pylist(),
+                           batch.column("n").to_pylist()):
+            parts = gram.split("\x00")
+            if parts[0] == "u":
+                unigrams[parts[1]] = n
+            else:
+                bigrams[(parts[1], parts[2])] = n
     return BigramLM(unigrams=unigrams, bigrams=bigrams,
                     total=sum(unigrams.values()),
                     vocab_size=max(1, len(unigrams)))

@@ -639,6 +639,18 @@ def q_pit_rolling_ttr(sf_dir):
     return _round_cols(out, ["ttr_w3", "mtld_w3"])
 
 
+def q_text_paragraph_table(sf_dir):
+    """Paragraph-level feature table (the reference's 4th CSV level —
+    full structStats vector per paragraph)."""
+    from tscan_ray.stages.paragraphs import explode_paragraphs
+
+    out = explode_paragraphs(
+        _docs(sf_dir).select_columns(["doc_id", "text"]).limit(200),
+        "text", ["doc_id"], concurrency=(1, 4))
+    return out.select_columns(["doc_id", "par_idx", "wordCnt", "sentCnt",
+                               "MTLD_wrd", "TTR_wrd", "LiNT_score1"])
+
+
 def q_text_word_table(sf_dir):
     """Word-level exploded output (the reference's word CSV, S4)."""
     from tscan_ray.stages.words import explode_words
@@ -923,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tscan_features": q_tscan_features,
         "text_surprisal": q_text_surprisal,
         "text_word_table": q_text_word_table,
+        "text_paragraph_table": q_text_paragraph_table,
         "pit_rolling_ttr": q_pit_rolling_ttr,
         "image_dedup_phash": q_image_dedup_phash,
         "image_features": q_image_features,

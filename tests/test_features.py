@@ -322,3 +322,29 @@ class TestReferenceSections:
         assert f["nerPERCnt"] == 1 and f["nerLOCCnt"] == 1 and f["nerORGCnt"] == 1
         assert math.isclose(f["Pers_namen_d"], 1000.0 / f["wordCnt"])
         assert f["Pers_namen_p"] == 1 / f["nerCnt"]
+
+    def test_parse_failure_na_accounting(self):
+        """Alpino_status counts failed parses; their parse features go NA
+        (reference src/structstats.cxx:336-370)."""
+        import math
+
+        from tscan_ray.config import EngineConfig
+        from tscan_ray.text.features import featurize_document
+
+        cfg = EngineConfig(max_sentence_tokens=5)
+        long_sent = " ".join(["man"] * 10) + " ."
+        ok_sent = "de man loopt ."
+        f = featurize_document(long_sent + " " + ok_sent, cfg=cfg)
+        assert f["Alpino_status"] == 1
+        assert f["parseFailCnt"] == 1
+        # the failed sentence contributes no clauses: only the short
+        # sentence's smain remains
+        assert f["smainCnt"] == 1
+        # doc with ONLY a failed parse: parse-derived means collapse to NA
+        f2 = featurize_document(long_sent, cfg=cfg)
+        assert f2["Alpino_status"] == 1
+        assert math.isnan(f2["AL_gem"])
+        assert math.isnan(f2["D_level"])
+        # default config: the same text parses fine
+        f3 = featurize_document(long_sent)
+        assert f3["Alpino_status"] == 0

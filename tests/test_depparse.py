@@ -78,8 +78,9 @@ class TestDistances:
     def test_coordination(self):
         p = _parse("De man loopt en de vrouw werkt .")
         assert p.smain_cnt == 2
-        # CRD_CNJ: en(3) -> werkt(6): 6-3-1 = 2
-        assert p.distances["CRD_CNJ"] == [2]
+        # clausal crd edges run to BOTH conjunct verbs (reference
+        # tests/depdist4): en(3)->werkt(6)=2, en(3)->loopt(2)=0
+        assert p.distances["CRD_CNJ"] == [2, 0]
         assert p.d_level == 2
 
 
@@ -138,8 +139,9 @@ class TestDocumentIntegration:
         assert out["D_level"] == 2.5
         assert out["betrCnt"] == 0
         # AL_gem = mean of sentence means; sent1 = 0.25,
-        # sent2: SUB_VERB(1,0)=0, COMP_BODY(2,4)=1, SUB_VERB(4,3)=0 -> 1/3
-        assert abs(out["AL_gem"] - (0.25 + 1 / 3) / 2) < 1e-12
+        # sent2: SUB_VERB(1,0)=0, COMP_BODY(2,4)=1, VERB_COMP(1,2)=0,
+        # SUB_VERB(4,3)=0 -> 0.25
+        assert abs(out["AL_gem"] - (0.25 + 0.25) / 2) < 1e-12
         # AL_max = mean of sentence maxes = (1 + 1) / 2
         assert out["AL_max"] == 1.0
         # LiNT is now fully computable (no NaN collapse)

@@ -1,0 +1,117 @@
+"""Golden parse fixtures ported from the reference test corpus.
+
+Sentences and expected values come from the reference's own golden tests
+(reference tests/d0..d7.example + .ok for the D-level ladder,
+reference tests/depdist{1,2,3,4,6,7,10,16,17,18,22}.example + .ok for
+dependency distances).  The expected numbers below are the per-sentence
+``<metric>`` values from the ``.ok`` FoLiA files (d_level,
+sub_verb_dist .. verb_noun_dist, deplen, max_deplen), hand-transcribed;
+the engine's reduced parser must reproduce them exactly.
+
+Metric-name -> DD-type mapping per reference src/structstats.cxx:1342-1364.
+Distance math: src/Alpino.cxx:274-292 (punctuation-corrected span).
+"""
+
+import math
+
+import pytest
+
+from tscan_ray.config import DEFAULT_CONFIG
+from tscan_ray.text.features import analyze_sentence, featurize_document
+from tscan_ray.text.lexicons import default_lexicons
+
+LEX = default_lexicons()
+
+
+def _sent_parse(text: str):
+    fold = analyze_sentence(text.split(), None, LEX, DEFAULT_CONFIG)
+    return fold.parses[0]
+
+
+# (case, sentence from <name>.example, d_level from <name>.example.ok)
+D_LEVEL_CASES = [
+    ("d0s1", "Ze dienden als begraafplaats .", 0),
+    ("d0s2", "Dat soort stenen begraafplaatsen was in die tijd niet ongewoon .", 0),
+    ("d1s1", "Frans dacht te kunnen scoren met die goedkope songtekstjes van 'm .", 1),
+    ("d1s2", "Piet vergat zijn haar te kammen .", 1),
+    ("d2s2", "Maar in de provincie Drenthe liggen hun resten gewoon boven de grond .", 2),
+    ("d2s5", "Die waren alleen te vinden in Drenthe , Denemarken en Noord-Duitsland .", 2),
+    ("d3s1", "Men denkt dat zij daar tijdens een van de ijstijden , zo'n 150.000 jaar "
+             "geleden , terecht zijn gekomen .", 3),
+    ("d4s1", "Pietje is groter dan Jantje .", 4),
+    ("d5s2", "Ook toen de wereld vijfduizend jaar jonger was , woonden er mensen in "
+             "de Lage Landen .", 5),
+    ("d6s1", "Het weinige dat zij hebben nagelaten , ligt meestal verscholen in de grond .", 6),
+    ("d7s1", "Als de stenen op hun plek lagen , werd de grond eronder weggehaald , "
+             "zodat er een grafkamer gemaakt wordt .", 7),
+]
+
+
+@pytest.mark.parametrize("name,text,want", D_LEVEL_CASES,
+                         ids=[c[0] for c in D_LEVEL_CASES])
+def test_d_level_golden(name, text, want):
+    assert int(featurize_document(text)["D_level"]) == want
+
+
+# (case, sentence, {metric: golden mean}, deplen, max_deplen); "NA" metrics
+# (no edge of that type) are asserted absent
+DEPDIST_CASES = [
+    ("depdist1", "Jan gaat naar huis .",
+     {"SUB_VERB": 0, "VERB_PP": 0, "PREP_OBJ1": 0}, 0.0, 0),
+    ("depdist2", "De man met de pet gaat naar huis .",
+     {"SUB_VERB": 3, "VERB_PP": 0, "NOUN_DET": 0, "PREP_OBJ1": 0.5},
+     0.666667, 3),
+    ("depdist3", "Jan en Piet gaan naar huis .",
+     {"SUB_VERB": 2, "VERB_PP": 0, "PREP_OBJ1": 0, "CRD_CNJ": 0}, 0.4, 2),
+    ("depdist4", "Jan gaat naar huis en zet een bakje koffie .",
+     {"SUB_VERB": 2, "OBJ1_VERB": 1, "VERB_PP": 0, "NOUN_DET": 0,
+      "PREP_OBJ1": 0, "CRD_CNJ": 1}, 0.875, 4),
+    ("depdist6", "jan en Piet gaan naar huis en zetten een bakje koffie .",
+     {"SUB_VERB": 4, "OBJ1_VERB": 1, "VERB_PP": 0, "NOUN_DET": 0,
+      "PREP_OBJ1": 0, "CRD_CNJ": 0.5}, 1.1, 6),
+    ("depdist7", "Ik zie hem daar staan .",
+     {"SUB_VERB": 0.5, "OBJ1_VERB": 0, "VERB_VC": 2}, 0.75, 2),
+    ("depdist10", "Ik geef hem een boek .",
+     {"SUB_VERB": 0, "OBJ1_VERB": 2, "OBJ2_VERB": 0, "NOUN_DET": 0}, 0.5, 2),
+    ("depdist16", "De man met de pet gaat naar huis .",
+     {"SUB_VERB": 3, "VERB_PP": 0, "NOUN_DET": 0, "PREP_OBJ1": 0.5},
+     0.666667, 3),
+    ("depdist17", "Hij heeft de man met de pet gezien .",
+     {"SUB_VERB": 3, "OBJ1_VERB": 3, "NOUN_DET": 0, "PREP_OBJ1": 1,
+      "VERB_VC": 5}, 2.14286, 6),
+    ("depdist18", "Hij ging naar huis omdat ie moe was .",
+     {"SUB_VERB": 0.5, "VERB_PP": 0, "PREP_OBJ1": 0, "COMP_BODY": 2,
+      "VERB_COMP": 2, "VERB_PREDC_A": 0}, 0.714286, 2),
+    ("depdist22s1", "Peter is al naar huis gegaan .",
+     {"SUB_VERB": 2, "VERB_PP": 1, "PREP_OBJ1": 0, "VERB_VC": 3,
+      "VERB_MOD_BW": 2}, 1.66667, 4),
+    ("depdist22s3", "Peter heeft mijn fiets gestolen .",
+     {"SUB_VERB": 1.5, "OBJ1_VERB": 0, "NOUN_DET": 0, "VERB_VC": 2},
+     1.0, 3),
+]
+
+# DD types whose golden metric for the case is "NA": every type not named
+# in the expected dict must have no stored edges
+_ALL_TYPES = (
+    "SUB_VERB", "OBJ1_VERB", "OBJ2_VERB", "VERB_PP", "VERB_VC",
+    "VERB_COMP", "NOUN_DET", "PREP_OBJ1", "CRD_CNJ", "COMP_BODY",
+    "NOUN_VC", "VERB_SVP", "VERB_PREDC_N", "VERB_PREDC_A",
+    "VERB_MOD_BW", "VERB_MOD_A", "VERB_NOUN",
+)
+
+
+@pytest.mark.parametrize("name,text,want,deplen,maxdep", DEPDIST_CASES,
+                         ids=[c[0] for c in DEPDIST_CASES])
+def test_depdist_golden(name, text, want, deplen, maxdep):
+    p = _sent_parse(text)
+    for typ, mean in want.items():
+        got = p.distances.get(typ)
+        assert got, f"{typ}: no edges stored (want mean {mean})"
+        assert math.isclose(sum(got) / len(got), mean, abs_tol=1e-4), \
+            f"{typ}: want {mean}, got {got}"
+    for typ in _ALL_TYPES:
+        if typ not in want:
+            assert typ not in p.distances, \
+                f"{typ}: golden NA but engine stored {p.distances[typ]}"
+    assert math.isclose(p.al_gem, deplen, abs_tol=1e-4)
+    assert p.al_max == maxdep

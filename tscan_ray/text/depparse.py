@@ -39,6 +39,14 @@ _FINITE_PROPS = frozenset({"ISPVTGW", "ISPVVERL", "ISSUBJ"})
 _NONFINITE_PROPS = frozenset({"ISINF", "ISVD", "ISOD"})
 _REL_PRONOUNS = frozenset({"die", "dat", "welke"})
 _NOUNISH_TAGS = frozenset({"N", "SPEC"})
+# possessive pronouns that act as NP determiners (Alpino rel="det";
+# evidenced by reference tests/depdist22: "mijn fiets" -> noun_det 0).
+# "zijn"/"haar"/"hun" are kept only with a nounish right neighbour.
+_POSS_PRONOUNS = frozenset({"mijn", "jouw", "uw", "onze", "ons", "je",
+                            "zijn", "haar", "hun"})
+# auxiliary wvorm classes: a finite aux + participle clause attaches
+# su/obj/mod edges to the participle (reference tests/depdist17, 22)
+_AUX_WWFORMS = frozenset({"COPULA", "TIME_VERB", "PASSIVE_VERB"})
 
 
 @dataclass
@@ -148,6 +156,30 @@ def _split_clauses(anns: list) -> list[Clause]:
     return clauses
 
 
+def _merge_nominal_conj(anns: list, clauses: list[Clause]) -> tuple[list[Clause], list[int]]:
+    """Nominal (phrase-level) coordination is not a clause boundary: a
+    coordinating VG where either side has no finite verb joins two NPs/PPs
+    ("Jan en Piet gaan...", "...Denemarken en Noord-Duitsland"); merge those
+    splits back and return the nominal conj indices (their crd edges run
+    conj -> each conjunct head, reference tests/depdist3)."""
+
+    def has_finite(cl: Clause) -> bool:
+        return any(_is_finite(anns[i]) for i in range(cl.start, cl.end))
+
+    out: list[Clause] = []
+    nominal: list[int] = []
+    for cl in clauses:
+        if cl.kind == "coord" and out and (
+            not has_finite(cl) or not has_finite(out[-1])
+        ):
+            prev = out[-1]
+            out[-1] = Clause(prev.start, cl.end, prev.kind, prev.conj_idx)
+            nominal.append(cl.conj_idx)
+            continue
+        out.append(cl)
+    return out, nominal
+
+
 def parse_sentence(anns: list) -> SentParse:
     """Run the reduced parser over one sentence of ``WordAnn`` records.
 
@@ -165,14 +197,26 @@ def parse_sentence(anns: list) -> SentParse:
     n = len(anns)
     puncts = {i for i, a in enumerate(anns) if a.prop == "ISLET"}
 
-    clauses = _split_clauses(anns)
+    clauses, nominal_conjs = _merge_nominal_conj(anns, _split_clauses(anns))
+
+    # possessive pronouns acting as determiners ("mijn fiets" -> noun_det,
+    # reference tests/depdist22); excluded from subject/object candidates
+    poss_det: set[int] = set()
+    for i in range(n - 1):
+        a = anns[i]
+        if a.tag == "VNW" and a.lword in _POSS_PRONOUNS:
+            j = i + 1
+            while j < n and anns[j].tag == "ADJ":
+                j += 1
+            if j < n and _is_nounish(anns[j]):
+                poss_det.add(i)
 
     # ---- NP scan over the whole sentence (mod_stats, src/Alpino.cxx:987-996;
     # np counts src/tscan.cxx:2105-2124) ------------------------------------
     i = 0
     while i < n:
         a = anns[i]
-        if a.tag == "LID" or a.tag == "ADJ" or _is_nounish(a):
+        if a.tag == "LID" or a.tag == "ADJ" or _is_nounish(a) or i in poss_det:
             j = i
             saw_noun = False
             adj_mods = 0
@@ -180,7 +224,8 @@ def parse_sentence(anns: list) -> SentParse:
             det_idx = -1
             while j < n:
                 b = anns[j]
-                if b.tag == "LID" and not saw_noun and det_idx < 0 and size == 0:
+                if (b.tag == "LID" or j in poss_det) and not saw_noun \
+                        and det_idx < 0 and size == 0:
                     det_idx = j
                 elif b.tag == "ADJ" and not saw_noun:
                     adj_mods += 1
@@ -204,6 +249,42 @@ def parse_sentence(anns: list) -> SentParse:
                 continue
         i += 1
 
+    # ---- NP-attached PPs: a preposition directly after a noun modifies
+    # that noun, not the clause verb ("de man met de pet gaat...", reference
+    # tests/depdist2/16/17: verb_pp NA, prep_obj only) ----------------------
+    np_pp_attached: set[int] = set()
+    pp_objects: set[int] = set()
+    for i in range(n):
+        if anns[i].tag != "VZ":
+            continue
+        prev = i - 1
+        while prev >= 0 and prev in puncts:
+            prev -= 1
+        if prev < 0 or not _is_nounish(anns[prev]):
+            continue
+        np_pp_attached.add(i)
+        k = i + 1
+        while k < n and anns[k].tag not in ("VZ", "WW", "VG"):
+            if k not in puncts and (_is_nounish(anns[k]) or anns[k].tag == "VNW"):
+                _store(parse, "PREP_OBJ1", i, k, puncts)
+                pp_objects.add(k)
+                break
+            k += 1
+
+    # ---- nominal coordination edges (conj -> each conjunct head,
+    # reference tests/depdist3: crd_cnj [0, 0] for "Jan en Piet gaan") ------
+    for cj in nominal_conjs:
+        left = next((i for i in range(cj - 1, -1, -1)
+                     if i not in puncts and _is_nounish(anns[i])), -1)
+        right = next((i for i in range(cj + 1, n)
+                      if i not in puncts and _is_nounish(anns[i])), -1)
+        if left >= 0:
+            _store(parse, "CRD_CNJ", cj, left, puncts)
+        if right >= 0:
+            _store(parse, "CRD_CNJ", cj, right, puncts)
+        parse.small_cnj_cnt += 2
+        parse.small_cnj_extra_cnt += 1
+
     # ---- relative clauses: rel-pronoun directly after a noun --------------
     # (reduced proxy for Alpino cat="rel"; drives betrCnt and D-level 6/3)
     rel_after_noun: list[tuple[int, int]] = []  # (noun_idx, pron_idx)
@@ -223,6 +304,8 @@ def parse_sentence(anns: list) -> SentParse:
     # ---- per-clause verb frame ---------------------------------------------
     main_verb_idx = -1  # first main-clause finite verb (for d-level 6 vs 3)
     clause_cls: list[str | None] = []  # per clause: smain|ssub|sv1|None
+    prev_su = -1          # subject of the previous clausal conjunct (VP coord)
+    prev_clause_verb = -1  # matrix verb for VERB_COMP / left crd edges
     for ci, cl in enumerate(clauses):
         idxs = [i for i in range(cl.start, cl.end) if i not in puncts]
         if not idxs:
@@ -232,11 +315,22 @@ def parse_sentence(anns: list) -> SentParse:
         verbs = [i for i in idxs if anns[i].tag == "WW"]
         verb = finites[0] if finites else (verbs[0] if verbs else -1)
 
+        su = -1
+        if verb >= 0:
+            su = next((i for i in idxs if i < verb and i not in poss_det
+                       and _is_su_candidate(anns[i])), -1)
+        # VP coordination: "Jan gaat naar huis en zet koffie" — the right
+        # conjunct shares the left subject (su edges to both verbs,
+        # reference tests/depdist4/6)
+        shared_su = False
+        if su < 0 and cl.kind == "coord" and prev_su >= 0 and finites:
+            su = prev_su
+            shared_su = True
+
         # clause-type counters (resolveFiniteVerbs, src/sentstats.cxx:684-691)
         cls = None
         if finites:
             verb_first = idxs[0] == finites[0]
-            su = next((i for i in idxs if i < verb and _is_su_candidate(anns[i])), -1)
             if cl.kind == "sub":
                 parse.ssub_cnt += 1
                 cls = "ssub"
@@ -265,34 +359,73 @@ def parse_sentence(anns: list) -> SentParse:
         if verb < 0:
             continue
 
-        is_copula = anns[verb].wwform == "COPULA"
+        # aux + participle: su/obj/mod edges attach to the participle
+        # (content verb), vc aux -> participle (reference tests/depdist17,
+        # 22: "heeft ... gezien", "is ... gegaan")
+        content = verb
+        if finites and anns[verb].wwform in _AUX_WWFORMS:
+            parts = [w for w in verbs if w > verb and anns[w].prop == "ISVD"]
+            if parts:
+                content = parts[-1]
+        aux_construction = content != verb
+        is_copula = anns[verb].wwform == "COPULA" and not aux_construction
 
-        # subject edge
-        su = next((i for i in idxs if i < verb and _is_su_candidate(anns[i])), -1)
+        # AcI: bare-infinitive complement of a non-aux finite ("Ik zie hem
+        # daar staan", reference tests/depdist7) — the object pronoun is
+        # also the infinitive's subject
+        inf_head = -1
+        if finites and not aux_construction \
+                and anns[verb].wwform == "HEAD_VERB" \
+                and not any(anns[i].lword == "te" for i in idxs):
+            infs = [w for w in verbs if w > verb and anns[w].prop == "ISINF"]
+            if infs:
+                inf_head = infs[-1]
+
+        # subject edges
         if su >= 0:
             _store(parse, "SUB_VERB", verb, su, puncts)
+            if aux_construction:
+                _store(parse, "SUB_VERB", content, su, puncts)
+        if su >= 0 and not shared_su:
+            prev_su = su
 
         # verb cluster: later verbs in the clause hang under the first
         for w in verbs:
             if w != verb and anns[w].prop in _NONFINITE_PROPS:
                 _store(parse, "VERB_VC", verb, w, puncts)
 
-        # conjunction edges to this clause's verb
+        # conjunction edges: comp -> body plus matrix verb -> subordinator
+        # (verb_comp, reference tests/depdist18); clausal crd edges run to
+        # BOTH conjunct verbs (reference tests/depdist4)
         if cl.conj_idx >= 0:
-            typ = "COMP_BODY" if cl.kind == "sub" else "CRD_CNJ"
-            _store(parse, typ, cl.conj_idx, verb, puncts)
+            if cl.kind == "sub":
+                _store(parse, "COMP_BODY", cl.conj_idx, verb, puncts)
+                if prev_clause_verb >= 0:
+                    _store(parse, "VERB_COMP", prev_clause_verb, cl.conj_idx,
+                           puncts)
+            else:
+                _store(parse, "CRD_CNJ", cl.conj_idx, verb, puncts)
+                if prev_clause_verb >= 0:
+                    _store(parse, "CRD_CNJ", cl.conj_idx, prev_clause_verb,
+                           puncts)
+        prev_clause_verb = verb
 
-        # post-verb scan
+        # argument/modifier scan: post-verb, or the pre-verb midfield for
+        # verb-final subordinate clauses ("omdat ie moe was", depdist18)
+        if cl.kind == "sub" and verb == idxs[-1]:
+            span = [i for i in idxs if (su < 0 or i > su) and i < verb]
+        else:
+            span = [i for i in idxs if i > verb]
+
+        obj_cands: list[int] = []
         in_pp_until = -1
-        saw_obj1 = False
-        j = verb + 1
-        while j < cl.end:
-            if j in puncts:
-                j += 1
-                continue
+        aci_pron = -1
+        for j in span:
             b = anns[j]
             if b.tag == "VZ":
-                _store(parse, "VERB_PP", verb, j, puncts)
+                if j in np_pp_attached:
+                    continue
+                _store(parse, "VERB_PP", content, j, puncts)
                 parse.vc_mod_cnt += 1  # adverbial PP (getAdverbialNodes)
                 # object of the preposition: next nounish token before the
                 # next VZ/WW
@@ -303,15 +436,28 @@ def parse_sentence(anns: list) -> SentParse:
                         in_pp_until = k
                         break
                     k += 1
-            elif _is_nounish(b) and j > in_pp_until:
-                if not saw_obj1:
-                    _store(parse, "VERB_PREDC_N" if is_copula else "OBJ1_VERB",
-                           verb, j, puncts)
-                    saw_obj1 = True
-                elif is_copula is False:
-                    _store(parse, "OBJ2_VERB", verb, j, puncts)
+            elif _is_nounish(b):
+                if j <= in_pp_until or j in pp_objects:
+                    continue
+                # a noun directly continuing an NP run is not a new object
+                # head ("een bakje koffie" -> one object, depdist4)
+                pj = j - 1
+                while pj in puncts:
+                    pj -= 1
+                if pj >= 0 and _is_nounish(anns[pj]):
+                    continue
+                obj_cands.append(j)
+            elif b.tag == "VNW" and j not in poss_det \
+                    and b.prop in ("ISPPRON1", "ISPPRON2", "ISPPRON3"):
+                if j <= in_pp_until or j in pp_objects:
+                    continue
+                obj_cands.append(j)
+                if inf_head >= 0 and aci_pron < 0 and j < inf_head:
+                    aci_pron = j
             elif b.tag == "BW":
-                _store(parse, "VERB_MOD_BW", verb, j, puncts)
+                if aci_pron >= 0 and j > aci_pron:
+                    continue  # inside the AcI complement (depdist7)
+                _store(parse, "VERB_MOD_BW", content, j, puncts)
                 parse.vc_mod_cnt += 1
                 if b.adverb_type == "GENERAL":
                     parse.vc_mod_single_cnt += 1
@@ -322,8 +468,22 @@ def parse_sentence(anns: list) -> SentParse:
                 )
                 if not prenominal:
                     _store(parse, "VERB_PREDC_A" if is_copula else "VERB_MOD_A",
-                           verb, j, puncts)
-            j += 1
+                           content, j, puncts)
+
+        # object assignment: single candidate -> obj1; pronoun + NP in a
+        # ditransitive frame -> first = obj2 (indirect), last = obj1
+        # ("Ik geef hem een boek", depdist10/11)
+        if obj_cands:
+            if aci_pron >= 0:
+                _store(parse, "OBJ1_VERB", verb, aci_pron, puncts)
+                _store(parse, "SUB_VERB", inf_head, aci_pron, puncts)
+            elif is_copula:
+                _store(parse, "VERB_PREDC_N", content, obj_cands[0], puncts)
+            elif len(obj_cands) == 1:
+                _store(parse, "OBJ1_VERB", content, obj_cands[0], puncts)
+            else:
+                _store(parse, "OBJ2_VERB", content, obj_cands[0], puncts)
+                _store(parse, "OBJ1_VERB", content, obj_cands[-1], puncts)
 
     # ---- AL aggregates (sentStats::getMeanAL/getHighestAL,
     #      src/sentstats.cxx:244-264) ---------------------------------------
@@ -359,8 +519,8 @@ def parse_sentence(anns: list) -> SentParse:
     # conjunction families: clause conjuncts joined by a coordinating VG
     # count per their own class, INCLUDING the clause left of the first
     # conjunction in a run (Alpino's conj node has every conjunct as cnj);
-    # a coordinating VG whose right side has no finite clause is a small
-    # (phrase-level) conjunction: 2 conjuncts, 1 extra
+    # phrase-level (nominal) conjunctions were merged out of the clause
+    # list above and counted in small_cnj_cnt there
     for ci, cl in enumerate(clauses):
         if cl.kind != "coord" or cl.conj_idx < 0:
             continue
@@ -374,9 +534,6 @@ def parse_sentence(anns: list) -> SentParse:
                 lkey = {"smain": "smain_cnj_cnt", "ssub": "ssub_cnj_cnt",
                         "sv1": "sv1_cnj_cnt"}[clause_cls[ci - 1]]
                 setattr(parse, lkey, getattr(parse, lkey) + 1)
-        else:
-            parse.small_cnj_cnt += 2
-            parse.small_cnj_extra_cnt += 1
 
     parse.d_level = _d_level(anns, clauses, rel_after_noun, main_verb_idx, puncts)
     parse.d_level_gt4 = 1 if parse.d_level > 4 else 0

@@ -627,6 +627,24 @@ def analyze_sentence(
                 a.tag = "VG"
                 a.conjtype = "onder"
 
+    # "als" disambiguation: Frog tags prepositional "als" ("dienden als
+    # begraafplaats", reference tests/d0) VZ; only a clause-introducing
+    # "als" — a finite verb follows before the next conjunction — keeps
+    # the lexicon's VG/onder reading
+    for k, a in enumerate(anns):
+        if a.lword == "als" and a.tag == "VG" and a.conjtype == "onder":
+            has_fin = False
+            for j in range(k + 1, len(anns)):
+                b = anns[j]
+                if b.tag == "VG":
+                    break
+                if b.tag == "WW" and b.prop in ("ISPVTGW", "ISPVVERL"):
+                    has_fin = True
+                    break
+            if not has_fin:
+                a.tag = "VZ"
+                a.conjtype = ""
+
     # separable-verb resolution (sentence context): a listed particle
     # elsewhere in the sentence gives the verb its full lemma, and the
     # full-lemma-first lookups (verb_sem, lemma_freq — reference

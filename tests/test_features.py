@@ -348,3 +348,48 @@ class TestReferenceSections:
         # default config: the same text parses fine
         f3 = featurize_document(long_sent)
         assert f3["Alpino_status"] == 0
+
+
+class TestCompoundSplitter:
+    """Deterministic splitter fallback for unknown nouns (the reference's
+    splitCompound service path, src/tscan.cxx:1355-1393)."""
+
+    def test_split_kernel(self):
+        from tscan_ray.text.kernels import split_compound
+
+        v = {"boek", "kast", "deur", "huis", "sleutel"}
+        assert split_compound("huisdeur", v) == ("deur", "huis", 2)
+        assert split_compound("huisdeursleutel", v) == ("sleutel", "huisdeur", 3)
+        # binding element "en"
+        assert split_compound("boekenkast", v) == ("kast", "boek", 2)
+        assert split_compound("onsplitsbaar", v) is None
+        # parts below min length never match
+        assert split_compound("boek", v) is None
+
+    def test_unknown_noun_splits_and_inherits_head_sem(self):
+        from tscan_ray.text.features import analyze_word
+        from tscan_ray.text.lexicons import default_lexicons
+
+        lex = default_lexicons()
+        # build a compound of two known nouns that is itself unknown
+        nouns = [l for l in lex.noun_sem if len(l) >= 3]
+        head, sat = nouns[0], nouns[1]
+        lemma = sat + head
+        assert lemma not in lex.noun_sem and lemma not in lex.compounds
+        # unknown nouns fall back to the lemma==token path -> tag N only if
+        # lexicon tags it; analyze a synthetic noun via the lexicon-miss path
+        ann = analyze_word(lemma, False, lex)
+        assert ann.tag == "N"  # unknown-word fallback tags nounish
+        assert ann.is_compound
+        assert ann.compound_parts == 2
+        assert ann.sem_type == lex.noun_sem[head]
+
+    def test_known_noun_untouched(self):
+        from tscan_ray.text.features import analyze_word
+        from tscan_ray.text.lexicons import default_lexicons
+
+        lex = default_lexicons()
+        known = next(l for l in lex.noun_sem
+                     if l not in lex.compounds and len(l) >= 3)
+        ann = analyze_word(known, False, lex)
+        assert not ann.is_compound or known in lex.compounds

@@ -93,3 +93,58 @@ class TestDistributedFit:
         assert lm.bigrams[("cat", "sat")] == 1
         # fitted conditional beats unigram backoff for a frequent pair
         assert lm.logprob10("cat", "the") > lm.logprob10("cat", None)
+
+
+class TestOovMissingSentinel:
+    """Wopr's -99 "cannot score" path (reference src/tscan.cxx:2272-2275):
+    an OOV word scores NaN and the NaN poisons every enclosing aggregate
+    (unguarded += at sentence src/tscan.cxx:2337-2356 and document
+    src/structstats.cxx:1491-1507 level)."""
+
+    def _lm(self, oov_missing=True):
+        from tscan_ray.text.surprisal import BigramLM
+
+        lm = BigramLM.from_unigrams({"de": 10, "man": 5, "ziet": 3, "kat": 2})
+        lm.oov_missing = oov_missing
+        return lm
+
+    def test_oov_word_scores_nan(self):
+        lm = self._lm()
+        assert math.isnan(lm.logprob10("zeppelin", "de"))
+        assert math.isnan(lm.logprob10_bwd("zeppelin", "de"))
+        assert lm.logprob10("man", "de") < 0  # known word still answers
+
+    def test_default_mode_always_answers(self):
+        lm = self._lm(oov_missing=False)
+        assert lm.logprob10("zeppelin", "de") < 0
+
+    def test_nan_poisons_doc_aggregates(self):
+        # "groot" is OOV for this tiny LM -> second sentence unscoreable
+        # -> doc-level Wopr columns all NA, count columns unaffected
+        lm = self._lm()
+        out = featurize_document("De man ziet de kat . De kat is groot .", lm=lm)
+        for k in ("Log_prob_fwd", "Log_prob_bwd", "Entropie_fwd",
+                  "Perplexiteit_bwd", "Log_prob_fwd_inhwrd"):
+            assert math.isnan(out[k]), k
+        assert out["Wrd_per_zin"] > 0  # non-Wopr features still computed
+
+    def test_all_scored_doc_stays_finite(self):
+        lm = self._lm()
+        out = featurize_document("De man ziet de kat .", lm=lm)
+        assert not math.isnan(out["Log_prob_fwd"])
+        assert out["Log_prob_fwd"] < 0
+
+    def test_word_table_lprob_columns(self, ray_session):
+        import ray.data as rd
+
+        from tscan_ray.stages.words import explode_words
+
+        ds = rd.from_items([{"doc_id": 1, "text": "De man ziet de kat ."}])
+        tbl = explode_words(ds, "text", ["doc_id"], concurrency=1).to_pandas()
+        assert {"lprob_fwd", "lprob_bwd"} <= set(tbl.columns)
+        words = tbl[tbl["prop"] != "ISLET"]
+        assert (words["lprob_fwd"] < 0).all()
+        # punctuation rows carry the NaN ("NA") sentinel like the
+        # reference word CSV (src/wordstats.cxx:668-676)
+        puncts = tbl[tbl["prop"] == "ISLET"]
+        assert puncts["lprob_fwd"].isna().all()

@@ -41,6 +41,11 @@ _WORD_FIELDS = [
     ("lemma_freq_log", pa.float64(), "lemma_freq_log"),
     ("prevalence_p", pa.float64(), "prevalence_p"),
     ("prevalence_z", pa.float64(), "prevalence_z"),
+    # Wopr columns of the reference word CSV (lprob10_fwd/bwd,
+    # src/wordstats.cxx:668-676; NaN -> "NA"); NaN for punctuation and
+    # for OOV words under an oov_missing LM (the -99 sentinel path)
+    ("lprob_fwd", pa.float64(), "lprob_fwd"),
+    ("lprob_bwd", pa.float64(), "lprob_bwd"),
 ]
 
 
@@ -53,6 +58,7 @@ class WordExploder:
         id_columns: list[str],
         cfg: EngineConfig = DEFAULT_CONFIG,
         lexicons_ref=None,
+        lm=None,
     ):
         self.text_column = text_column
         self.id_columns = id_columns
@@ -60,6 +66,11 @@ class WordExploder:
         self.lex = (
             ray.get(lexicons_ref) if lexicons_ref is not None else default_lexicons()
         )
+        if lm is None:
+            from tscan_ray.text.surprisal import default_lm
+
+            lm = default_lm()
+        self.lm = lm
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_column).to_pylist()
@@ -71,8 +82,18 @@ class WordExploder:
         for row, text in enumerate(texts):
             for pi, para in enumerate(segment(text or "")):
                 for si, sent in enumerate(para):
-                    for wi, tok in enumerate(sent):
-                        ann = analyze_word(tok, wi == 0, self.lex)
+                    anns = [analyze_word(tok, wi == 0, self.lex)
+                            for wi, tok in enumerate(sent)]
+                    # per-word Wopr logprobs over the non-punct chain
+                    # (same attach as features.analyze_sentence)
+                    chain = [(i, a.lword) for i, a in enumerate(anns)
+                             if a.prop != "ISLET"]
+                    for k, (i, w) in enumerate(chain):
+                        prev_w = chain[k - 1][1] if k > 0 else None
+                        next_w = chain[k + 1][1] if k + 1 < len(chain) else None
+                        anns[i].lprob_fwd = self.lm.logprob10(w, prev_w)
+                        anns[i].lprob_bwd = self.lm.logprob10_bwd(w, next_w)
+                    for wi, ann in enumerate(anns):
                         for c in self.id_columns:
                             out[c].append(ids[c][row])
                         out["par_idx"].append(pi)

@@ -269,6 +269,16 @@ def _analyze_word_uncached(token: str, sent_initial: bool, lex: Lexicons) -> Wor
     # compound stats (src/tscan.cxx:1786-1799): head/sat char counts,
     # head/sat frequency features, compound-corrected word frequency
     comp = lex.compounds.get(ann.lemma) if ann.tag == "N" else None
+    if comp is None and ann.tag == "N" and ann.sem_type == "UNFOUND_NOUN":
+        # unknown noun -> deterministic splitter fallback (the reference
+        # calls the splitter service only when the noun_sem lookup missed,
+        # src/tscan.cxx:1355-1385); on a split the compound inherits its
+        # HEAD's semantic type (src/tscan.cxx:1379-1383)
+        comp = kernels.split_compound(ann.lemma.lower(), lex.noun_sem)
+        if comp is not None:
+            head_sem = lex.noun_sem.get(comp[0])
+            if head_sem is not None:
+                ann.sem_type = head_sem
     if comp is not None:
         head, sat, parts = comp
         ann.is_compound = True
@@ -1670,14 +1680,16 @@ def _emit_doc(doc: Fold, par_cnt: int, cfg: EngineConfig) -> dict[str, float]:
     out["Form_znw_d"] = density(c["formalZnwCnt"], wic)
 
     # --- misc / surprisal / LiNT (src/structstats.cxx:975-1049) -----------
+    # NaN sentence values POISON the document sum (the reference's doc
+    # fold is an unguarded += over sentence means,
+    # src/structstats.cxx:1491-1507): one unscored (-99 / empty) sentence
+    # makes the doc-level Wopr columns NA, and the engine mirrors that.
     def _surp_sum(key: str) -> float:
-        vals = [sp[key] for sp in doc.surps
-                if key in sp and not math.isnan(sp[key])]
+        vals = [sp[key] for sp in doc.surps if key in sp]
         return sum(vals) if vals else float("nan")
 
     def _surp_stat(direction: str, metric: str) -> float:
-        vals = [sp[direction][metric] for sp in doc.surps
-                if not math.isnan(sp[direction][metric])]
+        vals = [sp[direction][metric] for sp in doc.surps]
         return proportion(sum(vals), n_sent) if vals else NA
 
     for d_lbl, d_key in (("fwd", "fwd"), ("bwd", "bwd")):

@@ -249,3 +249,54 @@ def lint_scores(
         return 4
 
     return s1, level(s1), s2, level(s2)
+
+
+def split_compound(
+    lemma: str,
+    vocab,
+    min_part: int = 3,
+    max_parts: int = 4,
+) -> tuple[str, str, int] | None:
+    """Deterministic Dutch compound split — the engine's stand-in for the
+    reference's external compound-splitter service (splitCompound,
+    reference src/tscan.cxx:1219-1257: service returns comma-separated
+    parts; head = last part, satellite = the rest concatenated).
+
+    Splits ``lemma`` into >= 2 known-noun parts (each a ``vocab`` member,
+    >= ``min_part`` chars) optionally joined by the Dutch binding
+    elements ""/"s"/"en"/"e".  Preference order is deterministic: fewest
+    parts, then longest-first greedy within a part count.  Returns
+    (head, satellite_clean, n_parts) like the lexicon compound table, or
+    None when no split exists — the caller then keeps UNFOUND_NOUN
+    exactly like the reference's found_split=false path
+    (src/tscan.cxx:1386-1393).
+    """
+    n = len(lemma)
+    if n < 2 * min_part:
+        return None
+
+    def rec(i: int, depth: int):
+        if i == n:
+            return []
+        if depth >= max_parts:
+            return None
+        res = None
+        for j in range(n, i + min_part - 1, -1):
+            part = lemma[i:j]
+            if part not in vocab:
+                continue
+            if j == n:
+                return [part]  # final part; longest-first wins outright
+            for b in ("", "s", "en", "e"):
+                k = j + len(b)
+                if k < n and lemma[j:k] == b:
+                    rest = rec(k, depth + 1)
+                    if rest is not None and (res is None
+                                             or len(rest) + 1 < len(res)):
+                        res = [part] + rest
+        return res
+
+    parts = rec(0, 0)
+    if parts is None or len(parts) < 2:
+        return None
+    return parts[-1], "".join(parts[:-1]), len(parts)

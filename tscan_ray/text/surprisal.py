@@ -20,9 +20,16 @@ demands reproducibility, so per SURVEY.md §7.0 (M4) the engine uses a
   ``*_norm`` = entropy/len and perplexity/len² (reference
   src/tscan.cxx:2860-2864).
 
-Divergence (documented): the deterministic LM always answers via
-Laplace smoothing, so the reference's -99 "missing" sentinel never
-occurs.
+The reference's Wopr answers -99 for words it cannot score; tscan then
+LEAVES those word logprobs unset/NaN (src/tscan.cxx:2272-2275) and the
+unguarded sums at sentence (src/tscan.cxx:2337-2356) and document
+(src/structstats.cxx:1491-1507) level poison every enclosing aggregate
+to NaN -> "NA" in the CSV.  The engine reproduces that discipline when
+``oov_missing=True``: an out-of-vocabulary target word scores NaN (the
+-99 analog) and NaN propagates through sentence_stats / subset means /
+doc folds exactly like the reference's +=.  With the default
+``oov_missing=False`` the Laplace-smoothed LM always answers and the
+sentinel path never triggers (documented stand-in behavior).
 """
 
 from __future__ import annotations
@@ -42,6 +49,10 @@ class BigramLM:
     bigrams: dict[tuple[str, str], int] = field(default_factory=dict)
     total: int = 0
     vocab_size: int = 1
+    #: when True, an out-of-vocabulary target word scores NaN — the
+    #: engine's analog of Wopr's -99 "cannot score" sentinel
+    #: (reference src/tscan.cxx:2272-2275)
+    oov_missing: bool = False
 
     @classmethod
     def from_unigrams(cls, unigrams: dict[str, int]) -> "BigramLM":
@@ -55,7 +66,11 @@ class BigramLM:
 
     def logprob10(self, w: str, context: str | None) -> float:
         """log10 P(w | context); unigram backoff when the context word was
-        never seen as a condition."""
+        never seen as a condition.  NaN for OOV ``w`` in oov_missing
+        mode (Wopr -99; the caller leaves the word field NaN and every
+        enclosing sum poisons, matching the reference)."""
+        if self.oov_missing and w not in self.unigrams:
+            return float("nan")
         if context is not None:
             c_ctx = self.unigrams.get(context, 0)
             if c_ctx > 0 and self.bigrams:
@@ -65,7 +80,10 @@ class BigramLM:
 
     def logprob10_bwd(self, w: str, following: str | None) -> float:
         """log10 P(w | next word) — reverse conditional from the same
-        bigram table: c(w, next) / c(next)."""
+        bigram table: c(w, next) / c(next).  NaN for OOV ``w`` in
+        oov_missing mode (Wopr -99)."""
+        if self.oov_missing and w not in self.unigrams:
+            return float("nan")
         if following is not None:
             c_nxt = self.unigrams.get(following, 0)
             if c_nxt > 0 and self.bigrams:

@@ -250,11 +250,12 @@ class TestReferenceSections:
     def test_intens_formal_afk_classes(self):
         from tscan_ray.text.features import featurize_document
 
-        # erg=BVBW intensifier; tevens=BW formal; bv=generiek, tv=media afk
+        # erg=BVBW intensifier; tevens=BW formal; bv=Juridisch in the
+        # published afkortingen.lst (the legal entity), tv=media seed
         f = featurize_document("de man is erg blij . tevens komt de bv en de tv .")
         assert f["intensBvbwCnt"] == 1 and f["intensCnt"] >= 1
         assert f["formalBwCnt"] == 1
-        assert f["afk_generiekCnt"] == 1 and f["afk_mediaCnt"] == 1
+        assert f["afk_juridischCnt"] == 1 and f["afk_mediaCnt"] == 1
         import math
         wic = f["wordInclCnt"]
         assert math.isclose(f["Int_bvbw_d"], 1000.0 / wic)
@@ -393,3 +394,62 @@ class TestCompoundSplitter:
                      if l not in lex.compounds and len(l) >= 3)
         ann = analyze_word(known, False, lex)
         assert not ann.is_compound or known in lex.compounds
+
+
+class TestPublishedLexiconLists:
+    """The vendored published lists (text/data/, loaders.py) drive the
+    connective/situation/adverb/formal/afko classifiers with the
+    reference's lookup semantics."""
+
+    def test_connective_types_and_priority(self):
+        from tscan_ray.text.lexicons import default_lexicons
+
+        lex = default_lexicons()
+        assert lex.conn_type("aangezien", "VG") == "CAUSAAL"
+        assert lex.conn_type("aldoor", "BW") == "TEMPOREEL"
+        # "aldoor" is in BOTH temporal_connectors.lst and tijd.txt: the
+        # connective lookup hits TEMPOREEL first (fixed priority order)
+        assert lex.situation_type("aldoor", "BW") == "TIME_SIT"
+
+    def test_tag_restricted_entries(self):
+        from tscan_ray.text.lexicons import default_lexicons
+
+        lex = default_lexicons()
+        # compar_connectors.lst: "dan<TAB>VG" — only the VG reading
+        assert lex.conn_type("dan", "VG") == "COMPARATIEF"
+        assert lex.conn_type("dan", "BW") == ""
+        # emoties.txt: "glimlach<TAB>N"
+        assert lex.situation_type("glimlach", "N") == "EMO_SIT"
+        assert lex.situation_type("glimlach", "WW") == ""
+
+    def test_multiword_entries_merged(self):
+        from tscan_ray.text.lexicons import default_lexicons
+
+        lex = default_lexicons()
+        # opsom_connectors_zin.lst multiword entry
+        assert lex.conn_multi.get("in de tweede plaats") == "OPSOMMEND_ZIN"
+        assert lex.conn_multi.get("in verband met") == "CAUSAAL"
+        # the reference's space-tag quirk ("getuige VZ" has no TAB, so
+        # fill_connectors files it as a dead multiword entry) is mirrored
+        assert "getuige VZ" in lex.conn_multi
+        # voorzetseluitdrukkingen.txt
+        assert "bij wijze van" in lex.vzexpr
+
+    def test_formal_and_adverb_tables(self):
+        from tscan_ray.text.lexicons import default_lexicons
+
+        lex = default_lexicons()
+        # formal.data: "aanbevelen<TAB>werkwoord"
+        assert lex.formal.get("aanbevelen") == "WW"
+        assert lex.formal_multi.get("aan de hand van") == "VZG"
+        # adverbs.data: "andersom<TAB>algemeen<TAB>ambigu"
+        assert lex.adverbs.get("andersom") == ("GENERAL", "AMBIGUOUS")
+        # "afkorting"-classed formal entries are skipped (INVALID in the
+        # reference never reaches a counter)
+        assert all(v != "INVALID" for v in lex.formal.values())
+
+    def test_word_level_classification(self):
+        from tscan_ray.text.features import featurize_document
+
+        f = featurize_document("De man vertrekt aangezien het laat is .")
+        assert f["causeConnCnt"] >= 1

@@ -231,10 +231,11 @@ def _analyze_word_uncached(token: str, sent_initial: bool, lex: Lexicons) -> Wor
     # Alpino verb-under-NP rule needs the parse annotation)
     ann.is_nominal = _check_nominal(ann)
 
-    # lexicon families
+    # lexicon families (tag-aware ordered lookups over the published
+    # lists; checkConnective/checkSituation, src/tscan.cxx:1134-1217)
     if ann.tag in ("VG", "VZ", "BW"):
-        ann.conn_type = lex.conn_single.get(ann.lemma, "")
-    ann.sit_type = lex.sit_single.get(ann.lemma, "")
+        ann.conn_type = lex.conn_type(ann.lemma, ann.tag)
+    ann.sit_type = lex.situation_type(ann.lemma, ann.tag)
     ann.intensify_type = lex.intensify.get(ann.lemma, "")
     formal = kernels.find_inflected(lex.formal, ann.lemma)
     ann.formal_type = formal or ""
@@ -243,7 +244,10 @@ def _analyze_word_uncached(token: str, sent_initial: bool, lex: Lexicons) -> Wor
     if ann.tag == "WW":
         ann.general_verb_type = lex.general_verbs.get(ann.lemma, "")
     if ann.tag in ("N", "SPEC"):
-        ann.afk_type = lex.afkos.get(lword, "")
+        # case-sensitive raw-form lookup (checkAfk, src/tscan.cxx:1559):
+        # "DE"/"IS" the country codes are abbreviations, the function
+        # words are not
+        ann.afk_type = lex.afkos.get(ann.word, "")
     ann.on_stoplist = ann.lemma in lex.stop_lemmata
     ann.my_class = lex.my_classification.get(ann.lemma, "")
 

@@ -118,6 +118,27 @@ class Lexicons:
     stop_lemmata: set[str] = field(default_factory=set)
     my_classification: dict[str, str] = field(default_factory=dict)
     vzexpr: set[str] = field(default_factory=set)  # prep expressions, 2-4 grams space-joined
+    # ordered tag-aware connective / situation sets from the vendored
+    # published lists (loaders.py); priority order = the reference's
+    # fixed lookup order (checkConnective src/tscan.cxx:1134-1181,
+    # checkSituation src/tscan.cxx:1183-1217)
+    conn_order: list = field(default_factory=list)  # [(type, TaggedWordSet)]
+    sit_order: list = field(default_factory=list)   # [(type, TaggedWordSet)]
+
+    def conn_type(self, lemma: str, tag: str) -> str:
+        """Single-word connective type; tag-specific entries first within
+        each type, fixed type priority across lists.  Falls back to the
+        flat conn_single dict (custom/synthetic additions)."""
+        for typ, tws in self.conn_order:
+            if tws.matches(lemma, tag):
+                return typ
+        return self.conn_single.get(lemma, "")
+
+    def situation_type(self, lemma: str, tag: str) -> str:
+        for typ, tws in self.sit_order:
+            if tws.matches(lemma, tag):
+                return typ
+        return self.sit_single.get(lemma, "")
 
     def max_conn_multi(self) -> int:
         return max((s.count(" ") + 1 for s in self.conn_multi), default=0)
@@ -477,7 +498,74 @@ def build_default_lexicons() -> Lexicons:
     lex.vzexpr.update({"op grond van", "aan de hand van", "in plaats van",
                        "met behulp van", "ten opzichte van", "naar aanleiding van"})
 
+    _merge_published_lists(lex)
+
     return lex
+
+
+def _merge_published_lists(lex: Lexicons) -> None:
+    """Fold the vendored published lexicon lists (text/data/, loaders.py)
+    into the bundle.  Single-word connective/situation entries build the
+    ordered tag-aware sets (the synthetic dict entries above are folded
+    into their type's UNASS set so one priority order governs both);
+    multiword entries extend the *_multi scan dicts; adverbs / formal /
+    abbreviation / prep-expression tables are extended with the real
+    data taking precedence over the synthetic seeds."""
+    from tscan_ray.text import loaders
+
+    conn_files = [("TEMPOREEL", "temporal_connectors.lst"),
+                  ("OPSOMMEND_WG", "opsom_connectors_wg.lst"),
+                  ("OPSOMMEND_ZIN", "opsom_connectors_zin.lst"),
+                  ("CONTRASTIEF", "contrast_connectors.lst"),
+                  ("COMPARATIEF", "compar_connectors.lst"),
+                  ("CAUSAAL", "causal_connectors.lst")]
+    for typ, fname in conn_files:
+        tws = loaders.read_tagged_words(fname)
+        covered = tws.unass.union(*tws.tagged.values()) if tws.tagged else tws.unass
+        for lemma, t in list(lex.conn_single.items()):
+            if lemma in covered:
+                # the real list is authoritative (it may carry a tag
+                # restriction the synthetic seed lacked) — drop the seed
+                del lex.conn_single[lemma]
+            elif t == typ:
+                tws.unass.add(lemma)
+        for phrase in tws.multi:
+            lex.conn_multi.setdefault(phrase, typ)
+        lex.conn_order.append((typ, tws))
+
+    sit_files = [("TIME_SIT", "tijd.txt"), ("CAUSAL_SIT", "causaliteit.txt"),
+                 ("SPACE_SIT", "ruimte.txt"), ("EMO_SIT", "emoties.txt")]
+    for typ, fname in sit_files:
+        tws = loaders.read_tagged_words(fname)
+        covered = tws.unass.union(*tws.tagged.values()) if tws.tagged else tws.unass
+        for lemma, t in list(lex.sit_single.items()):
+            if lemma in covered:
+                del lex.sit_single[lemma]
+            elif t == typ:
+                tws.unass.add(lemma)
+        for phrase in tws.multi:
+            lex.sit_multi.setdefault(phrase, typ)
+        lex.sit_order.append((typ, tws))
+
+    lex.vzexpr.update(loaders.read_vzexpr())
+    f_single, f_multi = loaders.read_formal()
+    lex.formal.update(f_single)
+    lex.formal_multi.update(f_multi)
+    lex.adverbs.update(loaders.read_adverbs())
+    lex.afkos.update(loaders.read_afkos())
+
+    # POS coverage for the connective vocabulary: a connective word the
+    # POS lexicon does not know would fall back to the noun tag and the
+    # VG/VZ/BW gate (checkConnective src/tscan.cxx:1135) would silently
+    # drop it.  Tag-restricted entries get their own tag; untagged
+    # entries default to BW (passes the gate, stays out of the nounish
+    # scans).  The reference gets these tags from Frog.
+    for _, tws in lex.conn_order:
+        for tag, entries in tws.tagged.items():
+            for w in entries:
+                lex.pos.setdefault(w, PosInfo(tag, w, (w,)))
+        for w in tws.unass:
+            lex.pos.setdefault(w, PosInfo("BW", w, (w,)))
 
 
 _DEFAULT: Lexicons | None = None

@@ -199,10 +199,11 @@ class TestReferenceSections:
     def test_noun_sem_subtype_counts(self):
         from tscan_ray.text.features import featurize_document
 
-        # man=human kat=nonhuman huis=artefact stad=place politie=institut
-        # brood=voed_verz water=substance_conc feest=dynamic_conc (curated)
+        # man=human kat=nonhuman skateboard=artefact (published golden
+        # lexicon: huis AND stad are both place) politie=institut
+        # brood=voed_verz water=substance_conc feest=dynamic_conc
         f = featurize_document(
-            "de man ziet de kat . het huis staat in de stad . "
+            "de man ziet de kat . het skateboard staat in de stad . "
             "de politie eet brood met water op het feest .")
         assert f["humanCnt"] == 1 and f["nonHumanCnt"] == 1
         assert f["artefactCnt"] == 1 and f["placeCnt"] == 1

@@ -115,3 +115,49 @@ def test_depdist_golden(name, text, want, deplen, maxdep):
                 f"{typ}: golden NA but engine stored {p.distances[typ]}"
     assert math.isclose(p.al_gem, deplen, abs_tol=1e-4)
     assert p.al_max == maxdep
+
+
+class TestGoldenConcreteness:
+    """Concreteness golden cases (reference tests/concreet1..3.example +
+    .ok) over the vendored golden semtype lexicons
+    (tests/{nouns,adjs,verbs}_semtype.data).  Expected values are the
+    doc-level counts from the .ok FoLiA metrics."""
+
+    def test_concreet1(self):
+        # "De dashond snuffelde aan de klaproos ." — dashond=nonhuman
+        # (covered), klaproos not in the lexicon (uncovered)
+        f = featurize_document("De dashond snuffelde aan de klaproos .")
+        assert f["nounCnt"] == 2
+        covered = f["nounCnt"] + f["nameCnt"] - f["uncoveredNounCnt"]
+        assert covered == 1 and f["uncoveredNounCnt"] == 1
+        assert f["nonHumanCnt"] == 1
+        assert f["strictNounCnt"] == 1 and f["broadNounCnt"] == 1
+
+    def test_concreet2(self):
+        # "Ik drink een glas bourgogne uit het noorden van de Bourgogne ."
+        # glas=artefact, noorden=place, lowercase bourgogne uncovered;
+        # the NAME Bourgogne matches its capitalized entry (voed_verz)
+        # via the case-sensitive raw-word lookup
+        f = featurize_document(
+            "Ik drink een glas bourgogne uit het noorden van de Bourgogne .")
+        assert f["nounCnt"] == 3 and f["nameCnt"] == 1
+        covered = f["nounCnt"] + f["nameCnt"] - f["uncoveredNounCnt"]
+        assert covered == 3 and f["uncoveredNounCnt"] == 1
+        assert f["artefactCnt"] == 1 and f["placeCnt"] == 1
+        assert f["foodcareCnt"] == 1
+        assert f["strictNounCnt"] == 2 and f["broadNounCnt"] == 3
+        # drink -> drinken = concrete action (concrete_ww 1)
+        assert f["concreteWwCnt"] == 1
+
+    def test_concreet3(self):
+        # "Ik ruik de geur van aangebrand vlees ." — geur=concrother
+        # (covered), vlees uncovered; aangebrand=undefined ADJ, prenominal
+        # (adj_np_modifier 1); ruik -> ruiken = concrete undefined
+        f = featurize_document("Ik ruik de geur van aangebrand vlees .")
+        assert f["nounCnt"] == 2
+        covered = f["nounCnt"] + f["nameCnt"] - f["uncoveredNounCnt"]
+        assert covered == 1 and f["uncoveredNounCnt"] == 1
+        assert f["concrotherCnt"] == 1
+        assert f["strictNounCnt"] == 1 and f["broadNounCnt"] == 1
+        assert f["undefinedAdjCnt"] == 1
+        assert f["concreteWwCnt"] == 1

@@ -193,8 +193,12 @@ def _analyze_word_uncached(token: str, sent_initial: bool, lex: Lexicons) -> Wor
             else "MISC"
         )
         ann.ner = ner
-        # name sem lookup is by word (src/tscan.cxx:1337-1464); fall back to NER
-        ann.sem_type = lex.noun_sem.get(lword) or _NER_TO_SEM.get(ner, "")
+        # name sem lookup is by RAW word, case-sensitive (checkSemProps
+        # src/tscan.cxx:1399-1407: "Bourgogne" the region matches its
+        # capitalized lexicon entry); lowercase + NER-gazetteer fallback
+        # is the engine's coverage extension for the synthetic bundle
+        ann.sem_type = (lex.noun_sem.get(token) or lex.noun_sem.get(lword)
+                        or _NER_TO_SEM.get(ner, ""))
     else:
         if info is None:
             info = PosInfo("N", lword, (lword,))

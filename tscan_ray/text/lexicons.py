@@ -210,7 +210,12 @@ def _dutch_entries() -> dict[str, PosInfo]:
              ("geef", "geven", "pv", "tgw"),
              ("zet", "zetten", "pv", "tgw"),
              ("zetten", "zetten", "pv", "tgw"),
-             ("gestolen", "stelen", "vd", "")]
+             ("gestolen", "stelen", "vd", ""),
+             # concreet golden-fixture vocabulary (reference
+             # tests/concreet1..3)
+             ("snuffelde", "snuffelen", "pv", "verl"),
+             ("drink", "drinken", "pv", "tgw"),
+             ("ruik", "ruiken", "pv", "tgw")]
     for w, lem, wv, tijd in verbs:
         feats = {"wvorm": wv}
         if tijd:
@@ -566,6 +571,27 @@ def _merge_published_lists(lex: Lexicons) -> None:
                 lex.pos.setdefault(w, PosInfo(tag, w, (w,)))
         for w in tws.unass:
             lex.pos.setdefault(w, PosInfo("BW", w, (w,)))
+
+    # semantic-type lexicons (the reference golden-test bundles,
+    # tests/{nouns,adjs,verbs}_semtype.data; fillN/fillADJ/fillWW
+    # src/tscan.cxx:222-316): real entries override the synthetic
+    # assignment, and the noun file's compound columns feed the
+    # compound table.  Lemmas the POS lexicon lacks get a POS entry
+    # with the file's tag so the semtype is reachable (Frog's job in
+    # the reference).
+    n_sem, n_comp = loaders.read_noun_sem()
+    lex.noun_sem.update(n_sem)
+    lex.compounds.update(n_comp)
+    for lem in n_sem:
+        lex.pos.setdefault(lem, PosInfo("N", lem, (lem,)))
+    a_sem = loaders.read_adj_sem()
+    lex.adj_sem.update(a_sem)
+    for lem in a_sem:
+        lex.pos.setdefault(lem, PosInfo("ADJ", lem, (lem,)))
+    v_sem = loaders.read_verb_sem()
+    lex.verb_sem.update(v_sem)
+    for lem in v_sem:
+        lex.pos.setdefault(lem, PosInfo("WW", lem, (lem,), (("wvorm", "inf"),)))
 
 
 _DEFAULT: Lexicons | None = None

@@ -168,3 +168,83 @@ def read_afkos(name: str = "afkortingen.lst") -> dict[str, str]:
         if dom:
             out[" ".join(parts[:-1])] = dom
     return out
+
+
+# ADJ file value (+ optional subtype) -> engine adj_sem label
+# (SEM::classifyADJ, src/sem.cxx:227-275)
+_ADJ_SEM = {
+    "undefined": "undefined", "waarn_mens": "human", "emosoc": "emo",
+    "technisch": "tech", "time": "time", "place": "place",
+    "spec_positief": "spec_pos", "spec_negatief": "spec_neg",
+    "alg_positief": "pos", "alg_negatief": "neg",
+    "alg_evaluatief": "evaluative", "ep_positief": "epi_pos",
+    "ep_negatief": "epi_neg", "abstract_ov": "abstract",
+}
+_ADJ_NONHUMAN_SUB = {
+    "vorm_omvang": "shape", "kleur": "color", "stof": "matter",
+    "geluid": "sound", "waarn_niet_mens_ov": "nonhuman_other",
+}
+_NOUN_SEM = {
+    "undefined", "concrother", "institut", "substance_conc", "artefact",
+    "nonhuman", "human", "voed_verz", "dynamic_conc", "substance_abstr",
+    "dynamic_abstr", "nondynamic", "place", "time", "measure",
+}
+_VERB_S = {"undefined", "state", "action", "process"}
+_VERB_C = {"abstract": "abstract", "concreet": "concrete",
+           "undefined": "undefined"}
+
+
+def read_noun_sem(name: str = "nouns_semtype.data"):
+    """(lemma -> semtype, lemma -> (head, sat, parts)) per fillN
+    (src/tscan.cxx:222-251): 3 cols for plain nouns, 6 for compounds."""
+    sem: dict[str, str] = {}
+    compounds: dict[str, tuple[str, str, int]] = {}
+    for line in _lines(name):
+        parts = line.split("\t")
+        if len(parts) not in (3, 6):
+            continue
+        lemma = parts[0].strip()
+        if parts[1].strip() in _NOUN_SEM:
+            sem[lemma] = parts[1].strip()
+        if len(parts) == 6 and parts[2].strip() == "1":
+            try:
+                n = int(parts[5])
+            except ValueError:
+                continue
+            compounds[lemma] = (parts[3].strip(), parts[4].strip(), n)
+    return sem, compounds
+
+
+def read_adj_sem(name: str = "adjs_semtype.data") -> dict[str, str]:
+    """lemma -> adj semtype per fillADJ (src/tscan.cxx:286-316): 2 or 3
+    tab-separated cols; the waarn_niet_mens class fans out by subtype."""
+    out: dict[str, str] = {}
+    for line in _lines(name):
+        parts = [p.strip() for p in line.split("\t")]
+        parts = [p for p in parts if p]  # trailing tab on 2-col lines
+        if len(parts) not in (2, 3):
+            continue
+        if parts[1] == "waarn_niet_mens":
+            sub = _ADJ_NONHUMAN_SUB.get(parts[2]) if len(parts) == 3 else None
+            if sub:
+                out[parts[0].lower()] = sub
+        else:
+            sem = _ADJ_SEM.get(parts[1])
+            if sem:
+                out[parts[0].lower()] = sem
+    return out
+
+
+def read_verb_sem(name: str = "verbs_semtype.data") -> dict[str, str]:
+    """lemma -> verb semtype per fillWW (src/tscan.cxx:264-284) +
+    SEM::classifyWW (src/sem.cxx:194-225): '<c>_<s>' engine labels,
+    plain 'undefined' for undefined/undefined."""
+    out: dict[str, str] = {}
+    for line in _lines(name):
+        parts = [p.strip() for p in line.split("\t")]
+        if len(parts) != 3 or parts[1] not in _VERB_S or parts[2] not in _VERB_C:
+            continue
+        s, c = parts[1], _VERB_C[parts[2]]
+        out[parts[0]] = "undefined" if (s, c) == ("undefined", "undefined") \
+            else f"{c}_{s}"
+    return out

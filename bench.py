@@ -42,7 +42,7 @@ BENCH_QUERIES = [
     "ann_topk",
     "tscan_features",
     "text_surprisal",
-    "join_orders_customer",
+    "join_supplier_nation_region",
     "agg_user_value_2phase",
     "pit_rolling_time_mean_sliced",
     "pit_expanding",

@@ -30,6 +30,12 @@ class EngineConfig:
     # features go NA, src/structstats.cxx:336-370)
     max_sentence_tokens: int = 300
 
+    # feature-group toggles: names from ``features.feature_groups()`` to
+    # omit from the output schema (the engine's ``--skip=[aw]`` analog,
+    # reference src/tscan.cxx:1128 — 'a' ~ the parse-derived groups,
+    # 'w' ~ "surprisal"; CSV-skip 'c' is a sink concern here)
+    skip_groups: tuple = ()
+
     # --- point-in-time layer ------------------------------------------
     # entity bucketing: entity_id = phash >> phash_bucket_bits
     phash_bucket_bits: int = 16

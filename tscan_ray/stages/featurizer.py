@@ -55,17 +55,28 @@ class CaptionFeaturizer:
         lm_ref=None,
         prefix: str = "",
         keep_columns: list[str] | None = None,
+        custom_groups: dict | None = None,
     ):
         # once-per-actor setup (NOT per batch).  lm_ref: ray.put() of a
         # corpus-fitted BigramLM (one object-store copy shared per node);
         # None -> packaged unigram default.
+        #
+        # custom_groups: the driver's register_feature_group() registry
+        # does not exist in this (actor) process — the featurize() helper
+        # snapshots it at pipeline-build time and re-registers here.
+        if custom_groups:
+            from tscan_ray.text import features as _fmod
+
+            for gname, gfn in custom_groups.items():
+                if gname not in _fmod._CUSTOM_GROUPS:
+                    _fmod.register_feature_group(gname, gfn)
         self.text_column = text_column
         self.cfg = cfg
         self.prefix = prefix
         self.keep_columns = keep_columns
         self.lex = ray.get(lexicons_ref) if lexicons_ref is not None else default_lexicons()
         self.lm = ray.get(lm_ref) if lm_ref is not None else None
-        self.names = feature_names()
+        self.names = feature_names(cfg)
         # per-feature dtype for EMPTY batches (the per-batch int/float
         # sniff below would call every column int64 when there are no
         # values, clashing with non-empty blocks' float columns)
@@ -121,6 +132,8 @@ def featurize(
     if concurrency is None:
         concurrency = pool_size()
     kwargs = {"concurrency": concurrency}
+    from tscan_ray.text import features as _fmod
+
     return ds.map_batches(
         CaptionFeaturizer,
         fn_constructor_kwargs={
@@ -129,6 +142,8 @@ def featurize(
             "keep_columns": keep_columns,
             "lm_ref": lm_ref,
             "lexicons_ref": lexicons_ref,
+            # snapshot the driver-side plugin registry for the actors
+            "custom_groups": dict(_fmod._CUSTOM_GROUPS) or None,
         },
         batch_format="pyarrow",
         zero_copy_batch=True,

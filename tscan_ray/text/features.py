@@ -37,6 +37,7 @@ import copy
 import math
 from collections import Counter
 from dataclasses import dataclass, field
+from typing import Any
 
 from tscan_ray.config import DEFAULT_CONFIG, EngineConfig
 from tscan_ray.text import depparse, kernels
@@ -1218,14 +1219,109 @@ def featurize_document(
     return _emit_doc(doc, len(paragraphs), cfg)
 
 
-def _emit_doc(doc: Fold, par_cnt: int, cfg: EngineConfig) -> dict[str, float]:
+class _PlainOut(dict):
+    """Emit dict for the hot path: section markers are no-ops."""
+
+    __slots__ = ()
+
+    def sec(self, name: str) -> None:  # pragma: no cover - trivial
+        pass
+
+
+class _SectionDict(dict):
+    """Emit dict that records which section each column came from —
+    used once per process to build the ``feature_groups()`` map."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._section = "status"
+        self.sections: dict[str, list[str]] = {}
+
+    def sec(self, name: str) -> None:
+        self._section = name
+
+    def __setitem__(self, k, v) -> None:
+        if k not in self:
+            self.sections.setdefault(self._section, []).append(k)
+        super().__setitem__(k, v)
+
+    def setdefault(self, k, default=None):
+        # dict.setdefault bypasses __setitem__ in CPython; route through
+        # it so late setdefault-ed columns are still attributed
+        if k not in self:
+            self[k] = default
+        return self[k]
+
+
+# user-extension surface (SURVEY §2.10 "feature-group plugin registry",
+# mirroring the reference's one-header/emit-pair-per-CSV-section design,
+# src/structstats.cxx:65-83): a registered group contributes extra
+# columns computed from the merged document Fold.  Plugins run after the
+# built-in sections so they may read built-in columns from ``out``.
+_CUSTOM_GROUPS: dict[str, Any] = {}
+
+
+def register_feature_group(name: str, fn) -> None:
+    """Register a custom feature group.  ``fn(doc: Fold, out: dict,
+    cfg: EngineConfig) -> dict[str, float]`` returns the group's columns
+    (it may read — but not overwrite — built-in columns via ``out``).
+    The group participates in ``feature_groups()`` / ``feature_names()``
+    and honors ``cfg.skip_groups`` like any built-in section."""
+    if name in _builtin_group_names() or name in _CUSTOM_GROUPS:
+        raise ValueError(f"feature group {name!r} already exists")
+    _CUSTOM_GROUPS[name] = fn
+    _GROUPS_CACHE.clear()
+
+
+def unregister_feature_group(name: str) -> None:
+    _CUSTOM_GROUPS.pop(name, None)
+    _GROUPS_CACHE.clear()
+
+
+_GROUPS_CACHE: dict[str, dict[str, list[str]]] = {}
+
+
+def _builtin_group_names() -> set[str]:
+    return set(feature_groups(_builtin_only=True))
+
+
+def feature_groups(cfg: EngineConfig = DEFAULT_CONFIG,
+                   _builtin_only: bool = False) -> dict[str, list[str]]:
+    """Group name -> ordered column names, recorded from one emit of a
+    dummy document (cheap; cached per custom-registry state).  Built-in
+    groups follow the reference's CSV section order."""
+    key = "builtin" if _builtin_only else "all"
+    if key not in _GROUPS_CACHE:
+        base = EngineConfig(skip_groups=())
+        rec = _featurize_recorded("x .", base, skip_custom=_builtin_only)
+        _GROUPS_CACHE[key] = dict(rec.sections)
+    groups = _GROUPS_CACHE[key]
+    if cfg.skip_groups:
+        return {g: cols for g, cols in groups.items()
+                if g not in set(cfg.skip_groups)}
+    return groups
+
+
+def _featurize_recorded(text: str, cfg: EngineConfig,
+                        skip_custom: bool = False) -> "_SectionDict":
+    lex = default_lexicons()
+    from tscan_ray.text.surprisal import default_lm
+
+    folds = [analyze_sentence(s, None, lex, cfg, lm=default_lm())
+             for para in segment(text) for s in para]
+    return _emit_doc(merge_folds(folds), 1, cfg, out_cls=_SectionDict,
+                     skip_custom=skip_custom)
+
+
+def _emit_doc(doc: Fold, par_cnt: int, cfg: EngineConfig,
+              out_cls=_PlainOut, skip_custom: bool = False):
     """The full structStats CSV emit (src/structstats.cxx:85-1049), in the
     reference's section order and with the reference's column names and
     formulas.  Raw counters are appended after the derived columns (the
     reference keeps them in FoLiA metrics; here they are plain columns).
     """
     c, s = doc.c, doc.s
-    out: dict[str, float] = {}
+    out = out_cls()
     wc = c["wordCnt"]
     wic = c["wordInclCnt"]
     n_sent = c["sentCnt"]
@@ -1241,6 +1337,8 @@ def _emit_doc(doc: Fold, par_cnt: int, cfg: EngineConfig) -> dict[str, float]:
     out["Alpino_status"] = int(c["parseFailCnt"])
 
     # --- topPredictors (src/structstats.cxx:123-163) ----------------------
+
+    out.sec("topPredictors")
     wrd_freq_log_zn_corr = proportion(s["word_freq_log_n_corr"],
                                       c["contentCnt"] - c["nameCnt"])
     out["wrd_freq_log_zn_corr"] = wrd_freq_log_zn_corr
@@ -1266,6 +1364,8 @@ def _emit_doc(doc: Fold, par_cnt: int, cfg: EngineConfig) -> dict[str, float]:
     out["MTLD_inhwrd_zonder_abw"] = mt["MTLD_inhwrd_strict"]
 
     # --- wordDifficulties (src/structstats.cxx:165-235) -------------------
+
+    out.sec("wordDifficulties")
     out["Let_per_wrd"] = proportion(c["charCnt"], wc)
     out["Wrd_per_let"] = proportion(wc, c["charCnt"])
     out["Let_per_wrd_zn"] = proportion(c["charCntExNames"], wc - c["nameCnt"])
@@ -1310,6 +1410,8 @@ def _emit_doc(doc: Fold, par_cnt: int, cfg: EngineConfig) -> dict[str, float]:
             c[f"top{band}ContentStrictCnt"], c["contentStrictCnt"])
 
     # --- compound (src/structstats.cxx:237-302) ---------------------------
+
+    out.sec("compound")
     non_compound_cnt = c["nounCnt"] - c["compoundCnt"]
     out["Samenst_d"] = density(c["compoundCnt"], wc)
     out["Samenst_p"] = proportion(c["compoundCnt"], c["nounCnt"])
@@ -1362,6 +1464,8 @@ def _emit_doc(doc: Fold, par_cnt: int, cfg: EngineConfig) -> dict[str, float]:
         out[f"Freq{band}_corr"] = proportion(c[f"top{band}CntCorr"], wc)
 
     # --- sentDifficulties (src/structstats.cxx:304-410) -------------------
+
+    out.sec("sentDifficulties")
     out["Zin_per_wrd"] = proportion(n_sent, wic)
     out["Dzin_per_wrd"] = proportion(ccc, wic)
     out["Wrd_per_nwg"] = proportion(wic, n_sent)
@@ -1421,6 +1525,8 @@ def _emit_doc(doc: Fold, par_cnt: int, cfg: EngineConfig) -> dict[str, float]:
     out["AL_gem"] = depparse.doc_mean_al([p.al_gem for p in doc.parses])
 
     # --- information density (src/structstats.cxx:411-518) ----------------
+
+    out.sec("infoDensity")
     out["Bijw_bep_d"] = density(c["vcModCnt"], wic)
     out["Bijw_bep_dz"] = proportion(c["vcModCnt"], ccc)
     out["Bijw_bep_dz_zbijzin"] = proportion(vc_mod_corr, ccc)
@@ -1468,6 +1574,8 @@ def _emit_doc(doc: Fold, par_cnt: int, cfg: EngineConfig) -> dict[str, float]:
     out["Onbep_nwg_dz"] = proportion(c["indefNpCnt"], ccc)
 
     # --- coherence (src/structstats.cxx:520-577) --------------------------
+
+    out.sec("coherence")
     def _uniq_n(fam: str) -> int:
         return len(doc.uniq.get(fam, ()))
 
@@ -1503,6 +1611,8 @@ def _emit_doc(doc: Fold, par_cnt: int, cfg: EngineConfig) -> dict[str, float]:
     out["Emotie_MTLD"] = mt["MTLD_emo_sit"]
 
     # --- concreteness (src/structstats.cxx:579-789) -----------------------
+
+    out.sec("concreteness")
     out["Conc_nw_strikt_d"] = density(c["strictNounCnt"], wc)
     out["Conc_nw_ruim_d"] = density(c["broadNounCnt"], wc)
     for label, key in (
@@ -1596,6 +1706,8 @@ def _emit_doc(doc: Fold, par_cnt: int, cfg: EngineConfig) -> dict[str, float]:
     out["Gedekte_bw_p"] = proportion(covered_adverbs, c["bwCnt"])
 
     # --- persoonlijkheid (src/structstats.cxx:790-813) --------------------
+
+    out.sec("persoonlijkheid")
     out["Pers_vnw1_d"] = density(c["pron1Cnt"], wic)
     out["Pers_vnw2_d"] = density(c["pron2Cnt"], wic)
     out["Pers_vnw3_d"] = density(c["pron3Cnt"], wic)
@@ -1609,6 +1721,8 @@ def _emit_doc(doc: Fold, par_cnt: int, cfg: EngineConfig) -> dict[str, float]:
     out["Event_namen_d"] = density(c["nerEVECnt"], wc)
 
     # --- verb (src/structstats.cxx:815-869) -------------------------------
+
+    out.sec("verb")
     out["Actieww_p"] = proportion(c["actionCnt"], c["verbCnt"])
     out["Actieww_d"] = density(c["actionCnt"], wc)
     out["Toestww_p"] = proportion(c["stateCnt"], c["verbCnt"])
@@ -1631,12 +1745,16 @@ def _emit_doc(doc: Fold, par_cnt: int, cfg: EngineConfig) -> dict[str, float]:
             out[f"{label}_{suffix}_dz"] = proportion(c[key], ccc)
 
     # --- imperative (src/structstats.cxx:871-881) -------------------------
+
+    out.sec("imperative")
     out["Imp_ellips_p"] = proportion(c["impCnt"], n_sent)
     out["Imp_ellips_d"] = density(c["impCnt"], wic)
     out["Vragen_p"] = proportion(c["questCnt"], n_sent)
     out["Vragen_d"] = density(c["questCnt"], wic)
 
     # --- wordSort (src/structstats.cxx:883-920) ---------------------------
+
+    out.sec("wordSort")
     out["Bvnw_d"] = density(c["adjInclCnt"], wic)
     out["Vg_d"] = density(c["vgCnt"], wic)
     out["Vnw_d"] = density(c["vnwCnt"], wic)
@@ -1661,11 +1779,15 @@ def _emit_doc(doc: Fold, par_cnt: int, cfg: EngineConfig) -> dict[str, float]:
     out["Afk_zorg_d"] = density(c["afk_zorgCnt"], wic)
 
     # --- prepPhrase (src/structstats.cxx:922-930) -------------------------
+
+    out.sec("prepPhrase")
     out["Vzu_d"] = density(c["prepExprCnt"], wic)
     out["Vzu_dz"] = proportion(c["prepExprCnt"], ccc)
     out["Arch_d"] = density(c["archaicsCnt"], wic)
 
     # --- intensifiers (src/structstats.cxx:932-947) -----------------------
+
+    out.sec("intensifiers")
     out["Int_d"] = density(c["intensCnt"], wic)
     out["Int_bvnw_d"] = density(c["intensBvnwCnt"], wic)
     out["Int_bvbw_d"] = density(c["intensBvbwCnt"], wic)
@@ -1676,6 +1798,8 @@ def _emit_doc(doc: Fold, par_cnt: int, cfg: EngineConfig) -> dict[str, float]:
     out["Int_ww_d"] = density(c["intensWwCnt"], wic)
 
     # --- formal (src/structstats.cxx:949-973) -----------------------------
+
+    out.sec("formal")
     out["Form_d"] = density(c["formalCnt"], wic)
     out["Form_d_z_vnw"] = density(c["formalCnt"] - c["formalVnwCnt"], wic)
     out["Form_bvnw_d"] = density(c["formalBvnwCnt"], wic)
@@ -1688,6 +1812,8 @@ def _emit_doc(doc: Fold, par_cnt: int, cfg: EngineConfig) -> dict[str, float]:
     out["Form_znw_d"] = density(c["formalZnwCnt"], wic)
 
     # --- misc / surprisal / LiNT (src/structstats.cxx:975-1049) -----------
+
+    out.sec("surprisal")
     # NaN sentence values POISON the document sum (the reference's doc
     # fold is an unguarded += over sentence means,
     # src/structstats.cxx:1491-1507): one unscored (-99 / empty) sentence
@@ -1713,6 +1839,7 @@ def _emit_doc(doc: Fold, par_cnt: int, cfg: EngineConfig) -> dict[str, float]:
         out[f"Perplexiteit_{d_lbl}"] = _surp_stat(d_key, "perplexity")
         out[f"Perplexiteit_{d_lbl}_norm"] = _surp_stat(d_key, "perplexity_norm")
     out["Eigen_classificatie_cnt"] = int(c["myClassCnt"])
+    out.sec("lint")
     s1, l1, s2, l2 = kernels.lint_scores(
         wrd_freq_log_zn_corr, bijv_bep_dz_zbijzin, alg_nw_d, al_max,
         inhwrd_dz_zonder_abw, conc_nw_ruim_p,
@@ -1724,6 +1851,8 @@ def _emit_doc(doc: Fold, par_cnt: int, cfg: EngineConfig) -> dict[str, float]:
 
     # --- raw counters + engine extras (diagnostics; not in the reference
     #     CSV, which keeps counts in FoLiA metrics) ------------------------
+
+    out.sec("counts")
     for k in _COUNT_KEYS:
         out[k] = int(c[k])
     out["parCnt"] = par_cnt
@@ -1731,6 +1860,23 @@ def _emit_doc(doc: Fold, par_cnt: int, cfg: EngineConfig) -> dict[str, float]:
     out["Lem_overlap_doc"] = dl
     for k, v in mt.items():  # full MTLD family set (engine extra)
         out.setdefault(k, v)
+
+    if not skip_custom:
+        skip = set(cfg.skip_groups)
+        for gname, fn in _CUSTOM_GROUPS.items():
+            if gname in skip:
+                continue
+            out.sec(gname)
+            for k, v in fn(doc, out, cfg).items():
+                if k in out:
+                    raise ValueError(
+                        f"feature group {gname!r} overwrites column {k!r}")
+                out[k] = v
+    if cfg.skip_groups:
+        gmap = feature_groups()  # full map (built-in + custom)
+        for g in cfg.skip_groups:
+            for k in gmap.get(g, ()):
+                out.pop(k, None)
     return out
 
 
@@ -1764,6 +1910,7 @@ def featurize_paragraphs(
     return out
 
 
-def feature_names() -> list[str]:
-    """Stable output schema (computed once from an empty document)."""
-    return list(featurize_document("x .").keys())
+def feature_names(cfg: EngineConfig = DEFAULT_CONFIG) -> list[str]:
+    """Stable output schema (computed once from an empty document).
+    Honors ``cfg.skip_groups`` and registered custom feature groups."""
+    return list(featurize_document("x .", cfg=cfg).keys())

@@ -186,6 +186,26 @@ class TestFeaturizeDocument:
         f2 = featurize_document("De kat loopt reeds .")
         assert f2["formalCnt"] == 1
 
+    def test_bvbw_modifier_demotion(self):
+        # checkIntensify BVBW special case (src/tscan.cxx:1483-1485 +
+        # checkModifier src/Alpino.cxx:968-984): BVBW counts only as a
+        # modifier of an AP/participle/infinitive or a mod under a
+        # finite clause — a copula predicate ("dat is erg") does not.
+        kept = featurize_document("Dat is erg mooi .")
+        assert kept["intensBvbwCnt"] == 1
+        demoted = featurize_document("Dat is erg .")
+        assert demoted["intensBvbwCnt"] == 0 and demoted["intensCnt"] == 0
+        free_mod = featurize_document("De man gaat enorm .")
+        assert free_mod["intensBvbwCnt"] == 1
+
+    def test_nominal_infinitive_under_np(self):
+        # checkNominal verb-under-NP (src/wordstats.cxx:121-138):
+        # determiner + infinitive = nominalization ("het lopen")
+        f = featurize_document("Het lopen is leuk .")
+        assert f["nominalCnt"] == 1
+        f2 = featurize_document("Wij lopen naar huis .")
+        assert f2["nominalCnt"] == 0
+
     def test_prep_expr(self):
         f = featurize_document("De kat loopt op grond van de reden .")
         assert f["prepExprCnt"] == 1

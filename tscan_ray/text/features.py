@@ -687,6 +687,42 @@ def analyze_sentence(
                 a.is_content = _check_content(a, False)
                 a.is_content_strict = _check_content(a, True)
 
+    # BVBW intensifier demotion (checkIntensify, src/tscan.cxx:1483-1485
+    # + checkModifier, src/Alpino.cxx:968-984): a BVBW intensifier counts
+    # only when it MODIFIES — directly below an AP/PPART/PPRES/INF node,
+    # or rel=mod under a finite clause (smain/ssub).  Reduced analog
+    # over tags: the next token is an adjective/adverb/participle/
+    # infinitive, else a free adverbial in a finite sentence (but a
+    # copula predicate — "dat is erg" — is predc, not mod: demote).
+    for k, a in enumerate(anns):
+        if a.intensify_type != "BVBW":
+            continue
+        nxt = next((anns[j] for j in range(k + 1, len(anns))
+                    if anns[j].prop != "ISLET"), None)
+        if nxt is not None and (
+                nxt.tag in ("ADJ", "BW")
+                or (nxt.tag == "WW"
+                    and nxt.prop in ("ISVD", "ISOD", "ISINF"))):
+            continue  # below an AP / ppart / ppres / inf
+        prv = next((anns[j] for j in range(k - 1, -1, -1)
+                    if anns[j].prop != "ISLET"), None)
+        if (prv is None or prv.wwform != "COPULA") and any(
+                w.tag == "WW" and w.prop in ("ISPVTGW", "ISPVVERL")
+                for w in anns):
+            continue  # mod under smain/ssub
+        a.intensify_type = ""
+
+    # nominalization, verb-under-NP rule (checkNominal,
+    # src/wordstats.cxx:121-138): Alpino hangs nominalized infinitives
+    # ("het zwemmen") as pos=verb under an NP node — reduced analog: an
+    # infinitive directly preceded by a determiner is nominal.
+    for k, a in enumerate(anns):
+        if a.tag == "WW" and a.prop == "ISINF" and not a.is_nominal:
+            prv = next((anns[j] for j in range(k - 1, -1, -1)
+                        if anns[j].prop != "ISLET"), None)
+            if prv is not None and prv.tag == "LID":
+                a.is_nominal = True
+
     # surprisal attach (W26/T13; Wopr stand-in — text/surprisal.py)
     if lm is not None:
         content_words = [(i, a.lword) for i, a in enumerate(anns) if a.prop != "ISLET"]

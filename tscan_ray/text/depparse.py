@@ -199,6 +199,26 @@ def parse_sentence(anns: list) -> SentParse:
 
     clauses, nominal_conjs = _merge_nominal_conj(anns, _split_clauses(anns))
 
+    # Dutch ssub is verb-final: a subordinate clause ends at its finite
+    # verb — material after it (a second finite) resumes the MATRIX
+    # clause ("De kans dat hij Piet ziet is vrij klein", reference
+    # tests/depdist21: the cp hangs under the np, smain continues)
+    expanded: list[Clause] = []
+    cont_from: dict[int, int] = {}  # continuation start -> sub conj idx
+    for cl in clauses:
+        if cl.kind == "sub":
+            idxs = [i for i in range(cl.start, cl.end) if i not in puncts]
+            fins = [i for i in idxs if _is_finite(anns[i])]
+            if len(fins) >= 2:
+                split_at = fins[0]
+                expanded.append(Clause(cl.start, split_at + 1, "sub",
+                                       cl.conj_idx))
+                expanded.append(Clause(split_at + 1, cl.end, "main", -1))
+                cont_from[split_at + 1] = cl.conj_idx
+                continue
+        expanded.append(cl)
+    clauses = expanded
+
     # possessive pronouns acting as determiners ("mijn fiets" -> noun_det,
     # reference tests/depdist22); excluded from subject/object candidates
     poss_det: set[int] = set()
@@ -273,6 +293,7 @@ def parse_sentence(anns: list) -> SentParse:
 
     # ---- nominal coordination edges (conj -> each conjunct head,
     # reference tests/depdist3: crd_cnj [0, 0] for "Jan en Piet gaan") ------
+    nominal_pairs: dict[int, tuple[int, bool]] = {}  # left -> (right, phrasal)
     for cj in nominal_conjs:
         left = next((i for i in range(cj - 1, -1, -1)
                      if i not in puncts and _is_nounish(anns[i])), -1)
@@ -282,6 +303,11 @@ def parse_sentence(anns: list) -> SentParse:
             _store(parse, "CRD_CNJ", cj, left, puncts)
         if right >= 0:
             _store(parse, "CRD_CNJ", cj, right, puncts)
+        if left >= 0 and right >= 0:
+            # phrasal right conjunct = its head is not adjacent to the
+            # conjunction ("Jan en DE MAN met de pet", depdist19) — its
+            # hd gets an extra su edge (getDependencyDist geval 6)
+            nominal_pairs[left] = (right, right > cj + 1)
         parse.small_cnj_cnt += 2
         parse.small_cnj_extra_cnt += 1
 

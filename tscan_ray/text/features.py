@@ -636,15 +636,34 @@ def analyze_sentence(
 
     # "dat"/"of" disambiguation: the lexicon tags them VNW/VG-neven; after
     # a verb they head a finite complement clause (VG/onder) — reduced
-    # stand-in for the Alpino cp/whsub decision (resolveRelativeClauses)
+    # stand-in for the Alpino cp/whsub decision (resolveRelativeClauses).
+    # After a NOUN, "dat" is a relative pronoun UNLESS the embedded clause
+    # is saturated — >= 2 subject/object candidates before its finite verb
+    # leave no gap for a relativizer to fill ("De kans dat hij Piet
+    # ziet", reference tests/depdist21: cp under np, not rel)
     for k in range(1, len(anns)):
         a = anns[k]
         if a.lword == "dat" and a.tag == "VNW":
             p = next((anns[j] for j in range(k - 1, -1, -1)
                       if anns[j].prop != "ISLET"), None)
-            if p is not None and p.tag == "WW":
+            if p is None:
+                continue
+            if p.tag == "WW":
                 a.tag = "VG"
                 a.conjtype = "onder"
+            elif p.tag == "N" or p.prop == "ISNAME":
+                args = 0
+                for j in range(k + 1, len(anns)):
+                    b = anns[j]
+                    if b.tag == "WW" and b.prop in ("ISPVTGW", "ISPVVERL"):
+                        break
+                    if (b.tag == "N" or b.prop == "ISNAME"
+                            or (b.tag == "VNW" and b.prop in
+                                ("ISPPRON1", "ISPPRON2", "ISPPRON3"))):
+                        args += 1
+                if args >= 2:
+                    a.tag = "VG"
+                    a.conjtype = "onder"
 
     # "als" disambiguation: Frog tags prepositional "als" ("dienden als
     # begraafplaats", reference tests/d0) VZ; only a clause-introducing

@@ -215,7 +215,12 @@ def _dutch_entries() -> dict[str, PosInfo]:
              # tests/concreet1..3)
              ("snuffelde", "snuffelen", "pv", "verl"),
              ("drink", "drinken", "pv", "tgw"),
-             ("ruik", "ruiken", "pv", "tgw")]
+             ("ruik", "ruiken", "pv", "tgw"),
+             # depdist golden-fixture vocabulary (reference
+             # tests/depdist8..21)
+             ("waardeer", "waarderen", "pv", "tgw"),
+             ("bewonder", "bewonderen", "pv", "tgw"),
+             ("liepen", "lopen", "pv", "verl")]
     for w, lem, wv, tijd in verbs:
         feats = {"wvorm": wv}
         if tijd:
@@ -246,7 +251,10 @@ def _dutch_entries() -> dict[str, PosInfo]:
              ("oorzaak", ["oorzaak"]), ("gevolg", ["gevolg"]), ("tijd", ["tijd"]),
              ("begraafplaats", ["begraaf", "plaats"]), ("wereld", ["wereld"]),
              ("mensen", ["mens", "en"]), ("potten", ["pot", "en"]),
-             ("jaar", ["jaar"]), ("voorraden", ["voorraad", "en"])]
+             ("jaar", ["jaar"]), ("voorraden", ["voorraad", "en"]),
+             # depdist golden-fixture vocabulary ("met eigen ogen",
+             # "De kans dat ...")
+             ("ogen", ["oog", "en"]), ("kans", ["kans"])]
     for w, m in nouns:
         lem = m[0] if len(m) > 1 and m[1] in ("en", "s", "n") else w
         add(w, "N", lem, m)
@@ -267,7 +275,7 @@ def _dutch_entries() -> dict[str, PosInfo]:
               "misschien", "moeilijk", "weg", "samen", "graag", "vaak",
               "bovendien", "echter", "daarna", "vervolgens", "daardoor",
               "daarnaast", "verder", "toch", "dus", "ook", "zo", "net",
-              "zowel", "evenmin", "al"):
+              "zowel", "evenmin", "al", "vrij"):
         add(w, "BW", w)
 
     # conjunctions

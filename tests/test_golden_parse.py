@@ -82,6 +82,12 @@ DEPDIST_CASES = [
     ("depdist18", "Hij ging naar huis omdat ie moe was .",
      {"SUB_VERB": 0.5, "VERB_PP": 0, "PREP_OBJ1": 0, "COMP_BODY": 2,
       "VERB_COMP": 2, "VERB_PREDC_A": 0}, 0.714286, 2),
+    ("depdist19", "Jan en de man met de pet liepen naar huis .",
+     {"SUB_VERB": 4.5, "VERB_PP": 0, "NOUN_DET": 0, "PREP_OBJ1": 0.5,
+      "CRD_CNJ": 0.5}, 1.22222, 6),
+    ("depdist21", "De kans dat hij Piet ziet is vrij klein .",
+     {"SUB_VERB": 2.5, "OBJ1_VERB": 0, "NOUN_DET": 0, "COMP_BODY": 2,
+      "NOUN_VC": 3, "VERB_PREDC_A": 1}, 1.57143, 4),
     ("depdist22s1", "Peter is al naar huis gegaan .",
      {"SUB_VERB": 2, "VERB_PP": 1, "PREP_OBJ1": 0, "VERB_VC": 3,
       "VERB_MOD_BW": 2}, 1.66667, 4),

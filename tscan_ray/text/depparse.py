@@ -345,6 +345,15 @@ def parse_sentence(anns: list) -> SentParse:
         if verb >= 0:
             su = next((i for i in idxs if i < verb and i not in poss_det
                        and _is_su_candidate(anns[i])), -1)
+        # matrix continuation after an embedded verb-final sub clause:
+        # the subject sits BEFORE the subordinator ("De KANS dat hij Piet
+        # ziet IS vrij klein", reference tests/depdist21: su edge
+        # is -> kans spans the whole cp)
+        if su < 0 and cl.start in cont_from and verb >= 0:
+            conj = cont_from[cl.start]
+            su = next((i for i in range(conj - 1, -1, -1)
+                       if i not in puncts and i not in poss_det
+                       and _is_su_candidate(anns[i])), -1)
         # VP coordination: "Jan gaat naar huis en zet koffie" — the right
         # conjunct shares the left subject (su edges to both verbs,
         # reference tests/depdist4/6)
@@ -412,6 +421,15 @@ def parse_sentence(anns: list) -> SentParse:
             _store(parse, "SUB_VERB", verb, su, puncts)
             if aux_construction:
                 _store(parse, "SUB_VERB", content, su, puncts)
+            # coordinated subject with a PHRASAL right conjunct: its head
+            # gets its own su edge ("Jan en de MAN met de pet LIEPEN",
+            # reference tests/depdist19: sub_verb [6, 3] -> mean 4.5;
+            # adjacent-head conjuncts (depdist3) share the single edge)
+            pair = nominal_pairs.get(su)
+            if pair is not None and pair[1]:
+                _store(parse, "SUB_VERB", verb, pair[0], puncts)
+                if aux_construction:
+                    _store(parse, "SUB_VERB", content, pair[0], puncts)
         if su >= 0 and not shared_su:
             prev_su = su
 
@@ -426,7 +444,15 @@ def parse_sentence(anns: list) -> SentParse:
         if cl.conj_idx >= 0:
             if cl.kind == "sub":
                 _store(parse, "COMP_BODY", cl.conj_idx, verb, puncts)
-                if prev_clause_verb >= 0:
+                # complement clause under a NOUN ("de kans DAT hij Piet
+                # ziet", reference tests/depdist21): vc edge noun -> body
+                # verb (noun_vc 3); verb-attached "dat" keeps verb_comp
+                pn = next((i for i in range(cl.conj_idx - 1, -1, -1)
+                           if i not in puncts), -1)
+                if (pn >= 0 and _is_nounish(anns[pn])
+                        and anns[cl.conj_idx].lword in ("dat", "of")):
+                    _store(parse, "NOUN_VC", pn, verb, puncts)
+                elif prev_clause_verb >= 0:
                     _store(parse, "VERB_COMP", prev_clause_verb, cl.conj_idx,
                            puncts)
             else:

@@ -265,7 +265,10 @@ def _dutch_entries() -> dict[str, PosInfo]:
                    ("snel", "snel"), ("snelle", "snel"), ("oud", "oud"),
                    ("nieuw", "nieuw"), ("goed", "goed"), ("onmogelijk", "onmogelijk"),
                    ("blij", "blij"), ("boos", "boos"), ("bang", "bang"),
-                   ("groter", "groot"), ("jonger", "jong"), ("moe", "moe")]:
+                   ("groter", "groot"), ("jonger", "jong"), ("moe", "moe"),
+                   # "vrij klein": Alpino tags degree-"vrij" adj/rel=mod
+                   # under the AP (reference tests/depdist21.example.alpino)
+                   ("vrij", "vrij")]:
         add(w, "ADJ", lem)
     e["onmogelijk"] = PosInfo("ADJ", "onmogelijk", ("on", "mogelijk"))
 
@@ -275,7 +278,7 @@ def _dutch_entries() -> dict[str, PosInfo]:
               "misschien", "moeilijk", "weg", "samen", "graag", "vaak",
               "bovendien", "echter", "daarna", "vervolgens", "daardoor",
               "daarnaast", "verder", "toch", "dus", "ook", "zo", "net",
-              "zowel", "evenmin", "al", "vrij"):
+              "zowel", "evenmin", "al"):
         add(w, "BW", w)
 
     # conjunctions

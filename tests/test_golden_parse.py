@@ -63,6 +63,34 @@ DEPDIST_CASES = [
      0.666667, 3),
     ("depdist3", "Jan en Piet gaan naar huis .",
      {"SUB_VERB": 2, "VERB_PP": 0, "PREP_OBJ1": 0, "CRD_CNJ": 0}, 0.4, 2),
+    ("depdist5", "De man , met de pet op , gaat naar huis en zet een "
+                 "bakje koffie .",
+     {"CRD_CNJ": 1, "NOUN_DET": 0, "OBJ1_VERB": 1, "PREP_OBJ1": 0.5,
+      "SUB_VERB": 6.5, "VERB_PP": 0}, 1.54545, 9),
+    ("depdist8", "Ik zie de man met de pet daar staan .",
+     {"NOUN_DET": 0, "OBJ1_VERB": 1, "PREP_OBJ1": 1, "SUB_VERB": 2.5,
+      "VERB_VC": 6}, 1.85714, 6),
+    ("depdist9", "Ik zie Jan en Piet daar staan .",
+     {"CRD_CNJ": 0, "OBJ1_VERB": 0, "SUB_VERB": 1.5, "VERB_VC": 4},
+     1.16667, 4),
+    ("depdist11", "ik geef de man met de pet een boek .",
+     {"NOUN_DET": 0, "OBJ2_VERB": 1, "OBJ1_VERB": 6, "PREP_OBJ1": 1,
+      "SUB_VERB": 0}, 1.14286, 6),
+    ("depdist12", "Ik geef Jan en Piet een boek .",
+     {"CRD_CNJ": 0, "NOUN_DET": 0, "OBJ2_VERB": 0, "OBJ1_VERB": 4,
+      "SUB_VERB": 0}, 0.66667, 4),
+    ("depdist13", "Ik waardeer en bewonder hem .",
+     {"CRD_CNJ": 0, "OBJ1_VERB": 1, "SUB_VERB": 1}, 0.66667, 2),
+    ("depdist14", "Ik zie met eigen ogen de man met de pet daar staan .",
+     {"NOUN_DET": 0, "OBJ1_VERB": 4, "PREP_OBJ1": 1, "SUB_VERB": 2.5,
+      "VERB_PP": 0, "VERB_VC": 9}, 2.22222, 9),
+    ("depdist15", "De grote boze wolf at na oma Roodkapje op als toetje .",
+     {"NOUN_DET": 2, "PREP_OBJ1": 0, "SUB_VERB": 0, "VERB_COMP": 4,
+      "VERB_PP": 0, "VERB_SVP": 3}, 1.5, 4),
+    ("depdist20", "Hij maakte er mooie plaatjes bij , zodat Ko het beter "
+                  "kon zien .",
+     {"COMP_BODY": 3, "OBJ1_VERB": 2, "SUB_VERB": 1.66667, "VERB_MOD_A": 1,
+      "VERB_MOD_BW": 0, "VERB_VC": 0}, 1.44444, 3),
     ("depdist4", "Jan gaat naar huis en zet een bakje koffie .",
      {"SUB_VERB": 2, "OBJ1_VERB": 1, "VERB_PP": 0, "NOUN_DET": 0,
       "PREP_OBJ1": 0, "CRD_CNJ": 1}, 0.875, 4),

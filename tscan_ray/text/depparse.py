@@ -133,6 +133,21 @@ def _is_su_candidate(ann) -> bool:
     )
 
 
+def _has_np_complement(anns: list, j: int, end: int, puncts: set[int]) -> bool:
+    """True when the preposition at ``j`` is followed by nominal material
+    (the start of its own object NP) before the next VZ/WW/VG — a bare
+    particle ("at ... op als toetje") has none."""
+    for k in range(j + 1, end):
+        if k in puncts:
+            continue
+        a = anns[k]
+        if a.tag in ("VZ", "WW", "VG"):
+            return False
+        if _is_nounish(a) or a.tag in ("VNW", "LID", "ADJ", "TW"):
+            return True
+    return False
+
+
 def _split_clauses(anns: list) -> list[Clause]:
     """Clause segmentation: a VG token closes the current clause and opens
     a new one — ``neven`` (coordinating) opens a peer main clause,
@@ -232,7 +247,12 @@ def parse_sentence(anns: list) -> SentParse:
                 poss_det.add(i)
 
     # ---- NP scan over the whole sentence (mod_stats, src/Alpino.cxx:987-996;
-    # np counts src/tscan.cxx:2105-2124) ------------------------------------
+    # np counts src/tscan.cxx:2105-2124).  np_start maps each noun to its
+    # NP's first token: COINDEXED argument refs carry the np node's
+    # ``begin`` in the reference tree, so raised/shared-subject distances
+    # run to the NP START, not its head (reference tests/depdist5/8/14,
+    # su ref begin = determiner position) -----------------------------------
+    np_start: dict[int, int] = {}
     i = 0
     while i < n:
         a = anns[i]
@@ -251,6 +271,7 @@ def parse_sentence(anns: list) -> SentParse:
                     adj_mods += 1
                 elif _is_nounish(b):
                     saw_noun = True
+                    np_start[j] = i
                     if det_idx >= 0:
                         _store(parse, "NOUN_DET", det_idx, j, puncts)
                         det_idx = -1
@@ -275,8 +296,8 @@ def parse_sentence(anns: list) -> SentParse:
     np_pp_attached: set[int] = set()
     pp_objects: set[int] = set()
     for i in range(n):
-        if anns[i].tag != "VZ":
-            continue
+        if anns[i].tag != "VZ" or anns[i].lword in ("als", "dan"):
+            continue  # als/dan = comparative cmp, handled in the verb scan
         prev = i - 1
         while prev >= 0 and prev in puncts:
             prev -= 1
@@ -402,6 +423,13 @@ def parse_sentence(anns: list) -> SentParse:
             parts = [w for w in verbs if w > verb and anns[w].prop == "ISVD"]
             if parts:
                 content = parts[-1]
+        elif finites and anns[verb].wwform == "MODAL_VERB":
+            # modal + infinitive cluster: arguments/modifiers hang under
+            # the infinitive, whose coindexed su doubles the subject edge
+            # ("zodat Ko het beter kon zien", reference tests/depdist20)
+            parts = [w for w in verbs if w > verb and anns[w].prop == "ISINF"]
+            if parts:
+                content = parts[-1]
         aux_construction = content != verb
         is_copula = anns[verb].wwform == "COPULA" and not aux_construction
 
@@ -416,11 +444,15 @@ def parse_sentence(anns: list) -> SentParse:
             if infs:
                 inf_head = infs[-1]
 
-        # subject edges
+        # subject edges; a SHARED subject reaches the right conjunct as a
+        # coindexed ref whose begin = the NP's first token, so that edge
+        # measures to the NP START ("De man , met de pet op , gaat ... en
+        # zet ...": zet -> De, reference tests/depdist5 max_deplen 9)
+        su_tgt = np_start.get(su, su) if shared_su else su
         if su >= 0:
-            _store(parse, "SUB_VERB", verb, su, puncts)
+            _store(parse, "SUB_VERB", verb, su_tgt, puncts)
             if aux_construction:
-                _store(parse, "SUB_VERB", content, su, puncts)
+                _store(parse, "SUB_VERB", content, su_tgt, puncts)
             # coordinated subject with a PHRASAL right conjunct: its head
             # gets its own su edge ("Jan en de MAN met de pet LIEPEN",
             # reference tests/depdist19: sub_verb [6, 3] -> mean 4.5;
@@ -452,7 +484,10 @@ def parse_sentence(anns: list) -> SentParse:
                 if (pn >= 0 and _is_nounish(anns[pn])
                         and anns[cl.conj_idx].lword in ("dat", "of")):
                     _store(parse, "NOUN_VC", pn, verb, puncts)
-                elif prev_clause_verb >= 0:
+                elif prev_clause_verb >= 0 and cl.conj_idx - 1 not in puncts:
+                    # comma before the subordinator -> Alpino detaches the
+                    # cp as a discourse unit (du/dp), no verb_comp edge
+                    # ("... bij , zodat Ko ...", reference tests/depdist20)
                     _store(parse, "VERB_COMP", prev_clause_verb, cl.conj_idx,
                            puncts)
             else:
@@ -460,11 +495,15 @@ def parse_sentence(anns: list) -> SentParse:
                 if prev_clause_verb >= 0:
                     _store(parse, "CRD_CNJ", cl.conj_idx, prev_clause_verb,
                            puncts)
+        matrix_verb = prev_clause_verb  # verb of the PREVIOUS clause
         prev_clause_verb = verb
 
         # argument/modifier scan: post-verb, or the pre-verb midfield for
-        # verb-final subordinate clauses ("omdat ie moe was", depdist18)
-        if cl.kind == "sub" and verb == idxs[-1]:
+        # verb-final subordinate clauses ("omdat ie moe was", depdist18) —
+        # verb-final includes a trailing verb CLUSTER ("het beter kon
+        # zien", reference tests/depdist20: obj/mod sit before the modal)
+        if cl.kind == "sub" and all(
+                anns[i].tag == "WW" for i in idxs if i > verb):
             span = [i for i in idxs if (su < 0 or i > su) and i < verb]
         else:
             span = [i for i in idxs if i > verb]
@@ -475,6 +514,34 @@ def parse_sentence(anns: list) -> SentParse:
         for j in span:
             b = anns[j]
             if b.tag == "VZ":
+                if b.lword in ("als", "dan"):
+                    # comparative complement (Alpino cmp role): after an
+                    # ADJ it's obcomp — NO distance edges at all ("groter
+                    # dan Jantje", reference tests/d4 deplen 0); else a
+                    # verbless cp modifying the verb: verb_comp only, the
+                    # body noun stays edge-free ("at ... op als toetje",
+                    # reference tests/depdist15: verb_comp 4, comp_body NA)
+                    pj = j - 1
+                    while pj in puncts:
+                        pj -= 1
+                    if pj < 0 or anns[pj].tag != "ADJ":
+                        _store(parse, "VERB_COMP", content, j, puncts)
+                    k = j + 1
+                    while k < cl.end and anns[k].tag not in ("VZ", "WW"):
+                        if _is_nounish(anns[k]) or anns[k].tag == "VNW":
+                            in_pp_until = k  # body consumed, no edge
+                            break
+                        k += 1
+                    continue
+                if (anns[verb].full_lemma
+                        and anns[verb].full_lemma
+                        == b.lword + anns[verb].lemma
+                        and not _has_np_complement(anns, j, cl.end, puncts)):
+                    # separable particle (Alpino rel=svp): the clause
+                    # verb's own particle with no complement of its own
+                    # ("at ... op", reference tests/depdist15: verb_svp 3)
+                    _store(parse, "VERB_SVP", content, j, puncts)
+                    continue
                 if j in np_pp_attached:
                     continue
                 _store(parse, "VERB_PP", content, j, puncts)
@@ -506,9 +573,19 @@ def parse_sentence(anns: list) -> SentParse:
                 obj_cands.append(j)
                 if inf_head >= 0 and aci_pron < 0 and j < inf_head:
                     aci_pron = j
+            elif b.tag == "LID" and b.lword == "het":
+                k = j + 1
+                while k < cl.end and anns[k].tag == "ADJ":
+                    k += 1
+                if not (k < cl.end and _is_nounish(anns[k])):
+                    # pronominal "het" with no noun to determine ("Ko het
+                    # beter kon zien", reference tests/depdist20: obj1)
+                    obj_cands.append(j)
             elif b.tag == "BW":
-                if aci_pron >= 0 and j > aci_pron:
-                    continue  # inside the AcI complement (depdist7)
+                first_arg = aci_pron if aci_pron >= 0 else (
+                    obj_cands[0] if obj_cands else -1)
+                if inf_head >= 0 and 0 <= first_arg < j:
+                    continue  # inside the AcI complement (depdist7/8/9/14)
                 _store(parse, "VERB_MOD_BW", content, j, puncts)
                 parse.vc_mod_cnt += 1
                 if b.adverb_type == "GENERAL":
@@ -522,20 +599,48 @@ def parse_sentence(anns: list) -> SentParse:
                     _store(parse, "VERB_PREDC_A" if is_copula else "VERB_MOD_A",
                            content, j, puncts)
 
+        # nominal coordination in the object field is ONE argument: the
+        # reference resolves the conj node to its first cnj ("Ik zie Jan
+        # en Piet daar staan", tests/depdist9: one obj1 edge, to Jan)
+        for a_i in range(len(obj_cands) - 1):
+            pair = nominal_pairs.get(obj_cands[a_i])
+            if pair is not None and obj_cands[a_i + 1] == pair[0]:
+                del obj_cands[a_i + 1]
+                break
+
         # object assignment: single candidate -> obj1; pronoun + NP in a
         # ditransitive frame -> first = obj2 (indirect), last = obj1
         # ("Ik geef hem een boek", depdist10/11)
+        obj1_tgt = -1
         if obj_cands:
             if aci_pron >= 0:
                 _store(parse, "OBJ1_VERB", verb, aci_pron, puncts)
                 _store(parse, "SUB_VERB", inf_head, aci_pron, puncts)
+            elif inf_head >= 0:
+                # AcI with a full-NP object: obj1 runs to the NP head, the
+                # infinitive's coindexed su to the NP START (reference
+                # tests/depdist8/14: su staan -> determiner position)
+                c0 = obj_cands[0]
+                _store(parse, "OBJ1_VERB", verb, c0, puncts)
+                _store(parse, "SUB_VERB", inf_head,
+                       np_start.get(c0, c0), puncts)
             elif is_copula:
                 _store(parse, "VERB_PREDC_N", content, obj_cands[0], puncts)
             elif len(obj_cands) == 1:
-                _store(parse, "OBJ1_VERB", content, obj_cands[0], puncts)
+                obj1_tgt = obj_cands[0]
+                _store(parse, "OBJ1_VERB", content, obj1_tgt, puncts)
             else:
                 _store(parse, "OBJ2_VERB", content, obj_cands[0], puncts)
-                _store(parse, "OBJ1_VERB", content, obj_cands[-1], puncts)
+                obj1_tgt = obj_cands[-1]
+                _store(parse, "OBJ1_VERB", content, obj1_tgt, puncts)
+        # bare-verb VP coordination shares the object with the left verb
+        # ("Ik waardeer en bewonder hem", reference tests/depdist13: obj1
+        # edges from BOTH conjunct verbs)
+        if (obj1_tgt >= 0 and cl.kind == "coord" and shared_su
+                and matrix_verb >= 0
+                and all(i in puncts
+                        for i in range(matrix_verb + 1, cl.conj_idx))):
+            _store(parse, "OBJ1_VERB", matrix_verb, obj1_tgt, puncts)
 
     # ---- AL aggregates (sentStats::getMeanAL/getHighestAL,
     #      src/sentstats.cxx:244-264) ---------------------------------------

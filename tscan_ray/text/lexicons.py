@@ -220,7 +220,9 @@ def _dutch_entries() -> dict[str, PosInfo]:
              # tests/depdist8..21)
              ("waardeer", "waarderen", "pv", "tgw"),
              ("bewonder", "bewonderen", "pv", "tgw"),
-             ("liepen", "lopen", "pv", "verl")]
+             ("liepen", "lopen", "pv", "verl"),
+             ("at", "eten", "pv", "verl"),
+             ("kon", "kunnen", "pv", "verl")]
     for w, lem, wv, tijd in verbs:
         feats = {"wvorm": wv}
         if tijd:
@@ -254,7 +256,8 @@ def _dutch_entries() -> dict[str, PosInfo]:
              ("jaar", ["jaar"]), ("voorraden", ["voorraad", "en"]),
              # depdist golden-fixture vocabulary ("met eigen ogen",
              # "De kans dat ...")
-             ("ogen", ["oog", "en"]), ("kans", ["kans"])]
+             ("ogen", ["oog", "en"]), ("kans", ["kans"]),
+             ("toetje", ["toetje"]), ("plaatjes", ["plaatje", "s"])]
     for w, m in nouns:
         lem = m[0] if len(m) > 1 and m[1] in ("en", "s", "n") else w
         add(w, "N", lem, m)
@@ -268,7 +271,7 @@ def _dutch_entries() -> dict[str, PosInfo]:
                    ("groter", "groot"), ("jonger", "jong"), ("moe", "moe"),
                    # "vrij klein": Alpino tags degree-"vrij" adj/rel=mod
                    # under the AP (reference tests/depdist21.example.alpino)
-                   ("vrij", "vrij")]:
+                   ("vrij", "vrij"), ("boze", "boos")]:
         add(w, "ADJ", lem)
     e["onmogelijk"] = PosInfo("ADJ", "onmogelijk", ("on", "mogelijk"))
 
@@ -278,7 +281,7 @@ def _dutch_entries() -> dict[str, PosInfo]:
               "misschien", "moeilijk", "weg", "samen", "graag", "vaak",
               "bovendien", "echter", "daarna", "vervolgens", "daardoor",
               "daarnaast", "verder", "toch", "dus", "ook", "zo", "net",
-              "zowel", "evenmin", "al"):
+              "zowel", "evenmin", "al", "er"):
         add(w, "BW", w)
 
     # conjunctions
@@ -286,13 +289,14 @@ def _dutch_entries() -> dict[str, PosInfo]:
                   ("want", "neven"), ("omdat", "onder"), ("terwijl", "onder"),
                   ("hoewel", "onder"), ("voordat", "onder"), ("doordat", "onder"),
                   ("als", "onder"), ("toen", "onder"), ("zoals", "onder"),
-                  ("tenzij", "onder")]:
+                  ("tenzij", "onder"), ("zodat", "onder"), ("nadat", "onder"),
+                  ("totdat", "onder"), ("opdat", "onder")]:
         add(w, "VG", w, conjtype=ct)
 
     # prepositions
     for w in ("in", "op", "aan", "van", "met", "voor", "naar", "uit", "bij",
               "over", "door", "tot", "zonder", "tussen", "onder2", "per",
-              "te", "om"):
+              "te", "om", "na"):
         add(w, "VZ", w)
 
     # numerals, punctuation handled by tokenizer; abbreviations
@@ -412,6 +416,7 @@ def build_default_lexicons() -> Lexicons:
     # consult full_lemma FIRST, src/tscan.cxx:1430-1434 / 1640-1650)
     lex.separable_verbs.update({
         "lopen": frozenset({"weg", "door"}),
+        "eten": frozenset({"op"}),
         "zien": frozenset({"toe"}),
         "maken": frozenset({"op", "af"}),
         "denken": frozenset({"na"}),

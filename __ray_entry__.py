@@ -1461,12 +1461,12 @@ def oracle_sql() -> dict[str, str]:
                      unnest(regexp_split_to_array(trim(text), '\\s+')) as w
               from documents where length(trim(text)) > 0),
             agg as (
+              -- default stoplist is EMPTY (reference fill_stop_lemmata is
+              -- config-only): wordCnt == wordInclCnt on unconfigured runs
               select doc_id,
                      count(*) as n_incl,
-                     count(*) filter (w not in ('de','het','een','the','a'))
-                       as n_word,
-                     coalesce(sum(length(w)) filter
-                       (w not in ('de','het','een','the','a')), 0) as n_char,
+                     count(*) as n_word,
+                     coalesce(sum(length(w)), 0) as n_char,
                      count(distinct w) as n_uniq
               from toks group by doc_id)
             select d.doc_id,

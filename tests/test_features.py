@@ -6,6 +6,7 @@ import math
 
 import pytest
 
+from tscan_ray.config import DEFAULT_CONFIG
 from tscan_ray.text.features import analyze_word, feature_names, featurize_document
 from tscan_ray.text.lexicons import default_lexicons
 from tscan_ray.text.tokenize import segment, split_sentences, tokenize
@@ -92,13 +93,28 @@ class TestAnalyzeWord:
 class TestFeaturizeDocument:
     def test_simple_counts(self):
         f = featurize_document("De kat loopt .")
-        # 'de' is on the stoplist -> wordCnt excludes it; letCnt counts '.'
-        assert f["wordCnt"] == 2
+        # default stoplist is EMPTY (reference fill_stop_lemmata is
+        # config-only; tests/numstring.example.ok word_count counts 'de');
+        # letCnt counts '.'
+        assert f["wordCnt"] == 3
         assert f["letCnt"] == 1
-        assert f["stoplistCnt"] == 1
+        assert f["stoplistCnt"] == 0
         assert f["wordInclCnt"] == 3
         assert f["sentCnt"] == 1
         assert f["Wrd_per_zin"] == 3.0  # wordInclCnt/sentCnt (ref formula)
+
+    def test_explicit_stoplist(self):
+        # W15: a CONFIGURED stoplist (isOnStopList src/tscan.cxx:1586)
+        # diverts matches to stoplistCnt / the Incl counters only
+        from tscan_ray.text.features import analyze_sentence
+        from tscan_ray.text.lexicons import build_default_lexicons
+
+        lex = build_default_lexicons()  # fresh bundle: never mutate the
+        lex.stop_lemmata.add("de")      # process-cached default
+        fold = analyze_sentence("De kat loopt .".split(), None, lex,
+                                DEFAULT_CONFIG)
+        assert fold.c["wordCnt"] == 2
+        assert fold.c["stoplistCnt"] == 1
 
     def test_char_morph_proportions(self):
         f = featurize_document("kat loopt")

@@ -151,6 +151,40 @@ def test_depdist_golden(name, text, want, deplen, maxdep):
     assert p.al_max == maxdep
 
 
+def test_semicolon_golden():
+    """Reference tests/semicolon.example + .ok: ### line comments and
+    <<< ... >>> bracket comments are stripped by the reader; the
+    remaining semicolon-joined line stays ONE sentence with 9 words
+    (word_count 9, sentence_count 1 in the .ok metrics)."""
+    from tscan_ray.text.tokenize import normalize_text
+
+    raw = ("### een semicolon test\n"
+           "<<< Met commentaar\n"
+           "   en meer\n"
+           ">>> ook dit is nog commentaar\n"
+           "\n"
+           "Dit zijn twee zinnen; althans, zo zien we dat.\n")
+    f = featurize_document(normalize_text(raw))
+    assert f["wordCnt"] == 9
+    assert f["sentCnt"] == 1
+
+
+def test_numstring_golden():
+    """Reference tests/numstring.example + .ok: digit tokens keep their
+    word status (word_count 15 — the default stoplist is empty),
+    "A-2"/"A50" are names (name_count 2), and digit-prefixed derivations
+    ("35jarige", "20-jarige") tag ADJ, so noun_count stays 2."""
+    from tscan_ray.text.tokenize import normalize_text
+
+    raw = ("De 35jarige bestuurder reed over de A-2 en de A50 samen met "
+           "de 20-jarige liftster.")
+    f = featurize_document(normalize_text(raw))
+    assert f["wordCnt"] == 15
+    assert f["nameCnt"] == 2
+    assert f["nounCnt"] == 2
+    assert f["sentCnt"] == 1
+
+
 class TestGoldenConcreteness:
     """Concreteness golden cases (reference tests/concreet1..3.example +
     .ok) over the vendored golden semtype lexicons

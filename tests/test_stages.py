@@ -125,9 +125,9 @@ class TestExplodeSentences:
         assert len(out) == 3
         d1 = out[out.doc_id == 1].iloc[0]
         assert d1["n_tokens"] == 6
-        # "de" x2 is on the stop-lemma list -> excluded from wordCnt
-        # (reference: stoplist words only feed the Incl counters)
-        assert d1["wordCnt"] == 3 and d1["letCnt"] == 1
+        # default stoplist is empty (reference fill_stop_lemmata is
+        # config-only): every non-punct token counts
+        assert d1["wordCnt"] == 5 and d1["letCnt"] == 1
         assert d1["smainCnt"] == 1
         assert d1["al_max"] >= 1.0
         assert d1["avg_prob10_fwd"] < 0

@@ -202,7 +202,17 @@ def _analyze_word_uncached(token: str, sent_initial: bool, lex: Lexicons) -> Wor
                         or _NER_TO_SEM.get(ner, ""))
     else:
         if info is None:
-            info = PosInfo("N", lword, (lword,))
+            # number-shaped unknowns (reference Frog tagging, evidenced by
+            # tests/numstring.example.ok): pure digit strings are TW
+            # numerals; digit-prefixed derivations ("35jarige",
+            # "20-jarige") are prenominal ADJs, never nouns
+            head = lword.rstrip("-.,")
+            if head and head.replace(".", "").replace(",", "").isdigit():
+                info = PosInfo("TW", lword, (lword,))
+            elif head and head[0].isdigit() and head[-1].isalpha():
+                info = PosInfo("ADJ", lword, (lword,))
+            else:
+                info = PosInfo("N", lword, (lword,))
         ann = WordAnn(
             word=token, lword=lword, lemma=info.lemma, tag=info.tag,
             morphemes=info.morphemes or (lword,),

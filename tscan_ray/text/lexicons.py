@@ -222,7 +222,8 @@ def _dutch_entries() -> dict[str, PosInfo]:
              ("bewonder", "bewonderen", "pv", "tgw"),
              ("liepen", "lopen", "pv", "verl"),
              ("at", "eten", "pv", "verl"),
-             ("kon", "kunnen", "pv", "verl")]
+             ("kon", "kunnen", "pv", "verl"),
+             ("reed", "rijden", "pv", "verl")]
     for w, lem, wv, tijd in verbs:
         feats = {"wvorm": wv}
         if tijd:
@@ -512,7 +513,11 @@ def build_default_lexicons() -> Lexicons:
                       "wet": "juridisch", "uni": "onderwijs", "tv": "media",
                       "ggz": "zorg"})
 
-    lex.stop_lemmata.update({"de", "het", "een", "the", "a"})
+    # stop_lemmata stays EMPTY by default: the reference loads a stoplist
+    # only when the config names one (fill_stop_lemmata,
+    # src/tscan.cxx:1108-1110; tests/tscan.cfg sets none, and the golden
+    # word_count in tests/numstring.example.ok counts every determiner).
+    # Users opt in via a customized bundle (stages/featurizer.py hook).
     lex.my_classification.update({"spark": "tech", "ray": "tech", "data": "tech"})
 
     # prepositional expressions (2-4 grams, reference src/tscan.cxx:2967-2995)

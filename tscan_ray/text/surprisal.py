@@ -128,10 +128,10 @@ def fit_bigram_lm(ds, text_col: str, min_count: int = 1) -> BigramLM:
     web corpus.  The fitted LM is broadcast to scoring actors via
     ``ray.put``.
     """
+    import pandas as pd
     import pyarrow as pa
 
-    import ray.data.aggregate as agg
-
+    from tscan_ray.ops.keyed import grouped_apply
     from tscan_ray.text.tokenize import is_punct, segment
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -143,7 +143,10 @@ def fit_bigram_lm(ds, text_col: str, min_count: int = 1) -> BigramLM:
                     words = [t.lower() for t in sent if not is_punct(t)]
                     uni.update(words)
                     bi.update(zip(words, words[1:]))
-        grams = [f"u\x00{w}" for w in uni] + [f"b\x00{a}\x00{b}" for a, b in bi]
+        # \x1f (unit separator), NOT \x00: pandas' string hashtable (and
+        # pd.util.hash_array) compares C-string style — embedded NULs
+        # truncate the key and silently merge distinct grams
+        grams = [f"u\x1f{w}" for w in uni] + [f"b\x1f{a}\x1f{b}" for a, b in bi]
         counts = list(uni.values()) + list(bi.values())
         return pa.table({"gram": pa.array(grams, type=pa.string()),
                          "n": pa.array(counts, type=pa.int64())})
@@ -151,7 +154,16 @@ def fit_bigram_lm(ds, text_col: str, min_count: int = 1) -> BigramLM:
     partials = ds.select_columns([text_col]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    totals = partials.groupby("gram").aggregate(agg.Sum("n", alias_name="n"))
+
+    # distributed reduce on the parallel task exchange (ops/keyed.py) —
+    # hash-bucketed per-gram sums, measured 4-8x faster on this Ray
+    # build than Dataset.groupby's sort-based shuffle (BASELINE.md)
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return df.groupby("gram", sort=False)["n"].sum().reset_index()
+
+    totals = grouped_apply(partials, "gram", fold, num_buckets=32)
     if min_count > 1:
         totals = totals.filter(expr=f"n >= {min_count}")
     unigrams: dict[str, int] = {}
@@ -159,7 +171,7 @@ def fit_bigram_lm(ds, text_col: str, min_count: int = 1) -> BigramLM:
     for batch in totals.iter_batches(batch_size=65536, batch_format="pyarrow"):
         for gram, n in zip(batch.column("gram").to_pylist(),
                            batch.column("n").to_pylist()):
-            parts = gram.split("\x00")
+            parts = gram.split("\x1f")
             if parts[0] == "u":
                 unigrams[parts[1]] = n
             else:

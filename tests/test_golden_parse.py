@@ -169,6 +169,35 @@ def test_semicolon_golden():
     assert f["sentCnt"] == 1
 
 
+REL_CLAUSE_CASES = [
+    # (sentence from reference tests/relativeclauses.example, golden
+    # per-sentence rel_count from the .ok metrics — resolveRelativeClauses
+    # src/sentstats.cxx:544-620: whrel modifiers count, argument-position
+    # free relatives and noun complements do not)
+    ("Hij kwam omdat ik hem gevraagd had.", 0),
+    ("Ik ga weg omdat ik moe ben en omdat ik naar bed wil.", 0),
+    ("Zie je hem niet staan, ga dan meteen naar huis.", 0),
+    ("Als je hem niet ziet staan, ga dan meteen naar huis.", 0),
+    ("Wat u doet, is onaanvaardbaar.", 0),
+    ("Wie te laat komt, laten we niet meer binnen.", 0),
+    ("Wie het niet begrijpt, zal ik het nog eens uitleggen.", 1),
+    ("Waar ik vandaan kom, houden ze juist van dat soort humor.", 1),
+    ("Hij heeft over het touw gelopen zonder dat hij viel.", 0),
+    ("De verwachting dat er een einde aan zou komen, werd niet "
+     "bewaarheid.", 0),
+    ("Hij is zo blind dat hij dat niet ziet.", 0),
+]
+
+
+@pytest.mark.parametrize("text,want", REL_CLAUSE_CASES,
+                         ids=[f"rel{i}" for i in range(len(REL_CLAUSE_CASES))])
+def test_relativeclauses_golden(text, want):
+    from tscan_ray.text.tokenize import tokenize
+
+    fold = analyze_sentence(tokenize(text), None, LEX, DEFAULT_CONFIG)
+    assert fold.parses[0].betr_cnt == want
+
+
 def test_numstring_golden():
     """Reference tests/numstring.example + .ok: digit tokens keep their
     word status (word_count 15 — the default stoplist is empty),

@@ -348,6 +348,42 @@ def parse_sentence(anns: list) -> SentParse:
             rel_after_noun.append((prev_idx, i))
     parse.betr_cnt = len(rel_after_noun)
 
+    # ---- free relatives (whrel, resolveRelativeClauses
+    # src/sentstats.cxx:551-552): a sentence-initial wie/wat/waar clause
+    # delimited by the first comma, both sides finite.  A WAAR-clause is
+    # always a modifier (rel_count 1, reference tests/relativeclauses
+    # s13); WIE/WAT count only when the matrix is argument-SATURATED
+    # (subject + object nominals both present, s9 "Wie het niet
+    # begrijpt, zal ik het nog eens uitleggen") — otherwise the clause
+    # itself fills the matrix argument gap and classifies as a
+    # complement, not a relative (s7 "Wat u doet, is onaanvaardbaar",
+    # s8 "Wie te laat komt, laten we niet meer binnen").
+    first_tok = next((i for i in range(n) if i not in puncts), -1)
+    if first_tok >= 0 and anns[first_tok].lword in ("wie", "wat", "waar"):
+        comma = next((i for i in range(first_tok + 1, n)
+                      if anns[i].word == ","), -1)
+        if comma >= 0:
+            pre_fin = any(_is_finite(anns[i])
+                          for i in range(first_tok + 1, comma))
+            post = [i for i in range(comma + 1, n) if i not in puncts]
+            post_fin = any(_is_finite(anns[i]) for i in post)
+            if pre_fin and post_fin:
+                if anns[first_tok].lword == "waar":
+                    parse.betr_cnt += 1
+                else:
+                    def _is_arg(i: int) -> bool:
+                        a = anns[i]
+                        if _is_su_candidate(a) and i not in poss_det:
+                            return True
+                        if a.tag == "LID" and a.lword == "het":
+                            nxt = next((anns[j] for j in range(i + 1, n)
+                                        if j not in puncts), None)
+                            return nxt is None or not _is_nounish(nxt)
+                        return False
+
+                    if sum(1 for i in post if _is_arg(i)) >= 2:
+                        parse.betr_cnt += 1
+
     # ---- per-clause verb frame ---------------------------------------------
     main_verb_idx = -1  # first main-clause finite verb (for d-level 6 vs 3)
     clause_cls: list[str | None] = []  # per clause: smain|ssub|sv1|None

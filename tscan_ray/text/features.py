@@ -699,7 +699,12 @@ def analyze_sentence(
                         break
                     if (b.tag == "N" or b.prop == "ISNAME"
                             or (b.tag == "VNW" and b.prop in
-                                ("ISPPRON1", "ISPPRON2", "ISPPRON3"))):
+                                ("ISPPRON1", "ISPPRON2", "ISPPRON3"))
+                            # expletive "er" fills the subject slot
+                            # ("de verwachting dat ER een einde aan zou
+                            # komen", reference tests/relativeclauses
+                            # s15: cp complement, rel_count 0)
+                            or b.lword == "er"):
                         args += 1
                 if args >= 2:
                     a.tag = "VG"

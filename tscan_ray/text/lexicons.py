@@ -171,6 +171,12 @@ def _dutch_entries() -> dict[str, PosInfo]:
     for w in ("deze", "die", "dit", "dat"):
         add(w, "VNW", w, vwtype="aanw")
     add("welke", "VNW", "welke", vwtype="vb")
+    # free-relative / interrogative pronouns (whrel heads, reference
+    # tests/relativeclauses); "waar" the locative adverb-pronoun
+    add("wie", "VNW", "wie", vwtype="vb", persoon="3")
+    add("wat", "VNW", "wat", vwtype="vb")
+    add("waar", "BW", "waar")
+    add("u", "VNW", "u", vwtype="pers", persoon="2")
     add("men", "VNW", "men", vwtype="pers", persoon="3")
     add("ie", "VNW", "ie", vwtype="pers", persoon="3")  # reduced "hij"
 
@@ -223,7 +229,19 @@ def _dutch_entries() -> dict[str, PosInfo]:
              ("liepen", "lopen", "pv", "verl"),
              ("at", "eten", "pv", "verl"),
              ("kon", "kunnen", "pv", "verl"),
-             ("reed", "rijden", "pv", "verl")]
+             ("reed", "rijden", "pv", "verl"),
+             ("doet", "doen", "pv", "tgw"),
+             ("begrijpt", "begrijpen", "pv", "tgw"),
+             ("komt", "komen", "pv", "tgw"),
+             ("kom", "komen", "pv", "tgw"),
+             ("laten", "laten", "pv", "tgw"),
+             ("houden", "houden", "pv", "tgw"),
+             ("uitleggen", "uitleggen", "inf", ""),
+             ("zou", "zullen", "pv", "verl"),
+             ("komen", "komen", "inf", ""),
+             ("viel", "vallen", "pv", "verl"),
+             ("won", "winnen", "pv", "verl"),
+             ("zegt", "zeggen", "pv", "tgw")]
     for w, lem, wv, tijd in verbs:
         feats = {"wvorm": wv}
         if tijd:
@@ -258,7 +276,9 @@ def _dutch_entries() -> dict[str, PosInfo]:
              # depdist golden-fixture vocabulary ("met eigen ogen",
              # "De kans dat ...")
              ("ogen", ["oog", "en"]), ("kans", ["kans"]),
-             ("toetje", ["toetje"]), ("plaatjes", ["plaatje", "s"])]
+             ("toetje", ["toetje"]), ("plaatjes", ["plaatje", "s"]),
+             ("humor", ["humor"]), ("verwachting", ["verwachting"]),
+             ("einde", ["einde"])]
     for w, m in nouns:
         lem = m[0] if len(m) > 1 and m[1] in ("en", "s", "n") else w
         add(w, "N", lem, m)
@@ -272,7 +292,9 @@ def _dutch_entries() -> dict[str, PosInfo]:
                    ("groter", "groot"), ("jonger", "jong"), ("moe", "moe"),
                    # "vrij klein": Alpino tags degree-"vrij" adj/rel=mod
                    # under the AP (reference tests/depdist21.example.alpino)
-                   ("vrij", "vrij"), ("boze", "boos")]:
+                   ("vrij", "vrij"), ("boze", "boos"),
+                   ("onaanvaardbaar", "onaanvaardbaar"), ("laat", "laat"),
+                   ("blind", "blind")]:
         add(w, "ADJ", lem)
     e["onmogelijk"] = PosInfo("ADJ", "onmogelijk", ("on", "mogelijk"))
 
@@ -282,7 +304,8 @@ def _dutch_entries() -> dict[str, PosInfo]:
               "misschien", "moeilijk", "weg", "samen", "graag", "vaak",
               "bovendien", "echter", "daarna", "vervolgens", "daardoor",
               "daarnaast", "verder", "toch", "dus", "ook", "zo", "net",
-              "zowel", "evenmin", "al", "er"):
+              "zowel", "evenmin", "al", "er", "binnen", "eens", "vandaan",
+              "juist", "meteen"):
         add(w, "BW", w)
 
     # conjunctions

@@ -198,6 +198,28 @@ def test_relativeclauses_golden(text, want):
     assert fold.parses[0].betr_cnt == want
 
 
+@pytest.mark.parametrize("text,broad,strict", [
+    # reference tests/gebeuren_abstr + gebeuren_conc .ok: the compound
+    # splitter inherits the HEAD's semtype (zwerftocht -> tocht =
+    # dynamic_abstr does NOT count broad; autorit -> rit = dynamic_conc
+    # counts both), hebben = abstract state (abstract_ww 1), and no
+    # adjectives (abstract_adj 0; "gekocht" is WW(vd), not the
+    # adjs_semtype ADJ entry)
+    ("Na een zwerftocht door de stad heb ik een pan gekocht .", 2, 1),
+    ("Na een autorit door de stad heb ik een pan gekocht .", 3, 2),
+], ids=["gebeuren_abstr", "gebeuren_conc"])
+def test_gebeuren_golden(text, broad, strict):
+    f = featurize_document(text)
+    assert f["broadNounCnt"] == broad
+    assert f["strictNounCnt"] == strict
+    assert f["abstractWwCnt"] == 1
+    assert f["abstractAdjCnt"] == 0
+    assert f["undefinedNounCnt"] == 0
+    # NOTE: undefined_ww diverges from the .ok (0 there): the engine's
+    # synthetic semtype assignment covers verbs the golden lexicon
+    # lacks ("kopen"), where the reference reports UNFOUND (uncounted).
+
+
 def test_numstring_golden():
     """Reference tests/numstring.example + .ok: digit tokens keep their
     word status (word_count 15 — the default stoplist is empty),

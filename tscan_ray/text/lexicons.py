@@ -241,7 +241,9 @@ def _dutch_entries() -> dict[str, PosInfo]:
              ("komen", "komen", "inf", ""),
              ("viel", "vallen", "pv", "verl"),
              ("won", "winnen", "pv", "verl"),
-             ("zegt", "zeggen", "pv", "tgw")]
+             ("zegt", "zeggen", "pv", "tgw"),
+             ("heb", "hebben", "pv", "tgw"),
+             ("gekocht", "kopen", "vd", "")]
     for w, lem, wv, tijd in verbs:
         feats = {"wvorm": wv}
         if tijd:

@@ -198,6 +198,39 @@ def test_relativeclauses_golden(text, want):
     assert fold.parses[0].betr_cnt == want
 
 
+CONNECTIVE_CASES = [
+    # (text from reference tests/connective{1..6}.example, golden
+    # doc-level counts from the .ok: allConn, causal, comparative,
+    # contrastive, temporal, propNeg).  Exercises checkAls
+    # (sentstats.cxx:366-424), the VG/VZ/BW connective gate (locative
+    # "daar" is VNW and never counts), multiword connectives and the
+    # long-negative list.
+    ("Ik vertrek naar Ede aangezien het 5 uur is.\n"
+     "Als het goed is ben ik om 18:30 daar.", 2, 2, 0, 0, 0, 0),
+    ("Jan is net als Piet een nietroker.", 2, 0, 2, 0, 0, 0),
+    ("Met behulp van Rogier komt Ko er wel uit, alhoewel het niet "
+     "a la minute zal zijn!", 3, 1, 0, 1, 1, 1),
+    ("Jan is evenmin een roker als Piet.", 2, 0, 2, 0, 0, 1),
+    ("Jan is zomin een roker als Piet dat is.", 2, 0, 2, 0, 0, 0),
+    ("Ondanks het slechte weer was het een mooie dag.", 1, 0, 0, 1, 0, 0),
+]
+
+
+@pytest.mark.parametrize(
+    "text,all_,caus,comp,contrast,temp,prop_neg", CONNECTIVE_CASES,
+    ids=[f"connective{i+1}" for i in range(len(CONNECTIVE_CASES))])
+def test_connective_golden(text, all_, caus, comp, contrast, temp, prop_neg):
+    from tscan_ray.text.tokenize import normalize_text
+
+    f = featurize_document(normalize_text(text))
+    assert f["allConnCnt"] == all_
+    assert f["causeConnCnt"] == caus
+    assert f["comparConnCnt"] == comp
+    assert f["contrastConnCnt"] == contrast
+    assert f["tempConnCnt"] == temp
+    assert f["propNegCnt"] == prop_neg
+
+
 @pytest.mark.parametrize("text,broad,strict", [
     # reference tests/gebeuren_abstr + gebeuren_conc .ok: the compound
     # splitter inherits the HEAD's semtype (zwerftocht -> tocht =

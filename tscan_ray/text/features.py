@@ -728,6 +728,41 @@ def analyze_sentence(
                 a.tag = "VZ"
                 a.conjtype = ""
 
+    # checkAls (resolveConnectives, src/sentstats.cxx:366-424): "als" is
+    # never a connective-list entry; its type is contextual —
+    # sentence-initial = CAUSAAL, paired with an earlier net/evenmin/zo/
+    # zomin = COMPARATIEF on BOTH words, zowel..als = OPSOMMEND_WG on
+    # both, else (as VG) prev-ADJ = COMPARATIEF / otherwise CAUSAAL, and
+    # "als <telwoord>" = COMPARATIEF
+    for k, a in enumerate(anns):
+        if a.lword != "als":
+            continue
+        if k == 0:
+            a.conn_type = "CAUSAAL"
+            continue
+        paired = False
+        for j in range(k - 1, -1, -1):
+            w = anns[j].lword
+            if w in ("net", "evenmin", "zo", "zomin"):
+                anns[j].conn_type = "COMPARATIEF"
+                a.conn_type = "COMPARATIEF"
+                paired = True
+                break
+            if w == "zowel":
+                anns[j].conn_type = "OPSOMMEND_WG"
+                a.conn_type = "OPSOMMEND_WG"
+                paired = True
+                break
+        if paired:
+            continue
+        if a.tag == "VG":
+            prv = next((anns[j] for j in range(k - 1, -1, -1)
+                        if anns[j].prop != "ISLET"), None)
+            a.conn_type = ("COMPARATIEF" if prv is not None
+                           and prv.tag == "ADJ" else "CAUSAAL")
+        elif k + 1 < len(anns) and anns[k + 1].tag == "TW":
+            a.conn_type = "COMPARATIEF"  # "als eerste" / "als dertigste"
+
     # separable-verb resolution (sentence context): a listed particle
     # elsewhere in the sentence gives the verb its full lemma, and the
     # full-lemma-first lookups (verb_sem, lemma_freq — reference
@@ -837,7 +872,22 @@ def analyze_sentence(
         return _multiword_scan(words, tbl, maxn, firsts=firsts)
 
     for start, length, t in scan(lowers, mw["conn"]):
-        anns[start].conn_type = t  # type assigned to expression head
+        # type goes to the expression head; the covered words' own
+        # word-level types are CLEARED (reference resolveConnectives
+        # sets sv[i+1..] to NOCONN, src/sentstats.cxx:283-304 — "dan
+        # ook" must not also count ook's OPSOMMEND hit)
+        anns[start].conn_type = t
+        for k in range(start + 1, start + length):
+            anns[k].conn_type = ""
+
+    # multiword negatives (resolveConnectives src/sentstats.cxx:271-272,
+    # 291-306: "afgezien van", "zomin als", "met uitzondering van")
+    for k in range(len(lowers) - 1):
+        if f"{lowers[k]} {lowers[k + 1]}" in ("afgezien van", "zomin als") \
+                or (k + 2 < len(lowers)
+                    and f"{lowers[k]} {lowers[k + 1]} {lowers[k + 2]}"
+                    == "met uitzondering van"):
+            c["propNegCnt"] += 1
     for start, length, t in scan(lemmas, mw["sit"]):
         # reference: only last word of expression keeps the type
         # (src/tscan.cxx:2891-2908)

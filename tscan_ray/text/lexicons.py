@@ -301,8 +301,13 @@ def _dutch_entries() -> dict[str, PosInfo]:
     e["onmogelijk"] = PosInfo("ADJ", "onmogelijk", ("on", "mogelijk"))
 
     # adverbs
+    # "daar"/"hier" are VNW(aanw,adv-pron) in CGN (Frog: reference
+    # tests/connective1.example.ok), which FAILS checkConnective's
+    # VG/VZ/BW gate — locative "daar" never counts as the causal
+    # conjunction (golden all_connector_count excludes it)
+    add("daar", "VNW", "daar", vwtype="aanw")
     for w in ("niet", "nooit", "altijd", "vandaag", "morgen", "gisteren",
-              "hier", "daar", "nu", "dan", "snel2", "erg", "heel", "zeer",
+              "hier", "nu", "dan", "snel2", "erg", "heel", "zeer",
               "misschien", "moeilijk", "weg", "samen", "graag", "vaak",
               "bovendien", "echter", "daarna", "vervolgens", "daardoor",
               "daarnaast", "verder", "toch", "dus", "ook", "zo", "net",
@@ -463,7 +468,10 @@ def build_default_lexicons() -> Lexicons:
         "daarnaast": "OPSOMMEND_ZIN",
         "maar": "CONTRASTIEF", "echter": "CONTRASTIEF", "hoewel": "CONTRASTIEF",
         "toch": "CONTRASTIEF",
-        "zoals": "COMPARATIEF", "als": "COMPARATIEF", "dan": "COMPARATIEF",
+        # "als"/"dan" are NOT list entries in the reference: "als" is
+        # resolved contextually by checkAls (sentstats.cxx:366-424) and
+        # bare "dan" is no connective at all
+        "zoals": "COMPARATIEF",
         "omdat": "CAUSAAL", "want": "CAUSAAL", "dus": "CAUSAAL",
         "daardoor": "CAUSAAL", "doordat": "CAUSAAL",
     })
@@ -471,7 +479,6 @@ def build_default_lexicons() -> Lexicons:
         "ten slotte": "OPSOMMEND_ZIN", "onder andere": "OPSOMMEND_WG",
         "met andere woorden": "COMPARATIEF", "als gevolg van": "CAUSAAL",
         "aan de andere kant": "CONTRASTIEF", "in de eerste plaats": "OPSOMMEND_ZIN",
-        "zowel als": "COMPARATIEF",
     })
 
     # situations (lemma-based, per SURVEY W7/T3)

@@ -198,6 +198,19 @@ def test_relativeclauses_golden(text, want):
     assert fold.parses[0].betr_cnt == want
 
 
+@pytest.mark.parametrize("text,want", [
+    # reference tests/svp.example + .ok: verb_svp_dist per sentence —
+    # the separable particle edge spans intervening clauses/PPs, and a
+    # NOUN-shaped particle ("deel" of deelnemen) still attaches as svp
+    ("Hij scheldt iedereen die langskomt uit .", 3),
+    ("Hij roept met zijn optreden veel weerstand op .", 5),
+    ("Ik neem graag aan wedstrijden deel .", 3),
+], ids=["svp_uit", "svp_op", "svp_deel"])
+def test_svp_golden(text, want):
+    p = _sent_parse(text)
+    assert p.distances.get("VERB_SVP") == [want]
+
+
 CONNECTIVE_CASES = [
     # (text from reference tests/connective{1..6}.example, golden
     # doc-level counts from the .ok: allConn, causal, comparative,

@@ -592,6 +592,13 @@ def parse_sentence(anns: list) -> SentParse:
                         break
                     k += 1
             elif _is_nounish(b):
+                if (anns[verb].full_lemma
+                        and anns[verb].full_lemma
+                        == b.lword + anns[verb].lemma):
+                    # noun-shaped separable particle ("Ik NEEM ... DEEL",
+                    # deelnemen — reference tests/svp: verb_svp 3)
+                    _store(parse, "VERB_SVP", content, j, puncts)
+                    continue
                 if j <= in_pp_until or j in pp_objects:
                     continue
                 # a noun directly continuing an NP run is not a new object

@@ -178,6 +178,7 @@ def _dutch_entries() -> dict[str, PosInfo]:
     add("waar", "BW", "waar")
     add("u", "VNW", "u", vwtype="pers", persoon="2")
     add("men", "VNW", "men", vwtype="pers", persoon="3")
+    add("iedereen", "VNW", "iedereen", vwtype="onbep")
     add("ie", "VNW", "ie", vwtype="pers", persoon="3")  # reduced "hij"
 
     # verbs: finite present/past, infinitive, participle
@@ -243,7 +244,11 @@ def _dutch_entries() -> dict[str, PosInfo]:
              ("won", "winnen", "pv", "verl"),
              ("zegt", "zeggen", "pv", "tgw"),
              ("heb", "hebben", "pv", "tgw"),
-             ("gekocht", "kopen", "vd", "")]
+             ("gekocht", "kopen", "vd", ""),
+             ("scheldt", "schelden", "pv", "tgw"),
+             ("roept", "roepen", "pv", "tgw"),
+             ("neem", "nemen", "pv", "tgw"),
+             ("langskomt", "langskomen", "pv", "tgw")]
     for w, lem, wv, tijd in verbs:
         feats = {"wvorm": wv}
         if tijd:
@@ -280,7 +285,9 @@ def _dutch_entries() -> dict[str, PosInfo]:
              ("ogen", ["oog", "en"]), ("kans", ["kans"]),
              ("toetje", ["toetje"]), ("plaatjes", ["plaatje", "s"]),
              ("humor", ["humor"]), ("verwachting", ["verwachting"]),
-             ("einde", ["einde"])]
+             ("einde", ["einde"]), ("optreden", ["optreden"]),
+             ("weerstand", ["weerstand"]),
+             ("wedstrijden", ["wedstrijd", "en"]), ("deel", ["deel"])]
     for w, m in nouns:
         lem = m[0] if len(m) > 1 and m[1] in ("en", "s", "n") else w
         add(w, "N", lem, m)
@@ -448,6 +455,10 @@ def build_default_lexicons() -> Lexicons:
     lex.separable_verbs.update({
         "lopen": frozenset({"weg", "door"}),
         "eten": frozenset({"op"}),
+        # reference tests/svp.example: uitschelden, oproepen, deelnemen
+        "schelden": frozenset({"uit"}),
+        "roepen": frozenset({"op"}),
+        "nemen": frozenset({"deel"}),
         "zien": frozenset({"toe"}),
         "maken": frozenset({"op", "af"}),
         "denken": frozenset({"na"}),

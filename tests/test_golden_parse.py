@@ -116,6 +116,30 @@ DEPDIST_CASES = [
     ("depdist21", "De kans dat hij Piet ziet is vrij klein .",
      {"SUB_VERB": 2.5, "OBJ1_VERB": 0, "NOUN_DET": 0, "COMP_BODY": 2,
       "NOUN_VC": 3, "VERB_PREDC_A": 1}, 1.57143, 4),
+    # mod_bw / mod_adv / noun-adv goldens (reference tests/*.example.ok):
+    # intensifier-below-AP, NP/advp-internal adverbs, temporal-noun
+    # adjuncts, topicalized subject + fronted AP modifier
+    ("mod_bw_s1", "Hij las het boek snel .",
+     {"SUB_VERB": 0, "OBJ1_VERB": 1, "NOUN_DET": 0, "VERB_MOD_A": 2},
+     0.75, 2),
+    ("mod_bw_s2", "Hij las het boek erg vlug .",
+     {"SUB_VERB": 0, "OBJ1_VERB": 1, "NOUN_DET": 0, "VERB_MOD_A": 3},
+     1.0, 3),
+    ("mod_adv_s1", "Erg geloofwaardig opereert hij als woordvoerder niet .",
+     {"SUB_VERB": 0, "VERB_COMP": 1, "VERB_MOD_BW": 3, "VERB_MOD_A": 0},
+     1.0, 3),
+    ("mod_adv_s2", "Hij liep een halve marathon in een half uur gisteren .",
+     {"SUB_VERB": 0, "OBJ1_VERB": 2, "NOUN_DET": 1, "PREP_OBJ1": 2,
+      "VERB_MOD_BW": 7}, 2.16667, 7),
+    ("mod_adv_s3", "Hij leest al jaren niet meer .",
+     {"SUB_VERB": 0, "VERB_MOD_BW": 2, "VERB_NOUN": 1}, 1.0, 2),
+    ("noun_adv_s1", "Hij loopt eeuwen achter .",
+     {"SUB_VERB": 0, "VERB_SVP": 1, "VERB_NOUN": 0}, 0.333333, 1),
+    ("noun_adv_s2", "hij is jaren niet thuis geweest .",
+     {"SUB_VERB": 2, "VERB_VC": 3, "VERB_MOD_BW": 1, "VERB_NOUN": 2},
+     2.0, 4),
+    ("noun_adv_s3", "hij tennist al jaren niet meer .",
+     {"SUB_VERB": 0, "VERB_MOD_BW": 2, "VERB_NOUN": 1}, 1.0, 2),
     ("depdist22s1", "Peter is al naar huis gegaan .",
      {"SUB_VERB": 2, "VERB_PP": 1, "PREP_OBJ1": 0, "VERB_VC": 3,
       "VERB_MOD_BW": 2}, 1.66667, 4),

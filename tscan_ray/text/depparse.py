@@ -47,6 +47,12 @@ _POSS_PRONOUNS = frozenset({"mijn", "jouw", "uw", "onze", "ons", "je",
 # auxiliary wvorm classes: a finite aux + participle clause attaches
 # su/obj/mod edges to the participle (reference tests/depdist17, 22)
 _AUX_WWFORMS = frozenset({"COPULA", "TIME_VERB", "PASSIVE_VERB"})
+# bare temporal nouns attach as verb_noun adjuncts, not objects
+# (reference tests/mod_adv s3, noun-adv: "al jaren", "eeuwen achter")
+_TEMPORAL_NOUNS = frozenset({
+    "jaar", "eeuw", "dag", "uur", "week", "maand", "minuut", "seconde",
+    "avond", "ochtend", "middag", "nacht",
+})
 
 
 @dataclass
@@ -451,6 +457,14 @@ def parse_sentence(anns: list) -> SentParse:
         if verb < 0:
             continue
 
+        # topicalized/inverted main clause ("Erg geloofwaardig OPEREERT
+        # hij ...", reference tests/mod_adv s1): the subject follows the
+        # finite verb when nothing before it qualifies and the clause is
+        # not verb-initial (verb-initial + no su = sv1/imperative above)
+        if su < 0 and finites and idxs[0] != finites[0] and cl.kind != "sub":
+            su = next((i for i in idxs if i > verb and i not in poss_det
+                       and _is_su_candidate(anns[i])), -1)
+
         # aux + participle: su/obj/mod edges attach to the participle
         # (content verb), vc aux -> participle (reference tests/depdist17,
         # 22: "heeft ... gezien", "is ... gegaan")
@@ -542,7 +556,27 @@ def parse_sentence(anns: list) -> SentParse:
                 anns[i].tag == "WW" for i in idxs if i > verb):
             span = [i for i in idxs if (su < 0 or i > su) and i < verb]
         else:
-            span = [i for i in idxs if i > verb]
+            # exclude the subject itself: with inversion it sits
+            # post-verb and must not become an object candidate
+            span = [i for i in idxs if i > verb and i != su]
+
+        # fronted AP modifier (MAIN clauses only — verb-final sub clauses
+        # already reach pre-verb ADJs through the midfield span): an ADJ
+        # directly before the verb with the subject elsewhere ("Erg
+        # GELOOFWAARDIG opereert hij": verb_adv_mod 0; copulas make it
+        # the predicate instead)
+        if cl.kind != "sub":
+            for p in idxs:
+                if p >= verb:
+                    break
+                if p == su or anns[p].tag != "ADJ":
+                    continue
+                nxt = next((x for x in range(p + 1, verb + 1)
+                            if x not in puncts), -1)
+                if nxt == verb:
+                    _store(parse,
+                           "VERB_PREDC_A" if is_copula else "VERB_MOD_A",
+                           content, p, puncts)
 
         obj_cands: list[int] = []
         in_pp_until = -1
@@ -601,6 +635,13 @@ def parse_sentence(anns: list) -> SentParse:
                     continue
                 if j <= in_pp_until or j in pp_objects:
                     continue
+                if (b.lemma.lower() in _TEMPORAL_NOUNS
+                        and np_start.get(j, j) == j):
+                    # bare temporal-noun adjunct, not an object ("Hij
+                    # LEEST al jaren niet meer": verb_noun 1, obj NA —
+                    # reference tests/mod_adv s3 / noun-adv)
+                    _store(parse, "VERB_NOUN", content, j, puncts)
+                    continue
                 # a noun directly continuing an NP run is not a new object
                 # head ("een bakje koffie" -> one object, depdist4)
                 pj = j - 1
@@ -629,6 +670,20 @@ def parse_sentence(anns: list) -> SentParse:
                     obj_cands[0] if obj_cands else -1)
                 if inf_head >= 0 and 0 <= first_arg < j:
                     continue  # inside the AcI complement (depdist7/8/9/14)
+                nx = next((x for x in range(j + 1, cl.end)
+                           if x not in puncts), -1)
+                pv = next((x for x in range(j - 1, cl.start - 1, -1)
+                           if x not in puncts), -1)
+                if (b.intensify_type == "BVBW" and nx >= 0
+                        and anns[nx].tag in ("ADJ", "BW")):
+                    continue  # intensifier below the AP ("erg vlug",
+                    # reference tests/mod_bw: only vlug gets an edge)
+                if nx >= 0 and _is_nounish(anns[nx]):
+                    continue  # NP-internal mod ("al jaren", reference
+                    # tests/mod_adv s3: al has no verb edge)
+                if pv >= 0 and pv != verb and anns[pv].tag == "BW":
+                    continue  # advp-internal ("niet MEER", "niet THUIS":
+                    # only the advp head keeps the verb edge)
                 _store(parse, "VERB_MOD_BW", content, j, puncts)
                 parse.vc_mod_cnt += 1
                 if b.adverb_type == "GENERAL":

@@ -248,7 +248,12 @@ def _dutch_entries() -> dict[str, PosInfo]:
              ("scheldt", "schelden", "pv", "tgw"),
              ("roept", "roepen", "pv", "tgw"),
              ("neem", "nemen", "pv", "tgw"),
-             ("langskomt", "langskomen", "pv", "tgw")]
+             ("langskomt", "langskomen", "pv", "tgw"),
+             ("las", "lezen", "pv", "verl"),
+             ("leest", "lezen", "pv", "tgw"),
+             ("opereert", "opereren", "pv", "tgw"),
+             ("tennist", "tennissen", "pv", "tgw"),
+             ("geweest", "zijn", "vd", "")]
     for w, lem, wv, tijd in verbs:
         feats = {"wvorm": wv}
         if tijd:
@@ -286,6 +291,7 @@ def _dutch_entries() -> dict[str, PosInfo]:
              ("toetje", ["toetje"]), ("plaatjes", ["plaatje", "s"]),
              ("humor", ["humor"]), ("verwachting", ["verwachting"]),
              ("einde", ["einde"]), ("optreden", ["optreden"]),
+             ("jaren", ["jaar", "en"]), ("eeuwen", ["eeuw", "en"]),
              ("weerstand", ["weerstand"]),
              ("wedstrijden", ["wedstrijd", "en"]), ("deel", ["deel"])]
     for w, m in nouns:
@@ -303,7 +309,8 @@ def _dutch_entries() -> dict[str, PosInfo]:
                    # under the AP (reference tests/depdist21.example.alpino)
                    ("vrij", "vrij"), ("boze", "boos"),
                    ("onaanvaardbaar", "onaanvaardbaar"), ("laat", "laat"),
-                   ("blind", "blind")]:
+                   ("blind", "blind"), ("vlug", "vlug"),
+                   ("halve", "half"), ("half", "half")]:
         add(w, "ADJ", lem)
     e["onmogelijk"] = PosInfo("ADJ", "onmogelijk", ("on", "mogelijk"))
 
@@ -319,7 +326,7 @@ def _dutch_entries() -> dict[str, PosInfo]:
               "bovendien", "echter", "daarna", "vervolgens", "daardoor",
               "daarnaast", "verder", "toch", "dus", "ook", "zo", "net",
               "zowel", "evenmin", "al", "er", "binnen", "eens", "vandaan",
-              "juist", "meteen"):
+              "juist", "meteen", "thuis"):
         add(w, "BW", w)
 
     # conjunctions
@@ -334,7 +341,7 @@ def _dutch_entries() -> dict[str, PosInfo]:
     # prepositions
     for w in ("in", "op", "aan", "van", "met", "voor", "naar", "uit", "bij",
               "over", "door", "tot", "zonder", "tussen", "onder2", "per",
-              "te", "om", "na"):
+              "te", "om", "na", "achter"):
         add(w, "VZ", w)
 
     # numerals, punctuation handled by tokenizer; abbreviations
@@ -453,7 +460,7 @@ def build_default_lexicons() -> Lexicons:
     # separable verbs + their full-lemma entries (verb_sem / lemma_freq
     # consult full_lemma FIRST, src/tscan.cxx:1430-1434 / 1640-1650)
     lex.separable_verbs.update({
-        "lopen": frozenset({"weg", "door"}),
+        "lopen": frozenset({"weg", "door", "achter"}),
         "eten": frozenset({"op"}),
         # reference tests/svp.example: uitschelden, oproepen, deelnemen
         "schelden": frozenset({"uit"}),

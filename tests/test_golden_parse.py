@@ -222,6 +222,23 @@ def test_relativeclauses_golden(text, want):
     assert fold.parses[0].betr_cnt == want
 
 
+@pytest.mark.parametrize("text,np,npmod,adjmod,det", [
+    # reference tests/npmod.example + .ok: np_count / np_modifier_count /
+    # adj_np_modifier_count / noun_det_dist — numerals modify NPs but
+    # are not ADJ mods, det skips the mod chain, quantifier pronouns
+    # ("Alle") determine
+    ("Een tweede huis .", 1, 1, 0, [1]),
+    ("Alle boeken .", 1, 0, 0, [0]),
+    ("De meeste boeken .", 1, 1, 1, [1]),
+    ("Blaffende honden .", 1, 1, 1, None),
+    ("De geasfalteerde wegen .", 1, 1, 1, [1]),
+], ids=["np_tw", "np_alle", "np_meeste", "np_part", "np_geasf"])
+def test_npmod_golden(text, np, npmod, adjmod, det):
+    p = _sent_parse(text)
+    assert (p.np_cnt, p.np_mod_cnt, p.adj_np_mod_cnt) == (np, npmod, adjmod)
+    assert p.distances.get("NOUN_DET") == det
+
+
 @pytest.mark.parametrize("text,want", [
     # reference tests/svp.example + .ok: verb_svp_dist per sentence —
     # the separable particle edge spans intervening clauses/PPs, and a

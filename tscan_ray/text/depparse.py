@@ -53,6 +53,9 @@ _TEMPORAL_NOUNS = frozenset({
     "jaar", "eeuw", "dag", "uur", "week", "maand", "minuut", "seconde",
     "avond", "ochtend", "middag", "nacht",
 })
+# quantifying pronouns acting as NP determiners ("ALLE boeken":
+# noun_det 0, reference tests/npmod)
+_DET_PRONOUNS = frozenset({"alle", "sommige", "enkele", "vele", "beide"})
 
 
 @dataclass
@@ -262,19 +265,28 @@ def parse_sentence(anns: list) -> SentParse:
     i = 0
     while i < n:
         a = anns[i]
-        if a.tag == "LID" or a.tag == "ADJ" or _is_nounish(a) or i in poss_det:
+        if a.tag == "LID" or a.tag == "ADJ" or a.tag == "TW" \
+                or _is_nounish(a) or i in poss_det \
+                or (a.tag == "VNW" and a.lword in _DET_PRONOUNS):
             j = i
             saw_noun = False
             adj_mods = 0
+            tw_mods = 0
             size = 0
             det_idx = -1
             while j < n:
                 b = anns[j]
-                if (b.tag == "LID" or j in poss_det) and not saw_noun \
-                        and det_idx < 0 and size == 0:
+                if (b.tag == "LID" or j in poss_det
+                        or (b.tag == "VNW" and b.lword in _DET_PRONOUNS)) \
+                        and not saw_noun and det_idx < 0 and size == 0:
                     det_idx = j
                 elif b.tag == "ADJ" and not saw_noun:
                     adj_mods += 1
+                elif b.tag == "TW" and not saw_noun:
+                    # numerals are NP modifiers but not adjective mods
+                    # ("Een TWEEDE huis": np_modifier 1, adj_np_mod 0 —
+                    # reference tests/npmod)
+                    tw_mods += 1
                 elif _is_nounish(b):
                     saw_noun = True
                     np_start[j] = i
@@ -288,7 +300,7 @@ def parse_sentence(anns: list) -> SentParse:
             if saw_noun:
                 parse.np_cnt += 1
                 parse.np_size_sum += size
-                parse.np_mod_cnt += adj_mods
+                parse.np_mod_cnt += adj_mods + tw_mods
                 parse.adj_np_mod_cnt += adj_mods
                 if anns[i].tag == "LID" and anns[i].lword == "een":
                     parse.indef_np_cnt += 1

@@ -179,6 +179,7 @@ def _dutch_entries() -> dict[str, PosInfo]:
     add("u", "VNW", "u", vwtype="pers", persoon="2")
     add("men", "VNW", "men", vwtype="pers", persoon="3")
     add("iedereen", "VNW", "iedereen", vwtype="onbep")
+    add("alle", "VNW", "al", vwtype="onbep")
     add("ie", "VNW", "ie", vwtype="pers", persoon="3")  # reduced "hij"
 
     # verbs: finite present/past, infinitive, participle
@@ -292,6 +293,8 @@ def _dutch_entries() -> dict[str, PosInfo]:
              ("humor", ["humor"]), ("verwachting", ["verwachting"]),
              ("einde", ["einde"]), ("optreden", ["optreden"]),
              ("jaren", ["jaar", "en"]), ("eeuwen", ["eeuw", "en"]),
+             ("boeken", ["boek", "en"]), ("honden", ["hond", "en"]),
+             ("wegen", ["weg", "en"]), ("kinderen", ["kind", "eren"]),
              ("weerstand", ["weerstand"]),
              ("wedstrijden", ["wedstrijd", "en"]), ("deel", ["deel"])]
     for w, m in nouns:
@@ -310,7 +313,9 @@ def _dutch_entries() -> dict[str, PosInfo]:
                    ("vrij", "vrij"), ("boze", "boos"),
                    ("onaanvaardbaar", "onaanvaardbaar"), ("laat", "laat"),
                    ("blind", "blind"), ("vlug", "vlug"),
-                   ("halve", "half"), ("half", "half")]:
+                   ("halve", "half"), ("half", "half"), ("duur", "duur"),
+                   ("meeste", "veel"), ("blaffende", "blaffen"),
+                   ("geasfalteerde", "asfalteren")]:
         add(w, "ADJ", lem)
     e["onmogelijk"] = PosInfo("ADJ", "onmogelijk", ("on", "mogelijk"))
 
@@ -345,7 +350,8 @@ def _dutch_entries() -> dict[str, PosInfo]:
         add(w, "VZ", w)
 
     # numerals, punctuation handled by tokenizer; abbreviations
-    for w in ("twee", "drie", "vier", "vijf", "tien", "honderd"):
+    for w in ("twee", "drie", "vier", "vijf", "tien", "honderd",
+              "eerste", "tweede", "derde"):
         add(w, "TW", w)
     for w in ("bv", "enz", "ca", "nl", "dhr", "mw"):
         add(w, "SPEC", w)

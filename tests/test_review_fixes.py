@@ -280,3 +280,74 @@ class TestRound2AdviceFixes:
                 join_mod.broadcast_join(left, big, on="k", right_cols=["y"])
         finally:
             pd.DataFrame.memory_usage = orig
+
+
+class TestRound3AdviceFixes:
+    def test_paragraphs_honor_skip_groups(self):
+        """r3 advice: ParagraphExploder must use feature_names(cfg) so
+        skip_groups doesn't KeyError on the skipped columns."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from tscan_ray.config import EngineConfig
+        from tscan_ray.stages.paragraphs import explode_paragraphs
+
+        cfg = EngineConfig(skip_groups=("surprisal",))
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1], type=pa.int64()),
+            "text": ["de kat slaapt .\n\nde hond blaft ."]}))
+        out = explode_paragraphs(ds, "text", ["doc_id"], cfg=cfg,
+                                 concurrency=1).to_pandas()
+        assert len(out) == 2
+        assert "Log_prob_fwd" not in out.columns
+        assert "Wrd_per_zin" in out.columns
+
+    def test_minhash_repeated_doc_id_no_self_pair(self):
+        """r3 advice: a repeated doc_id in the corpus must not emit a
+        self-pair (id_a == id_b)."""
+        import pandas as pd
+
+        from tscan_ray.ops.dedup import minhash_lsh_pairs
+
+        base = ("the quick brown fox jumps over the lazy dog while the cat "
+                "watches from the warm stone wall near the old garden gate")
+        rows = pd.DataFrame({"doc_id": [7, 7, 9],
+                             "text": [base, base, base]})
+        pairs = minhash_lsh_pairs(rd.from_pandas(rows), "text", "doc_id",
+                                  jaccard_threshold=0.5).to_pandas()
+        assert (pairs["id_a"] < pairs["id_b"]).all()
+        assert set(zip(pairs["id_a"], pairs["id_b"])) == {(7, 9)}
+
+    def test_broadcast_guard_counts_string_bytes(self):
+        """r3 advice: the 2 GiB broadcast guard must count string payload
+        (deep=True), not 8-byte object pointers."""
+        import pandas as pd
+        import pytest
+
+        from tscan_ray.ops.join import broadcast_join
+
+        # ~3 GiB of string payload in only 300 rows — deep=False sees ~2 KB
+        big = pd.DataFrame({"k": range(300), "s": ["x" * (11 << 20)] * 300})
+        left = rd.from_pandas(pd.DataFrame({"k": [1, 2]}))
+        with pytest.raises(ValueError, match="broadcast side"):
+            broadcast_join(left, big, on="k", right_cols=["s"])
+
+    def test_word_table_uses_fitted_lm(self):
+        """r3 advice: explode_words must forward lm_ref so word-level
+        logprobs come from the corpus-fitted LM."""
+        import pyarrow as pa
+        import ray
+        import ray.data as rd
+
+        from tscan_ray.stages.words import explode_words
+        from tscan_ray.text.surprisal import fit_bigram_lm
+
+        docs = pa.table({
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": ["de kat slaapt .", "de kat slaapt ."]})
+        lm = fit_bigram_lm(rd.from_arrow(docs), "text")
+        lm_ref = ray.put(lm)
+        out = explode_words(rd.from_arrow(docs), "text", ["doc_id"],
+                            concurrency=1, lm_ref=lm_ref).to_pandas()
+        kat = out[out["word"] == "kat"].iloc[0]
+        assert kat["lprob_fwd"] == lm.logprob10("kat", "de")

@@ -193,7 +193,11 @@ def minhash_lsh_pairs(
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
-            run = ids[s:e]
+            # a doc_id repeated in the corpus would otherwise self-pair
+            # (id_a == id_b), violating the id_a < id_b contract
+            run = np.unique(ids[s:e])
+            if len(run) < 2:
+                continue
             for i in range(len(run)):
                 for j in range(i + 1, len(run)):
                     out_a.append(run[i])

@@ -74,8 +74,17 @@ def broadcast_join(
             )
         rdf = right.to_pandas()
     # fail loudly if a big side was mis-passed as the broadcast side —
-    # silently ray.put-ing it would OOM the driver/object store instead
-    approx_bytes = int(rdf.memory_usage(index=False, deep=False).sum())
+    # silently ray.put-ing it would OOM the driver/object store instead.
+    # deep=True so string payload bytes count (deep=False sees only the
+    # 8-byte object pointers); estimated from a row sample to stay cheap.
+    n_rows = len(rdf)
+    if n_rows <= 100_000:
+        approx_bytes = int(rdf.memory_usage(index=False, deep=True).sum())
+    else:
+        k = 100_000
+        sample_bytes = int(
+            rdf.iloc[:k].memory_usage(index=False, deep=True).sum())
+        approx_bytes = int(sample_bytes * (n_rows / k))
     if approx_bytes > 2 << 30:
         raise ValueError(
             f"broadcast side is ~{approx_bytes >> 20} MiB; broadcast_join "

@@ -197,9 +197,17 @@ def task_exchange(
     # concatenates groups of splits per bucket so each reduce fans in
     # over ceil(M/group) refs instead of M, and the driver's live ref
     # count drops from M×B to ~(M/group)×B.  At multi-node scale the
-    # groups are the node-local combine (SURVEY.md §7.4); group size via
-    # TSCAN_RAY_EXCHANGE_GROUP (0 disables the tier).
-    group = int(os.environ.get("TSCAN_RAY_EXCHANGE_GROUP", "32"))
+    # groups are the node-local combine (SURVEY.md §7.4).  A combine
+    # task holds its whole group in heap (group × split-bundle bytes),
+    # so the group size is derived from a byte budget
+    # (TSCAN_RAY_COMBINE_BYTES, default 512 MiB -> group of 8 at the
+    # 64 MiB split bundling) rather than a fixed count;
+    # TSCAN_RAY_EXCHANGE_GROUP overrides explicitly (0 disables).
+    budget = int(os.environ.get("TSCAN_RAY_COMBINE_BYTES",
+                                str(512 * 1024 * 1024)))
+    default_group = max(2, budget // _TARGET_SPLIT_BYTES)
+    group = int(os.environ.get("TSCAN_RAY_EXCHANGE_GROUP",
+                               str(default_group)))
     if group > 0 and m > group:
         combined = []
         for s in range(0, m, group):

@@ -39,7 +39,7 @@ class ParagraphExploder:
         self.lex = (ray.get(lexicons_ref) if lexicons_ref is not None
                     else default_lexicons())
         self.lm = ray.get(lm_ref) if lm_ref is not None else None
-        self.names = feature_names()
+        self.names = feature_names(cfg)
         from tscan_ray.text.features import featurize_document
 
         probe = featurize_document("", self.lex, self.cfg, lm=self.lm)

@@ -59,6 +59,7 @@ class WordExploder:
         cfg: EngineConfig = DEFAULT_CONFIG,
         lexicons_ref=None,
         lm=None,
+        lm_ref=None,
     ):
         self.text_column = text_column
         self.id_columns = id_columns
@@ -66,6 +67,8 @@ class WordExploder:
         self.lex = (
             ray.get(lexicons_ref) if lexicons_ref is not None else default_lexicons()
         )
+        if lm is None and lm_ref is not None:
+            lm = ray.get(lm_ref)
         if lm is None:
             from tscan_ray.text.surprisal import default_lm
 
@@ -122,8 +125,14 @@ def explode_words(
     concurrency=(1, 8),
     batch_size: int = 256,
     lexicons_ref=None,
+    lm_ref=None,
 ):
-    """One output row per token of ``text_column`` (actor-pool stage)."""
+    """One output row per token of ``text_column`` (actor-pool stage).
+
+    ``lm_ref``: ``ray.put`` handle of a corpus-fitted LM so word-level
+    lprob_fwd/bwd come from the SAME model as the document-level
+    surprisal aggregates (the reference feeds both CSV levels from one
+    Wopr model); defaults to the packaged unigram LM."""
     return ds.map_batches(
         WordExploder,
         fn_constructor_kwargs={
@@ -131,6 +140,7 @@ def explode_words(
             "id_columns": id_columns,
             "cfg": cfg,
             "lexicons_ref": lexicons_ref,
+            "lm_ref": lm_ref,
         },
         batch_format="pyarrow",
         zero_copy_batch=True,

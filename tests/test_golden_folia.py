@@ -1,0 +1,248 @@
+"""End-to-end golden conformance over the reference's OWN annotations.
+
+Each reference test case ships three files (reference tests/):
+``<case>.example`` (raw text), ``<case>.example.alpino`` (the pre-parsed
+Alpino trees, indexed by ``alpino_lookup.data``) and
+``<case>.example.ok`` (the reference's full FoLiA output: Frog
+POS/lemma/morphology/NER annotations per word PLUS every computed
+``<metric>``).  These tests drive the engine's feature math with the
+reference's own token annotations (``analyze_sentence(pre=...)``) and
+its own trees (``alpino_tree=...``) and assert the engine reproduces
+the golden metrics EXACTLY — feature-math conformance decoupled from
+the heuristic tagger and the reduced parser.
+
+Lexicons: ``reference_test_lexicons()`` mirrors the reference's
+tests/tscan.cfg (config-only lists empty, no synthetic seeds).
+Frequency/staphorsius/prevalence metrics are excluded — the golden run
+used the CLIB/SoNaR frequency files, which the reference repo does not
+ship (data/.gitignore).
+
+Pure-Python tests (no Ray).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+REF_TESTS = "/root/reference/tests"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_TESTS),
+    reason="reference test corpus not available")
+
+CASES = (
+    ["afk"] + [f"bug{i}" for i in range(1, 6)]
+    + [f"concreet{i}" for i in range(1, 4)]
+    + [f"connective{i}" for i in range(1, 7)]
+    + [f"d{i}" for i in range(8)]
+    + [f"depdist{i}" for i in range(1, 23)]
+    + [f"dlevel{i}" for i in range(1, 8)]
+    + ["gebeuren_abstr", "gebeuren_conc", "lsa1", "lsa2", "flair1",
+       "mod_adv", "mod_bw", "mtld", "negative", "nomin", "noun-adv",
+       "npmod", "numstring"]
+    + [f"overlap{i}" for i in range(1, 6)]
+    + ["predc-a", "predc-n", "relativeclauses", "semicolon",
+       "smallconjuncts", "svp"]
+)
+
+# sentence <metric> class -> DD type (structstats.cxx:1342-1364)
+DIST_METRICS = {
+    "sub_verb_dist": "SUB_VERB", "obj_verb_dist": "OBJ1_VERB",
+    "lijdend_verb_dist": "OBJ2_VERB", "verb_pp_dist": "VERB_PP",
+    "noun_det_dist": "NOUN_DET", "prep_obj_dist": "PREP_OBJ1",
+    "verb_vc_dist": "VERB_VC", "comp_body_dist": "COMP_BODY",
+    "crd_cnj_dist": "CRD_CNJ", "verb_comp_dist": "VERB_COMP",
+    "noun_vc_dist": "NOUN_VC", "verb_svp_dist": "VERB_SVP",
+    "verb_cop_dist": "VERB_PREDC_N", "verb_adj_dist": "VERB_PREDC_A",
+    "verb_bw_mod_dist": "VERB_MOD_BW", "verb_adv_mod_dist": "VERB_MOD_A",
+    "verb_noun_dist": "VERB_NOUN",
+}
+
+# sentence <metric> class -> SentParse field
+PARSE_METRICS = {
+    "smain_count": "smain_cnt", "ssub_count": "ssub_cnt",
+    "sv1_count": "sv1_cnt", "smain_cnj_count": "smain_cnj_cnt",
+    "ssub_cnj_count": "ssub_cnj_cnt", "sv1_cnj_count": "sv1_cnj_cnt",
+    "rel_count": "betr_cnt", "vc_modifier_count": "vc_mod_cnt",
+    "vc_modifier_single_count": "vc_mod_single_cnt",
+    "adj_np_modifier_count": "adj_np_mod_cnt",
+    "np_modifier_count": "np_mod_cnt", "d_level": "d_level",
+}
+
+# sentence <metric> class -> engine fold counter (setCommonCounts names)
+COUNTER_METRICS = {
+    "word_count": "wordCnt", "let_count": "letCnt", "name_count": "nameCnt",
+    "noun_count": "nounCnt", "verb_count": "verbCnt", "adj_count": "adjCnt",
+    "content_count": "contentCnt",
+    "content_strict_count": "contentStrictCnt",
+    "past_verb_count": "pastCnt", "present_verb_count": "presentCnt",
+    "subjonct_count": "subjonctCnt",
+    "pers_pron_1_count": "pron1Cnt", "pers_pron_2_count": "pron2Cnt",
+    "pers_pron_3_count": "pron3Cnt",
+    "bv_vd_count": "vdBvCnt", "nw_vd_count": "vdNwCnt",
+    "vrij_vd_count": "vdVrijCnt", "bv_od_count": "odBvCnt",
+    "nw_od_count": "odNwCnt", "vrij_od_count": "odVrijCnt",
+    "bv_inf_count": "infBvCnt", "nw_inf_count": "infNwCnt",
+    "vrij_inf_count": "infVrijCnt",
+    "vg_count": "vgCnt", "tsw_count": "tswCnt", "spec_count": "specCnt",
+    "bw_count": "bwCnt", "vnw_count": "vnwCnt", "lid_count": "lidCnt",
+    "tw_count": "twCnt", "vz_count": "vzCnt",
+    "passive_count": "passiveCnt", "modal_count": "modalCnt",
+    "time_count": "timeVCnt", "koppel_count": "koppelCnt",
+    "prop_neg_count": "propNegCnt", "morph_neg_count": "morphNegCnt",
+    "pers_ref_count": "persRefCnt", "pron_ref_count": "pronRefCnt",
+    "archaic_count": "archaicsCnt",
+    "word_overlap_count": "wordOverlapCnt",
+    "lemma_overlap_count": "lemmaOverlapCnt",
+    "general_adverb_count": "generalAdverbCnt",
+    "specific_adverb_count": "specificAdverbCnt",
+    "intens_count": "intensCnt", "formal_count": "formalCnt",
+    "nominal_count": "nominalCnt", "character_count": "charCnt",
+    "morpheme_count": "morphCnt",
+    "all_connector_count": "allConnCnt",
+    "temporal_connector_count": "tempConnCnt",
+    "reeks_wg_connector_count": "opsomWgConnCnt",
+    "reeks_zin_connector_count": "opsomZinConnCnt",
+    "contrast_connector_count": "contrastConnCnt",
+    "comparatief_connector_count": "comparConnCnt",
+    "causaal_connector_count": "causeConnCnt",
+    "time_situation_count": "timeSitCnt",
+    "space_situation_count": "spaceSitCnt",
+    "cause_situation_count": "causalSitCnt",
+    "emotion_situation_count": "emoSitCnt",
+    "human_nouns_count": "humanCnt",
+    "voorzetsel_expression_count": "prepExprCnt",
+}
+
+
+@pytest.fixture(scope="module")
+def lex():
+    from tscan_ray.text.lexicons import reference_test_lexicons
+
+    return reference_test_lexicons()
+
+
+@pytest.fixture(scope="module")
+def tree_lookup():
+    from tscan_ray.text.alpino import load_treebank_file
+
+    table: dict[str, tuple[str, int]] = {}
+    with open(os.path.join(REF_TESTS, "alpino_lookup.data"),
+              encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            toks, fname, idx = line.split("\t")
+            table[toks] = (fname, int(idx))
+    cache: dict[str, list] = {}
+
+    def lookup(key: str):
+        hit = table.get(key)
+        if hit is None:
+            return None
+        fname, idx = hit
+        if fname not in cache:
+            cache[fname] = load_treebank_file(os.path.join(REF_TESTS, fname))
+        return cache[fname][idx - 1]
+
+    return lookup
+
+
+def _folds(case: str, lex, tree_lookup):
+    """Analyze every sentence of a case with the reference's own
+    annotations + trees; yield (sent_idx, tokens_key, fold, metrics)."""
+    from tscan_ray.sources.folia import parse_folia_file
+    from tscan_ray.text.features import DEFAULT_CONFIG, analyze_sentence
+
+    doc = parse_folia_file(os.path.join(REF_TESTS, f"{case}.example.ok"))
+    flat = 0
+    for para in doc.paragraphs:
+        prev = None
+        for sent in para:
+            sm = doc.sent_metrics[flat]
+            flat += 1
+            key = " ".join(t.word for t in sent)
+            tree = tree_lookup(key)
+            assert tree is not None, f"{case}: no tree for {key!r}"
+            fold = analyze_sentence([t.word for t in sent], prev, lex,
+                                    DEFAULT_CONFIG, pre=sent,
+                                    alpino_tree=tree)
+            prev = fold
+            yield flat, key, fold, sm
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_parse_metrics_golden(case, lex, tree_lookup):
+    """Every parse-derived sentence metric (17 DD-type means, deplen,
+    max_deplen, d-level, clause/conjunction/modifier counters) matches
+    the reference's golden FoLiA output exactly."""
+    for si, key, fold, sm in _folds(case, lex, tree_lookup):
+        p = fold.parses[0]
+        ctx = f"{case} s{si} ({key[:60]})"
+        for mk, fk in PARSE_METRICS.items():
+            if mk in sm:
+                assert getattr(p, fk) == int(sm[mk]), f"{ctx}: {mk}"
+        for mk, dt in DIST_METRICS.items():
+            want = sm.get(mk)
+            got = p.distances.get(dt)
+            if want in (None, "NA"):
+                assert not got, f"{ctx}: {mk} expected NA, got {got}"
+            else:
+                assert got, f"{ctx}: {mk} expected {want}, got NA"
+                assert sum(got) / len(got) == pytest.approx(
+                    float(want), abs=2e-4), f"{ctx}: {mk}"
+        all_d = p.all_distances()
+        want_dep = sm.get("deplen")
+        if want_dep not in (None, "NA"):
+            assert all_d and sum(all_d) / len(all_d) == pytest.approx(
+                float(want_dep), abs=2e-4), f"{ctx}: deplen"
+        want_max = sm.get("max_deplen")
+        if want_max not in (None, "NA"):
+            got_max = max(all_d) if all_d else 0
+            assert got_max == int(float(want_max)), f"{ctx}: max_deplen"
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_counter_metrics_golden(case, lex, tree_lookup):
+    """Every word-derived sentence counter (POS/props/negation/overlap/
+    connectives/situations/formality/NER-backed person reference, 60
+    metric classes) matches the golden FoLiA output exactly."""
+    for si, key, fold, sm in _folds(case, lex, tree_lookup):
+        ctx = f"{case} s{si} ({key[:60]})"
+        for mk, ck in COUNTER_METRICS.items():
+            if mk in sm:
+                assert fold.c.get(ck, 0) == int(sm[mk]), f"{ctx}: {mk}"
+
+
+def test_doc_level_deplen_golden(lex, tree_lookup):
+    """Document-level featurize over annotations + trees: AL rollups
+    (mean-of-sentence deplen semantics) reproduce doc metrics."""
+    from tscan_ray.sources.folia import parse_folia_file
+    from tscan_ray.text.features import featurize_document
+
+    for case in ("dlevel4", "bug2", "smallconjuncts"):
+        doc = parse_folia_file(os.path.join(REF_TESTS,
+                                            f"{case}.example.ok"))
+        out = featurize_document("", lex=lex, annotations=doc.paragraphs,
+                                 tree_lookup=tree_lookup)
+        # FoLiA doc metric d_level is the raw SUM over sentences
+        # (structstats.cxx:1620-1624); the CSV column D_level is
+        # proportion(sum, sentCnt) (structstats.cxx:376) -> rescale.
+        want = doc.doc_metrics.get("d_level")
+        if want not in (None, "NA"):
+            n_sent = sum(len(p) for p in doc.paragraphs)
+            assert out["D_level"] * n_sent == pytest.approx(
+                float(want), abs=2e-4), case
+        # doc deplen = getMeanAL over all sentences (structstats.cxx:28-42)
+        want_dep = doc.doc_metrics.get("deplen")
+        if want_dep not in (None, "NA"):
+            assert out["AL_gem"] == pytest.approx(float(want_dep),
+                                                  abs=2e-4), case
+        want_max = doc.doc_metrics.get("max_deplen")
+        if want_max not in (None, "NA"):
+            assert out["AL_max"] == pytest.approx(float(want_max),
+                                                  abs=2e-4), case

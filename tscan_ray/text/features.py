@@ -102,6 +102,7 @@ class WordAnn:
     sit_type: str = ""
     sem_type: str = ""
     ner: str = ""
+    ner_begin: bool = True  # first word of its NER entity (ner.cxx *_B)
     intensify_type: str = ""
     formal_type: str = ""
     general_noun_type: str = ""
@@ -225,6 +226,69 @@ def _analyze_word_uncached(token: str, sent_initial: bool, lex: Lexicons) -> Wor
         if ann.tag == "VG":
             ann.conjtype = info.feat("conjtype")
 
+    return _finish_word(ann, lex)
+
+
+@dataclass
+class TokenAnnotation:
+    """One precomputed token annotation — the Frog record the reference
+    consumes (word + lemma + full CGN tag + features + morphemes).  The
+    engine accepts these via ``analyze_sentence(pre=...)`` /
+    ``featurize_document(annotations=...)`` so external-NLP-annotated
+    tables (and the reference's own golden FoLiA fixtures) can drive the
+    feature math directly, bypassing the heuristic tagger."""
+
+    word: str
+    lemma: str
+    tag: str  # CGN head tag (N WW ADJ ... LET)
+    full_tag: str = ""  # e.g. "WW(pv,verl,ev)" (ISNAME needs "eigen")
+    feats: tuple[tuple[str, str], ...] = ()  # (subset, class) pairs
+    morphemes: tuple[str, ...] = ()
+    # Frog NER entity class ("PER"/"LOC"/"ORG"/"EVE"/"MISC"/"PRO", empty
+    # = none) and whether this word BEGINS the entity (NER::lookupNer,
+    # reference src/ner.cxx:8-41: only *_B words count toward nerCnt)
+    ner: str = ""
+    ner_begin: bool = True
+
+
+def analyze_word_annotated(tok: TokenAnnotation, lex: Lexicons) -> WordAnn:
+    """wordStats ctor over a PRECOMPUTED annotation (src/tscan.cxx:1669-
+    1802 with Frog output supplied instead of the heuristic tagger)."""
+    word = tok.word
+    lword = word.lower()
+    if tok.tag == "LET":
+        return WordAnn(word=word, lword=lword, lemma=tok.lemma or word,
+                       tag="LET", prop="ISLET")
+    morphemes = tok.morphemes or (lword,)
+    ann = WordAnn(word=word, lword=lword, lemma=tok.lemma, tag=tok.tag,
+                  morphemes=morphemes)
+    ann.ner = tok.ner
+    ann.ner_begin = tok.ner_begin
+    # ISNAME: tag SPEC with an "eigen" subtype (setCGNProps,
+    # src/wordstats.cxx:147-148 — pos.find("eigen"))
+    if tok.tag == "SPEC" and "eigen" in tok.full_tag:
+        ann.prop = "ISNAME"
+        # names look up noun_sem by RAW word, case-sensitive
+        # (checkSemProps, src/tscan.cxx:1399-1407)
+        ann.sem_type = lex.noun_sem.get(word, "UNFOUND_NOUN")
+    else:
+        info = PosInfo(tok.tag, tok.lemma, morphemes, tok.feats)
+        _set_cgn_props(ann, info)
+        _set_sem_type(ann, lex)
+        if ann.tag == "VG":
+            ann.conjtype = info.feat("conjtype")
+    # NER->SEM fallback (src/tscan.cxx:2306-2308 + NER::toSem,
+    # src/ner.cxx:85-100): only fills an UNFOUND noun slot
+    if ann.sem_type == "UNFOUND_NOUN" and ann.ner:
+        ann.sem_type = _NER_TO_SEM.get(ann.ner, "UNFOUND_NOUN")
+    return _finish_word(ann, lex)
+
+
+def _finish_word(ann: WordAnn, lex: Lexicons) -> WordAnn:
+    """Shared tail of the wordStats ctor: everything downstream of the
+    tag/lemma/morpheme resolution (src/tscan.cxx:1728-1802)."""
+    token = ann.word
+    lword = ann.lword
     ann.char_cnt = len(token)
     ann.morph_cnt = max(1, len(ann.morphemes))
 
@@ -291,7 +355,8 @@ def _analyze_word_uncached(token: str, sent_initial: bool, lex: Lexicons) -> Wor
     # compound stats (src/tscan.cxx:1786-1799): head/sat char counts,
     # head/sat frequency features, compound-corrected word frequency
     comp = lex.compounds.get(ann.lemma) if ann.tag == "N" else None
-    if comp is None and ann.tag == "N" and ann.sem_type == "UNFOUND_NOUN":
+    if comp is None and ann.tag == "N" and ann.sem_type == "UNFOUND_NOUN" \
+            and lex.use_compound_splitter:
         # unknown noun -> deterministic splitter fallback (the reference
         # calls the splitter service only when the noun_sem lookup missed,
         # src/tscan.cxx:1355-1385); on a split the compound inherits its
@@ -319,12 +384,11 @@ def _analyze_word_uncached(token: str, sent_initial: bool, lex: Lexicons) -> Wor
     else:
         ann.word_freq_log_corr = ann.word_freq_log
 
-    ann.is_pron_ref = (
-        ann.prop == "ISPPRON3" and ann.tag == "VNW"
-    ) or ann.prop == "ISAANW"
+    # is_pron_ref was set in _set_cgn_props (vwtype pers/bez at persoon 3,
+    # or aanw — src/wordstats.cxx:224-238); nothing to recompute here
     ann.is_pers_ref = (
         (ann.sem_type == "human" and ann.tag in ("N", "SPEC"))
-        or ann.ner == "PER"
+        or (ann.ner == "PER" and ann.ner_begin)  # PER_B (wordstats.cxx:11-15)
         or ann.prop in ("ISPPRON1", "ISPPRON2", "ISPPRON3")
     )
     return ann
@@ -361,8 +425,13 @@ def _set_cgn_props(ann: WordAnn, info: PosInfo) -> None:
                     ann.prop = "ISPPRON2"
                 elif persoon.startswith("3"):
                     ann.prop = "ISPPRON3"
+                    # reflexive/shared-case 3rd-person pronouns ("zich")
+                    # are NOT referential (setCGNProps,
+                    # src/wordstats.cxx:224-230)
+                    ann.is_pron_ref = vwtype in ("pers", "bez")
             elif vwtype == "aanw":
                 ann.prop = "ISAANW"
+                ann.is_pron_ref = True
     elif ann.tag == "LID":
         ann.archaic = info.feat("naamval") in ("gen", "dat")
 
@@ -600,6 +669,12 @@ class Fold:
     words: list[WordAnn] = field(default_factory=list)
     parses: list[SentParse] = field(default_factory=list)
     surps: list[dict] = field(default_factory=list)  # per-sentence LM stats
+    # per-paragraph (al_gem, al_max) — the doc-level AL rollup averages
+    # over PARAGRAPH values, each itself a mean over that paragraph's
+    # sentences (structStats::getMeanAL/getHighestAL run per level over
+    # DIRECT children, src/structstats.cxx:28-54); filled by
+    # featurize_document, empty for single-level folds
+    par_al: list = field(default_factory=list)
 
     def uniq_add(self, family: str, token: str) -> None:
         self.uniq.setdefault(family, Counter())[token] += 1
@@ -661,17 +736,48 @@ def _mw_tables(lex: Lexicons) -> dict:
     return mw
 
 
+def _apply_full_lemma(ann: WordAnn, lex: Lexicons) -> None:
+    """Re-run the full-lemma-first lookups after a separable verb got its
+    full lemma (reference src/tscan.cxx:1430-1434, 1479-1477, 1640-1650:
+    verb_sem, intensify, formal and lemma_freq all try full_lemma before
+    lemma)."""
+    lf = lex.lemma_freq.get(ann.full_lemma)
+    if lf is not None:
+        ann.lemma_freq = lf
+        ann.lemma_freq_log = kernels.freq_log(lf, lex.lemma_total)
+    _set_sem_type(ann, lex)
+    it = lex.intensify.get(ann.full_lemma)
+    if it is not None:
+        ann.intensify_type = it
+    formal = kernels.find_inflected(lex.formal, ann.full_lemma)
+    if formal:
+        ann.formal_type = formal
+    ann.is_content = _check_content(ann, False)
+    ann.is_content_strict = _check_content(ann, True)
+
+
 def analyze_sentence(
     tokens: list[str],
     prev: Fold | None,
     lex: Lexicons,
     cfg: EngineConfig,
     lm=None,
+    pre: list[TokenAnnotation] | None = None,
+    alpino_tree=None,
 ) -> Fold:
-    """Sentence-level analysis + fold (sentStats ctor, src/tscan.cxx:2126-2865)."""
+    """Sentence-level analysis + fold (sentStats ctor, src/tscan.cxx:2126-2865).
+
+    ``pre``: precomputed token annotations (Frog output) replacing the
+    heuristic tagger; ``alpino_tree`` an ``alpino.AlpTree`` replacing
+    the reduced parser (the reference's pre-parsed-lookup path,
+    src/tscan.cxx:2144-2153).  Either may be given independently."""
     f = Fold()
     c = f.c
-    anns = [analyze_word(t, i == 0, lex) for i, t in enumerate(tokens)]
+    if pre is not None:
+        anns = [analyze_word_annotated(p, lex) for p in pre]
+        tokens = [p.word for p in pre]
+    else:
+        anns = [analyze_word(t, i == 0, lex) for i, t in enumerate(tokens)]
     f.words = anns
 
     # "dat"/"of" disambiguation: the lexicon tags them VNW/VG-neven; after
@@ -680,8 +786,10 @@ def analyze_sentence(
     # After a NOUN, "dat" is a relative pronoun UNLESS the embedded clause
     # is saturated — >= 2 subject/object candidates before its finite verb
     # leave no gap for a relativizer to fill ("De kans dat hij Piet
-    # ziet", reference tests/depdist21: cp under np, not rel)
-    for k in range(1, len(anns)):
+    # ziet", reference tests/depdist21: cp under np, not rel).
+    # Both retag passes emulate FROG tag decisions — skipped when real
+    # annotations were supplied.
+    for k in (range(1, len(anns)) if pre is None else ()):
         a = anns[k]
         if a.lword == "dat" and a.tag == "VNW":
             p = next((anns[j] for j in range(k - 1, -1, -1)
@@ -714,7 +822,7 @@ def analyze_sentence(
     # begraafplaats", reference tests/d0) VZ; only a clause-introducing
     # "als" — a finite verb follows before the next conjunction — keeps
     # the lexicon's VG/onder reading
-    for k, a in enumerate(anns):
+    for k, a in (enumerate(anns) if pre is None else ()):
         if a.lword == "als" and a.tag == "VG" and a.conjtype == "onder":
             has_fin = False
             for j in range(k + 1, len(anns)):
@@ -763,11 +871,42 @@ def analyze_sentence(
         elif k + 1 < len(anns) and anns[k + 1].tag == "TW":
             a.conn_type = "COMPARATIEF"  # "als eerste" / "als dertigste"
 
+    # tree-based verb classification (classifyVerb, src/Alpino.cxx:630-
+    # 726) + per-word imperative check (src/tscan.cxx:1715-1723): with a
+    # precomputed tree these replace the lexical approximations below
+    if alpino_tree is not None:
+        from tscan_ray.text import alpino as _alp
+
+        for i, a in enumerate(anns):
+            if a.tag != "WW":
+                continue
+            wn = alpino_tree.word_node(i)
+            if wn is None:
+                continue
+            wwform, full = _alp.classify_verb(wn, a.lemma)
+            a.wwform = wwform
+            if full:
+                a.full_lemma = full.lower()
+                _apply_full_lemma(a, lex)
+            else:
+                # content predicates depend on the tree wwform (HEAD_VERB
+                # only, checkContent src/wordstats.cxx:17-21)
+                a.is_content = _check_content(a, False)
+                a.is_content_strict = _check_content(a, True)
+            if a.prop in ("ISPVTGW", "ISPVVERL") \
+                    and wwform != "PASSIVE_VERB" and _alp.check_imp(wn):
+                a.is_imperative = True
+            # nominalization, Alpino verb-under-NP clause (checkNominal,
+            # src/wordstats.cxx:121-131)
+            if not a.is_nominal and _alp.check_nominal_verb(wn):
+                a.is_nominal = True
+
     # separable-verb resolution (sentence context): a listed particle
     # elsewhere in the sentence gives the verb its full lemma, and the
     # full-lemma-first lookups (verb_sem, lemma_freq — reference
-    # src/tscan.cxx:1430-1434, 1640-1650) re-run on the fresh copies
-    if lex.separable_verbs:
+    # src/tscan.cxx:1430-1434, 1640-1650) re-run on the fresh copies.
+    # With a tree, classifyVerb above is the authoritative source.
+    if lex.separable_verbs and alpino_tree is None:
         sent_words = {a.lword for a in anns}
         for a in anns:
             if a.tag != "WW":
@@ -778,13 +917,7 @@ def analyze_sentence(
             hit = sorted(parts & (sent_words - {a.lword}))
             if hit:
                 a.full_lemma = hit[0] + a.lemma
-                lf = lex.lemma_freq.get(a.full_lemma)
-                if lf is not None:
-                    a.lemma_freq = lf
-                    a.lemma_freq_log = kernels.freq_log(lf, lex.lemma_total)
-                _set_sem_type(a, lex)
-                a.is_content = _check_content(a, False)
-                a.is_content_strict = _check_content(a, True)
+                _apply_full_lemma(a, lex)
 
     # BVBW intensifier demotion (checkIntensify, src/tscan.cxx:1483-1485
     # + checkModifier, src/Alpino.cxx:968-984): a BVBW intensifier counts
@@ -793,7 +926,14 @@ def analyze_sentence(
     # over tags: the next token is an adjective/adverb/participle/
     # infinitive, else a free adverbial in a finite sentence (but a
     # copula predicate — "dat is erg" — is predc, not mod: demote).
-    for k, a in enumerate(anns):
+    if alpino_tree is not None:
+        from tscan_ray.text import alpino as _alp
+
+        for i, a in enumerate(anns):
+            if a.intensify_type == "BVBW" and not _alp.check_modifier(
+                    alpino_tree.word_node(i)):
+                a.intensify_type = ""
+    for k, a in (enumerate(anns) if alpino_tree is None else ()):
         if a.intensify_type != "BVBW":
             continue
         nxt = next((anns[j] for j in range(k + 1, len(anns))
@@ -815,7 +955,7 @@ def analyze_sentence(
     # src/wordstats.cxx:121-138): Alpino hangs nominalized infinitives
     # ("het zwemmen") as pos=verb under an NP node — reduced analog: an
     # infinitive directly preceded by a determiner is nominal.
-    for k, a in enumerate(anns):
+    for k, a in (enumerate(anns) if alpino_tree is None else ()):
         if a.tag == "WW" and a.prop == "ISINF" and not a.is_nominal:
             prv = next((anns[j] for j in range(k - 1, -1, -1)
                         if anns[j].prop != "ISLET"), None)
@@ -895,13 +1035,21 @@ def analyze_sentence(
     intens_hits = scan(lowers, mw["intens"])
     formal_hits = scan(lowers, mw["formal"])
     prep_hits = scan(lowers, mw["vz"])
-    c["intensCombiCnt"] += len(intens_hits)
-    c["intensCnt"] += len(intens_hits)
+    # resolveMultiWordIntensify (src/tscan.cxx:2804-2812): the assign
+    # lambda runs once per COVERED WORD, bumping combi+total each time;
+    # word-level intens counting keeps the words' own single types
+    # (setCommonCounts ran before the multi pass in the reference)
+    for _s, length, _t in intens_hits:
+        c["intensCombiCnt"] += length
+        c["intensCnt"] += length
+    # resolveMultiWordFormal (src/tscan.cxx:2814-2824): the multi's type
+    # is assigned to EVERY covered word, and formal counting happens
+    # once per word AFTER that (setFormalCounts loop) — the per-word
+    # counting pass below picks these up
+    for start, length, t in formal_hits:
+        for k in range(start, start + length):
+            anns[k].formal_type = t
     c["formalMultiCnt"] += len(formal_hits)
-    c["formalCnt"] += len(formal_hits)
-    for _s, _l, t in formal_hits:  # class-split the multiword formal hits
-        if t in _FORMAL_KEY:
-            c[_FORMAL_KEY[t]] += 1
     c["prepExprCnt"] += len(prep_hits)
 
     # parse-derived resolution pass (T7-T12; reduced deterministic parser).
@@ -910,7 +1058,20 @@ def analyze_sentence(
     # parse-derived feature of the sentence goes NA (empty SentParse with
     # the d_level=-1 sentinel; correctedClauseCnt stays its floor of 1).
     n_real_tokens = sum(1 for a in anns if a.prop != "ISLET")
-    if n_real_tokens > cfg.max_sentence_tokens:
+    if alpino_tree is not None:
+        from tscan_ray.text import alpino as _alp
+
+        parse = _alp.sent_parse_from_tree(
+            alpino_tree, anns,
+            adverb_type_fn=lambda w: (lex.adverbs.get(w) or ("", ""))[0])
+        # NP length counters come from the Frog CHUNKER in the reference
+        # (np_length, src/tscan.cxx:2105-2124), not the tree — keep the
+        # reduced NP scan for those three (documented divergence)
+        rp = depparse.parse_sentence(anns)
+        parse.np_cnt = rp.np_cnt
+        parse.indef_np_cnt = rp.indef_np_cnt
+        parse.np_size_sum = rp.np_size_sum
+    elif n_real_tokens > cfg.max_sentence_tokens:
         parse = SentParse()
         c["parseFailCnt"] += 1
     else:
@@ -974,7 +1135,8 @@ def analyze_sentence(
             c["verbCnt"] += 1
         if ann.tag == "ADJ":
             c["adjCnt"] += 1
-        if ann.ner:
+        if ann.ner and ann.ner_begin:
+            # only entity-INITIAL words count (src/tscan.cxx:2310-2321)
             c["nerCnt"] += 1
             c["ner" + ann.ner + "Cnt"] += 1
         _word_sem_counts(c, ann)
@@ -1347,6 +1509,8 @@ def featurize_document(
     lex: Lexicons | None = None,
     cfg: EngineConfig = DEFAULT_CONFIG,
     lm=None,
+    annotations: list[list[list[TokenAnnotation]]] | None = None,
+    tree_lookup=None,
 ) -> dict[str, float]:
     """Compute the full document feature vector for one text.
 
@@ -1354,6 +1518,13 @@ def featurize_document(
     prev-sentence pointer reset per paragraph, merge-then-normalize.
     ``lm`` is the surprisal lookup LM (default: unigram from the packaged
     lexicon; pass a corpus-fitted BigramLM for real context sensitivity).
+
+    ``annotations``: precomputed token annotations (paragraphs of
+    sentences of TokenAnnotation) replacing segmentation + the heuristic
+    tagger.  ``tree_lookup``: callable mapping a tokenized sentence
+    string to an ``alpino.AlpTree`` (or None) — the reference's
+    alpino_lookup pattern (src/tscan.cxx:3237-3262); sentences without
+    a tree fall back to the reduced parser.
     Returns a flat dict (stable key set = the output schema).
     """
     lex = lex or default_lexicons()
@@ -1361,16 +1532,34 @@ def featurize_document(
         from tscan_ray.text.surprisal import default_lm
 
         lm = default_lm()
-    paragraphs = segment(text)
+    if annotations is not None:
+        paragraphs = [[[t.word for t in sent] for sent in para]
+                      for para in annotations]
+    else:
+        paragraphs = segment(text)
     sent_folds: list[Fold] = []
-    for para in paragraphs:
+    for pi, para in enumerate(paragraphs):
         prev: Fold | None = None  # prev resets per paragraph (src/tscan.cxx:3018)
-        for sent_tokens in para:
-            f = analyze_sentence(sent_tokens, prev, lex, cfg, lm=lm)
+        for si, sent_tokens in enumerate(para):
+            pre = annotations[pi][si] if annotations is not None else None
+            tree = (tree_lookup(" ".join(sent_tokens))
+                    if tree_lookup is not None else None)
+            f = analyze_sentence(sent_tokens, prev, lex, cfg, lm=lm,
+                                 pre=pre, alpino_tree=tree)
             prev = f
             sent_folds.append(f)
     doc = merge_folds(sent_folds)
-    c, s = doc.c, doc.s
+    # per-paragraph AL values: parStats::al_gem/al_max = getMeanAL over
+    # the paragraph's sentences (src/structstats.cxx:1693-1694); the doc
+    # level then averages these PARAGRAPH values (two-level rollup)
+    i = 0
+    for para in paragraphs:
+        pf = sent_folds[i:i + len(para)]
+        i += len(para)
+        doc.par_al.append((
+            depparse.doc_mean_al([f.parses[0].al_gem for f in pf if f.parses]),
+            depparse.doc_mean_al([f.parses[0].al_max for f in pf if f.parses]),
+        ))
 
     return _emit_doc(doc, len(paragraphs), cfg)
 
@@ -1511,7 +1700,14 @@ def _emit_doc(doc: Fold, par_cnt: int, cfg: EngineConfig,
     out["Wrd_per_dz"] = proportion(wic, ccc)
     inhwrd_dz_zonder_abw = proportion(c["contentStrictInclCnt"], ccc)
     out["Inhwrd_dz_zonder_abw"] = inhwrd_dz_zonder_abw
-    al_max = depparse.doc_mean_al([p.al_max for p in doc.parses])
+    # docStats AL = mean over PARAGRAPH means, each a mean over that
+    # paragraph's sentences (structStats::getMeanAL runs per level over
+    # DIRECT children, src/structstats.cxx:28-54); single-level folds
+    # (empty par_al) fall back to the flat per-sentence mean.
+    if doc.par_al:
+        al_max = depparse.doc_mean_al([m for _, m in doc.par_al])
+    else:
+        al_max = depparse.doc_mean_al([p.al_max for p in doc.parses])
     out["AL_max"] = al_max
     out["Bijzin_per_zin"] = proportion(bijzin_cnt + c["infinComplBepCnt"], n_sent)
     bijv_bep_dz_zbijzin = proportion(np_mod_corr, ccc)
@@ -1678,7 +1874,9 @@ def _emit_doc(doc: Fold, par_cnt: int, cfg: EngineConfig,
     for t in DD_TYPES:
         vals = pooled.get(t)
         out[_AL_NAME[t]] = (sum(vals) / len(vals)) if vals else NA
-    out["AL_gem"] = depparse.doc_mean_al([p.al_gem for p in doc.parses])
+    out["AL_gem"] = (depparse.doc_mean_al([g for g, _ in doc.par_al])
+                     if doc.par_al
+                     else depparse.doc_mean_al([p.al_gem for p in doc.parses]))
 
     # --- information density (src/structstats.cxx:411-518) ----------------
 

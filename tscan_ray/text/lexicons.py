@@ -115,6 +115,9 @@ class Lexicons:
     general_verbs: dict[str, str] = field(default_factory=dict)
     adverbs: dict[str, tuple[str, str]] = field(default_factory=dict)  # word -> (type, subtype)
     afkos: dict[str, str] = field(default_factory=dict)  # abbreviation -> domain
+    # useCompoundSplitter (reference tscan.cfg): gates the deterministic
+    # splitter FALLBACK only (lexicon-listed compounds always apply)
+    use_compound_splitter: bool = True
     stop_lemmata: set[str] = field(default_factory=set)
     my_classification: dict[str, str] = field(default_factory=dict)
     vzexpr: set[str] = field(default_factory=set)  # prep expressions, 2-4 grams space-joined
@@ -680,3 +683,82 @@ def default_lexicons() -> Lexicons:
     if _DEFAULT is None:
         _DEFAULT = build_default_lexicons()
     return _DEFAULT
+
+
+_REFERENCE_TEST: Lexicons | None = None
+
+
+def reference_test_lexicons() -> Lexicons:
+    """Bundle mirroring the reference's OWN test configuration
+    (reference tests/tscan.cfg): config-only lexicons that file does not
+    name are EMPTY — adverbs, intensify(+multi), general_nouns,
+    general_verbs (fill sites src/tscan.cxx:985-1003) — and
+    useCompoundSplitter=0 disables the splitter fallback.  Used by the
+    golden conformance fixtures so engine counters match the .ok
+    metrics the reference produced under that config; production runs
+    keep ``default_lexicons`` (all published lists loaded)."""
+    global _REFERENCE_TEST
+    if _REFERENCE_TEST is None:
+        from tscan_ray.text import loaders
+
+        lex = build_default_lexicons()
+        # config-only lexicons the test cfg does not name -> empty
+        lex.adverbs.clear()
+        lex.intensify.clear()
+        lex.intensify_multi.clear()
+        lex.general_nouns.clear()
+        lex.general_verbs.clear()
+        lex.separable_verbs.clear()  # full_lemma comes from Alpino only
+        lex.use_compound_splitter = False
+        # connectives: PURE published lists (no synthetic seeds — a seed
+        # in the wrong priority class, e.g. "terwijl" seeded TEMPOREEL
+        # while the published entry is CONTRASTIEF, breaks conformance).
+        # The test cfg's "opsommers" key is not one the reference reads
+        # (src/tscan.cxx:1040-1048 reads opsom_connectors_wg/_zin), so
+        # BOTH opsom classes were empty in the golden run.
+        lex.conn_single.clear()
+        lex.conn_multi.clear()
+        lex.conn_order = []
+        for typ, fname in [("TEMPOREEL", "temporal_connectors.lst"),
+                           ("CONTRASTIEF", "contrast_connectors.lst"),
+                           ("COMPARATIEF", "compar_connectors.lst"),
+                           ("CAUSAAL", "causal_connectors.lst")]:
+            tws = loaders.read_tagged_words(fname)
+            for phrase in tws.multi:
+                lex.conn_multi.setdefault(phrase, typ)
+            lex.conn_order.append((typ, tws))
+        # situations: pure published lists, reference priority order
+        lex.sit_single.clear()
+        lex.sit_multi.clear()
+        lex.sit_order = []
+        for typ, fname in [("TIME_SIT", "tijd.txt"),
+                           ("CAUSAL_SIT", "causaliteit.txt"),
+                           ("SPACE_SIT", "ruimte.txt"),
+                           ("EMO_SIT", "emoties.txt")]:
+            tws = loaders.read_tagged_words(fname)
+            for phrase in tws.multi:
+                lex.sit_multi.setdefault(phrase, typ)
+            lex.sit_order.append((typ, tws))
+        # formal / abbreviations / prep expressions: published files only
+        lex.formal.clear()
+        lex.formal_multi.clear()
+        f_single, f_multi = loaders.read_formal()
+        lex.formal.update(f_single)
+        lex.formal_multi.update(f_multi)
+        lex.afkos.clear()
+        lex.afkos.update(loaders.read_afkos())
+        lex.vzexpr.clear()
+        lex.vzexpr.update(loaders.read_vzexpr())
+        # semantic types: ONLY the reference test bundles (synthetic
+        # assignments would turn UNFOUND words into counted classes)
+        lex.noun_sem.clear()
+        lex.adj_sem.clear()
+        lex.verb_sem.clear()
+        lex.compounds.clear()
+        n_sem, n_comp = loaders.read_noun_sem()
+        lex.noun_sem.update(n_sem)
+        lex.compounds.update(n_comp)
+        lex.adj_sem.update(loaders.read_adj_sem())
+        lex.verb_sem.update(loaders.read_verb_sem())
+        _REFERENCE_TEST = lex
+    return _REFERENCE_TEST

@@ -70,6 +70,32 @@ class TestMinhash:
         j12 = pairs.set_index(["id_a", "id_b"]).loc[(1, 2), "jaccard"]
         assert j12 == pytest.approx(1.0)
 
+    def test_exchange_verify_matches_broadcast(self, docs):
+        """The doc-keyed exchange verify path (broadcast_max_ids cutover)
+        must produce the exact same pair set as the broadcast path —
+        forced by broadcast_max_ids=0 on a corpus with real near-dups."""
+        import pandas as pd
+
+        from tscan_ray.ops.dedup import minhash_lsh_pairs
+
+        texts = docs.limit(150).to_pandas()
+        # plant near/exact dups so both paths have verification work
+        dup = texts.head(12).copy()
+        dup["doc_id"] = dup["doc_id"] + 1_000_000
+        dup.loc[dup.index[:6], "text"] = (
+            dup.loc[dup.index[:6], "text"].str.replace(" de ", " het ", n=1))
+        corpus = rd.from_pandas(pd.concat([texts, dup], ignore_index=True))
+
+        kw = dict(jaccard_threshold=0.5)
+        bcast = minhash_lsh_pairs(corpus, "text", "doc_id", **kw).to_pandas()
+        exch = minhash_lsh_pairs(corpus, "text", "doc_id",
+                                 broadcast_max_ids=0, **kw).to_pandas()
+        key = ["id_a", "id_b"]
+        b = bcast.sort_values(key).reset_index(drop=True)
+        e = exch.sort_values(key).reset_index(drop=True)
+        assert len(b) > 0  # the planted dups must surface
+        pd.testing.assert_frame_equal(b, e)
+
     def test_no_pairs_on_all_distinct(self, docs):
         from tscan_ray.ops.dedup import minhash_lsh_pairs
 

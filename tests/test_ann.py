@@ -109,3 +109,48 @@ class TestIvf:
         emb2 = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
         c2 = train_ivf_centroids(emb2, n_centroids=8)
         np.testing.assert_array_equal(c1, c2)
+
+
+class TestIndexedProbes:
+    def test_ivf_indexed_matches_unindexed(self, ray_session, tmp_path):
+        """Partition-pruned IVF probe == per-batch-filter IVF (same
+        centroids), and the probe scans a logged fraction < 1."""
+        import pandas as pd
+        import ray.data as rd
+
+        from tscan_ray.ops.ann import (LAST_PROBE_STATS, build_ivf_index,
+                                       topk_cosine_ivf,
+                                       topk_cosine_ivf_indexed,
+                                       train_ivf_centroids)
+
+        ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                             override_num_blocks=8)
+        q = ds.limit(1).take(1)[0]["embedding"]
+        cent = train_ivf_centroids(ds, n_centroids=8)
+        base = topk_cosine_ivf(ds, q, k=5, nprobe=3,
+                               centroids=cent).to_pandas()
+        idx = str(tmp_path / "ivf")
+        build_ivf_index(ds, idx, n_centroids=8, centroids=cent)
+        probed = topk_cosine_ivf_indexed(idx, q, k=5, nprobe=3).to_pandas()
+        pd.testing.assert_frame_equal(
+            base.reset_index(drop=True), probed.reset_index(drop=True))
+        assert 0 < LAST_PROBE_STATS["scanned_fraction"] < 1
+
+    def test_lsh_indexed_matches_unindexed(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from tscan_ray.ops.ann import (LAST_PROBE_STATS, build_lsh_index,
+                                       topk_cosine_lsh,
+                                       topk_cosine_lsh_indexed)
+
+        ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                             override_num_blocks=8)
+        q = ds.limit(1).take(1)[0]["embedding"]
+        base = topk_cosine_lsh(ds, q, k=5, nbits=6).to_pandas()
+        idx = str(tmp_path / "lsh")
+        build_lsh_index(ds, idx, nbits=6)
+        probed = topk_cosine_lsh_indexed(idx, q, k=5).to_pandas()
+        pd.testing.assert_frame_equal(
+            base.reset_index(drop=True), probed.reset_index(drop=True))
+        assert 0 < LAST_PROBE_STATS["scanned_fraction"] < 1

@@ -363,3 +363,44 @@ class TestTwoLevelExchange:
         base = base.sort_values("k").reset_index(drop=True)
         two = two.sort_values("k").reset_index(drop=True)
         pd.testing.assert_frame_equal(base, two)
+
+    def test_streaming_combine_bounds_driver_refs(self, ray_session):
+        """Combines are submitted as split groups fill, so the driver
+        never holds all M×B split refs at once: with group=4 and 40
+        splits the peak must stay near (group+1+combines)×B, far below
+        the drain-everything M×B."""
+        import os
+
+        import pandas as pd
+        import ray.data as rd
+
+        from tscan_ray.ops import keyed as keyed_mod
+        from tscan_ray.ops.keyed import LAST_EXCHANGE_STATS, grouped_apply
+
+        df = pd.DataFrame({"k": [i % 7 for i in range(500)],
+                           "v": range(500)})
+
+        def kernel(b: pd.DataFrame) -> pd.DataFrame:
+            return (b.groupby("k", sort=False)["v"].sum().reset_index()
+                    .rename(columns={"v": "s"}))
+
+        ds = rd.from_pandas(df).repartition(40)
+        old = os.environ.get("TSCAN_RAY_EXCHANGE_GROUP")
+        old_bytes = keyed_mod._TARGET_SPLIT_BYTES
+        try:
+            keyed_mod._TARGET_SPLIT_BYTES = 1
+            os.environ["TSCAN_RAY_EXCHANGE_GROUP"] = "4"
+            grouped_apply(ds, "k", kernel, num_buckets=8).to_pandas()
+        finally:
+            keyed_mod._TARGET_SPLIT_BYTES = old_bytes
+            if old is None:
+                os.environ.pop("TSCAN_RAY_EXCHANGE_GROUP", None)
+            else:
+                os.environ["TSCAN_RAY_EXCHANGE_GROUP"] = old
+        st = dict(LAST_EXCHANGE_STATS)
+        assert st["splits"] == 40
+        assert st["combines"] == 10
+        # 40 splits x 8 buckets = 320 refs if drained; streaming keeps
+        # peak at combines*B + one in-flight group*B (+ pending blocks)
+        assert st["peak_driver_refs"] < 320
+        assert st["peak_driver_refs"] <= (st["combines"] + 5) * 8 + 8

@@ -244,6 +244,161 @@ def topk_cosine_ivf(
                        vec_col=vec_col, id_col=id_col, k=k)
 
 
+# ---------------------------------------------------------------------------
+# partitioned ANN indexes — prune at the READ (the 100 TB path)
+# ---------------------------------------------------------------------------
+
+# stats of the most recent indexed probe: partitions scanned / total,
+# scanned fraction (introspection + the BASELINE.md evidence line)
+LAST_PROBE_STATS: dict = {}
+
+
+def _partition_files(paths: list[str]) -> list[str]:
+    """Expand partition directories to their parquet files (read_parquet
+    with an explicit path LIST does not expand directories)."""
+    import glob
+    import os
+
+    out: list[str] = []
+    for p in paths:
+        out.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+    return out
+
+
+def _log_probe(kind: str, scanned: int, total: int) -> float:
+    import logging
+
+    frac = scanned / total if total else 1.0
+    LAST_PROBE_STATS.clear()
+    LAST_PROBE_STATS.update(kind=kind, partitions_scanned=scanned,
+                            partitions_total=total, scanned_fraction=frac)
+    logging.getLogger("tscan_ray.ann").info(
+        "%s probe: scanning %d/%d partitions (fraction %.3f)",
+        kind, scanned, total, frac)
+    return frac
+
+
+def build_ivf_index(
+    ds,
+    index_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Write the corpus as Parquet hive-partitioned by ``ivf_cell`` —
+    the docstring-promised scale layout where a probe reads ONLY its
+    nprobe cells' files (partition prune at ``read_parquet``, no
+    full-corpus scan).  The coarse quantizer is persisted next to the
+    data (``_centroids.npy``) so probes are self-contained."""
+    import os
+
+    cent = centroids if centroids is not None else train_ivf_centroids(
+        ds, vec_col, n_centroids)
+    with_cell = add_ivf_cell(ds.select_columns([id_col, vec_col]), cent,
+                             vec_col)
+    with_cell.write_parquet(index_dir, partition_cols=["ivf_cell"])
+    np.save(os.path.join(index_dir, "_centroids.npy"), cent)
+    return cent
+
+
+def topk_cosine_ivf_indexed(
+    index_dir: str,
+    query: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = DEFAULT_CONFIG.ann_top_k,
+    nprobe: int = 4,
+):
+    """IVF top-k over a :func:`build_ivf_index` layout: rank cells by
+    centroid similarity, ``read_parquet`` ONLY the nprobe partition
+    directories (scanned fraction logged), then the exact per-batch
+    kernel.  Identical results to :func:`topk_cosine_ivf` with the same
+    centroids — the per-batch cell filter becomes a file skip."""
+    import os
+
+    import ray.data as rd
+
+    cent = np.load(os.path.join(index_dir, "_centroids.npy"))
+    q = np.asarray(query, dtype=np.float64).ravel()
+    qn = q / (np.linalg.norm(q) or 1.0)
+    order = np.argsort(-(cent @ qn))
+    cells = [int(c) for c in order[:nprobe]]
+    avail = {d for d in os.listdir(index_dir) if d.startswith("ivf_cell=")}
+    paths = [os.path.join(index_dir, f"ivf_cell={c}")
+             for c in cells if f"ivf_cell={c}" in avail]
+    _log_probe("ivf", len(paths), len(avail))
+    if not paths:
+        import pyarrow as _pa
+
+        return rd.from_arrow(_pa.table({id_col: _pa.array([], _pa.int64()),
+                                        "cosine": _pa.array([], _pa.float64())}))
+    return topk_cosine(rd.read_parquet(_partition_files(paths)), query, vec_col=vec_col,
+                       id_col=id_col, k=k)
+
+
+def build_lsh_index(
+    ds,
+    index_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nbits: int = 8,
+    seed: int = 0xA11,
+    dim: int | None = None,
+) -> np.ndarray:
+    """Write the corpus hive-partitioned by ``lsh_bucket`` with the
+    hyperplane matrix persisted (``_planes.npy``) — probes then read
+    only the query's bucket + multiprobe flips."""
+    import os
+
+    if dim is None:
+        first = ds.select_columns([vec_col]).limit(1).take(1)
+        dim = len(np.asarray(first[0][vec_col]).ravel())
+    planes = _hyperplanes(dim, nbits, seed)
+    bucketed = add_lsh_bucket(ds.select_columns([id_col, vec_col]), vec_col,
+                              nbits=nbits, seed=seed)
+    bucketed.write_parquet(index_dir, partition_cols=["lsh_bucket"])
+    np.save(os.path.join(index_dir, "_planes.npy"), planes)
+    return planes
+
+
+def topk_cosine_lsh_indexed(
+    index_dir: str,
+    query: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = DEFAULT_CONFIG.ann_top_k,
+    multiprobe: int = 1,
+):
+    """LSH top-k over a :func:`build_lsh_index` layout: compute the
+    query's bucket + bit-flip probes, read ONLY those partition
+    directories (scanned fraction logged).  Identical results to
+    :func:`topk_cosine_lsh` with the same planes."""
+    import os
+
+    import ray.data as rd
+
+    planes = np.load(os.path.join(index_dir, "_planes.npy"))
+    q = np.asarray(query, dtype=np.float64).ravel()
+    qn = q / (np.linalg.norm(q) or 1.0)
+    base = int(lsh_bucket_ids(qn[None, :], planes)[0])
+    buckets = {base}
+    if multiprobe >= 1:
+        for i in range(planes.shape[0]):
+            buckets.add(base ^ (1 << i))
+    avail = {d for d in os.listdir(index_dir) if d.startswith("lsh_bucket=")}
+    paths = [os.path.join(index_dir, f"lsh_bucket={b}")
+             for b in sorted(buckets) if f"lsh_bucket={b}" in avail]
+    _log_probe("lsh", len(paths), len(avail))
+    if not paths:
+        import pyarrow as _pa
+
+        return rd.from_arrow(_pa.table({id_col: _pa.array([], _pa.int64()),
+                                        "cosine": _pa.array([], _pa.float64())}))
+    return topk_cosine(rd.read_parquet(_partition_files(paths)), query, vec_col=vec_col,
+                       id_col=id_col, k=k)
+
+
 def cosine_neardup_pairs(
     ds,
     vec_col: str = "embedding",

@@ -133,6 +133,11 @@ def _reduce_task(fn, batch_format: str, *parts):
     return out
 
 
+# stats of the most recent task_exchange on this driver (introspection /
+# tests): splits submitted, combines submitted, peak driver-held ref count
+LAST_EXCHANGE_STATS: dict = {}
+
+
 def task_exchange(
     ds,
     key: str,
@@ -140,29 +145,86 @@ def task_exchange(
     num_buckets: int,
     direct: bool = False,
     batch_format: str = "pandas",
+    combine_scheduling: Callable | None = None,
 ):
     """Two-stage parallel hash exchange + per-bucket kernel.
 
     ``direct=True`` treats the key column's integer values as the
     partition index (mod B) — used by the resumable sink so bucket K
     lands in partition K.  Returns a new Dataset of the kernel outputs.
+
+    Streaming: split tasks are submitted as upstream blocks arrive
+    (``iter_internal_ref_bundles`` is a generator over the running
+    pipeline), and each COMBINE task is submitted the moment its group
+    of splits is full — the driver then drops the group's B split refs,
+    so driver-held refs stay bounded at ~(group + combines)×B instead
+    of M×B, and combining overlaps the tail of the upstream scan.
+
+    ``combine_scheduling``: optional ``group_index -> Ray scheduling
+    strategy`` hook; on a multi-node cluster pass a
+    ``NodeAffinitySchedulingStrategy`` factory so each combine runs on
+    the node that produced its splits (node-local combine tier).
     """
     import ray.data as rd
 
-    # drain upstream into split tasks, bundling to ~64 MB per task
-    split_refs: list = []
-    pending_refs: list = []
+    # two-level exchange: when many split tasks exist, a combine tier
+    # concatenates groups of splits per bucket so each reduce fans in
+    # over ceil(M/group) refs instead of M.  A combine task holds its
+    # whole group in heap (group × split-bundle bytes), so the group
+    # size is derived from a byte budget (TSCAN_RAY_COMBINE_BYTES,
+    # default 512 MiB -> group of 8 at the 64 MiB split bundling);
+    # TSCAN_RAY_EXCHANGE_GROUP overrides explicitly (0 disables).
+    budget = int(os.environ.get("TSCAN_RAY_COMBINE_BYTES",
+                                str(512 * 1024 * 1024)))
+    default_group = max(2, budget // _TARGET_SPLIT_BYTES)
+    group = int(os.environ.get("TSCAN_RAY_EXCHANGE_GROUP",
+                               str(default_group)))
+    use_combine = group > 0 and num_buckets > 1
+
+    split_group: list = []   # split ref-tuples not yet combined
+    combined: list = []      # combine ref-tuples (final reduce inputs)
+    pending_refs: list = []  # raw block refs awaiting a split task
     pending_bytes = 0
+    n_splits = n_combines = peak_refs = 0
+
+    def live_refs() -> int:
+        per = 1 if num_buckets == 1 else num_buckets
+        return (len(pending_refs) + len(split_group) * per
+                + len(combined) * per)
+
+    def submit_combine():
+        nonlocal n_combines
+        opts: dict = {"num_returns": num_buckets}
+        if combine_scheduling is not None:
+            opts["scheduling_strategy"] = combine_scheduling(len(combined))
+        flat = [r for split in split_group for r in split]
+        combined.append(
+            _combine_task.options(**opts).remote(num_buckets, *flat))
+        split_group.clear()
+        n_combines += 1
 
     def flush():
-        nonlocal pending_refs, pending_bytes
+        nonlocal pending_refs, pending_bytes, n_splits, peak_refs
         if pending_refs:
-            split_refs.append(
+            split_group.append(
                 _split_task.options(num_returns=num_buckets).remote(
                     key, num_buckets, direct, *pending_refs
                 )
             )
             pending_refs, pending_bytes = [], 0
+            n_splits += 1
+            # combine eagerly per full group (streams with the scan) —
+            # but only once a second group starts, so a small input
+            # (m <= group) never pays the extra copy tier
+            if use_combine:
+                if combined and len(split_group) >= group:
+                    submit_combine()
+                elif not combined and len(split_group) > group:
+                    overflow = split_group[group:]
+                    del split_group[group:]
+                    submit_combine()
+                    split_group.extend(overflow)
+        peak_refs = max(peak_refs, live_refs())
 
     for bundle in ds.iter_internal_ref_bundles():
         for block_ref, meta in zip(bundle.block_refs, bundle.metadata):
@@ -171,8 +233,17 @@ def task_exchange(
             if pending_bytes >= _TARGET_SPLIT_BYTES:
                 flush()
     flush()
+    # leftover group: combine only if a combine tier already exists
+    # (otherwise reduces fan in over the raw splits, as before)
+    if combined and split_group:
+        submit_combine()
+    peak_refs = max(peak_refs, live_refs())
+    LAST_EXCHANGE_STATS.clear()
+    LAST_EXCHANGE_STATS.update(
+        splits=n_splits, combines=n_combines, peak_driver_refs=peak_refs,
+        group=group, num_buckets=num_buckets)
 
-    if not split_refs:
+    if not (split_group or combined):
         # empty input: still produce the KERNEL's output schema (the raw
         # padded-union schema would leak __side__/__r_* columns to
         # downstream select/write)
@@ -186,42 +257,16 @@ def task_exchange(
             out = pa.Table.from_pandas(out, preserve_index=False)
         return rd.from_arrow(out)
 
-    m = len(split_refs)
     if num_buckets == 1:
         # num_returns=1 gives a bare ref per split
-        outs = [_reduce_task.remote(fn, batch_format,
-                                    *[split_refs[i] for i in range(m)])]
+        outs = [_reduce_task.remote(fn, batch_format, *split_group)]
         return rd.from_arrow_refs(outs)
 
-    # two-level exchange: when many split tasks exist, a combine tier
-    # concatenates groups of splits per bucket so each reduce fans in
-    # over ceil(M/group) refs instead of M, and the driver's live ref
-    # count drops from M×B to ~(M/group)×B.  At multi-node scale the
-    # groups are the node-local combine (SURVEY.md §7.4).  A combine
-    # task holds its whole group in heap (group × split-bundle bytes),
-    # so the group size is derived from a byte budget
-    # (TSCAN_RAY_COMBINE_BYTES, default 512 MiB -> group of 8 at the
-    # 64 MiB split bundling) rather than a fixed count;
-    # TSCAN_RAY_EXCHANGE_GROUP overrides explicitly (0 disables).
-    budget = int(os.environ.get("TSCAN_RAY_COMBINE_BYTES",
-                                str(512 * 1024 * 1024)))
-    default_group = max(2, budget // _TARGET_SPLIT_BYTES)
-    group = int(os.environ.get("TSCAN_RAY_EXCHANGE_GROUP",
-                               str(default_group)))
-    if group > 0 and m > group:
-        combined = []
-        for s in range(0, m, group):
-            chunk = split_refs[s:s + group]
-            flat = [r for split in chunk for r in split]
-            combined.append(
-                _combine_task.options(num_returns=num_buckets).remote(
-                    num_buckets, *flat))
-        split_refs = combined
-        m = len(split_refs)
-
+    final = combined + split_group
+    m = len(final)
     outs = [
         _reduce_task.remote(fn, batch_format,
-                            *[split_refs[i][b] for i in range(m)])
+                            *[final[i][b] for i in range(m)])
         for b in range(num_buckets)
     ]
     return rd.from_arrow_refs(outs)

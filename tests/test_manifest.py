@@ -92,3 +92,85 @@ class TestCliEntry:
         assert rc == 0
         manifests = read_manifests(out)
         assert manifests and sum(m["rows"] for m in manifests) > 0
+
+
+class TestKillResume:
+    def test_kill_mid_write_then_resume(self, tmp_path):
+        """North-rule checkpoint proof: a real writer PROCESS is
+        SIGKILLed mid-write; a rerun completes the output with no
+        duplicate and no missing partitions, and does not rewrite the
+        partitions the killed run already committed (mtime-stable)."""
+        import signal
+        import subprocess
+        import sys
+        import time
+
+        out = str(tmp_path / "out")
+        script = tmp_path / "job.py"
+        script.write_text(f"""
+import sys
+sys.path.insert(0, "/root/repo")
+import ray
+import ray.data as rd
+import numpy as np
+import pyarrow as pa
+
+ray.init(address="local", num_cpus=2, include_dashboard=False,
+         logging_level="ERROR")
+docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                       columns=["doc_id", "text"], override_num_blocks=8)
+
+def amplify(t: pa.Table) -> pa.Table:
+    parts = []
+    for r in range(20):
+        ids = pa.compute.add(t.column("doc_id"), r * 1_000_000)
+        parts.append(pa.table({{"doc_id": ids, "text": t.column("text")}}))
+    return pa.concat_tables(parts)
+
+big = docs.map_batches(amplify, batch_format="pyarrow")
+from tscan_ray.state.manifest import resumable_write
+s = resumable_write(big, {out!r}, "doc_id", num_buckets=32)
+print("JOB_DONE", int(s["rows"].sum()))
+ray.shutdown()
+""")
+        from tscan_ray.state.manifest import completed_partitions
+
+        env = dict(os.environ, RAY_ADDRESS="local")
+        p1 = subprocess.Popen([sys.executable, str(script)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.DEVNULL, env=env)
+        # kill the instant the first partition commits (mid write burst)
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if len(completed_partitions(out)) >= 1:
+                break
+            if p1.poll() is not None:
+                break
+            time.sleep(0.02)
+        if p1.poll() is None:
+            os.kill(p1.pid, signal.SIGKILL)
+            p1.wait()
+        done1 = completed_partitions(out)
+        rows1 = sum(m["rows"] for m in read_manifests(out))
+        mtimes1 = {k: os.path.getmtime(
+            os.path.join(out, f"part-{k:05d}.parquet")) for k in done1}
+        assert len(done1) < 32, "kill landed after the full write burst"
+
+        p2 = subprocess.run([sys.executable, str(script)],
+                            capture_output=True, text=True, env=env,
+                            timeout=600)
+        assert "JOB_DONE" in p2.stdout, p2.stdout[-2000:]
+        rows2 = int(p2.stdout.split("JOB_DONE")[1].split()[0])
+
+        # complete: every bucket present, content exact, no dup/missing
+        done2 = completed_partitions(out)
+        assert done2 == set(range(32))
+        df = _read_all(out)
+        assert len(df) == 500 * 20
+        assert df["doc_id"].is_unique
+        # resumed run wrote exactly the complement ...
+        assert rows1 + rows2 == 500 * 20
+        # ... and did not touch the partitions committed before the kill
+        for k, m in mtimes1.items():
+            assert os.path.getmtime(
+                os.path.join(out, f"part-{k:05d}.parquet")) == m

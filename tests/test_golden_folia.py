@@ -246,3 +246,67 @@ def test_doc_level_deplen_golden(lex, tree_lookup):
         if want_max not in (None, "NA"):
             assert out["AL_max"] == pytest.approx(float(want_max),
                                                   abs=2e-4), case
+
+
+def test_distributed_annotated_featurizer(ray_session, tmp_path):
+    """The annotation COLUMN path: reference FoLiA docs + their own
+    Alpino trees serialized to JSON rows, featurized through the
+    distributed actor-pool stage — doc-level goldens (D_level sum,
+    AL_gem/AL_max) must match, proving the alpino_lookup pattern works
+    as a distributed column, not just in-process."""
+    import json
+    import xml.etree.ElementTree as ET
+
+    import ray
+    import ray.data as rd
+
+    from tscan_ray.sources.folia import annotations_to_json, parse_folia_file
+    from tscan_ray.stages.featurizer import featurize
+    from tscan_ray.text.lexicons import reference_test_lexicons
+
+    # sentence-string -> raw alpino_ds XML (via the reference's lookup)
+    table = {}
+    with open(os.path.join(REF_TESTS, "alpino_lookup.data"),
+              encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                toks, fname, idx = line.split("\t")
+                table[toks] = (fname, int(idx))
+    tree_xml_cache: dict[str, list[str]] = {}
+
+    def tree_xml(key):
+        fname, idx = table[key]
+        if fname not in tree_xml_cache:
+            root = ET.parse(os.path.join(REF_TESTS, fname)).getroot()
+            tree_xml_cache[fname] = [
+                ET.tostring(ds, encoding="unicode")
+                for ds in root.iter("alpino_ds")]
+        return tree_xml_cache[fname][idx - 1]
+
+    rows, want = [], {}
+    for case in ("dlevel4", "bug2", "overlap3"):
+        doc = parse_folia_file(os.path.join(REF_TESTS,
+                                            f"{case}.example.ok"))
+        trees = [tree_xml(" ".join(t.word for t in s))
+                 for p in doc.paragraphs for s in p]
+        rows.append({
+            "doc_id": case,
+            "caption": "\n".join(" ".join(t.word for t in s)
+                                 for p in doc.paragraphs for s in p),
+            "annotations": annotations_to_json(doc.paragraphs, trees),
+        })
+        n_sent = sum(len(p) for p in doc.paragraphs)
+        want[case] = (float(doc.doc_metrics["d_level"]) / n_sent,
+                      float(doc.doc_metrics["deplen"]))
+
+    ds = rd.from_items(rows)
+    lex_ref = ray.put(reference_test_lexicons())
+    out = featurize(ds, text_column="caption", concurrency=2,
+                    annotations_column="annotations", lexicons_ref=lex_ref,
+                    keep_columns=["doc_id"]).to_pandas()
+    assert len(out) == 3
+    for _, r in out.iterrows():
+        wd, wdep = want[r["doc_id"]]
+        assert r["D_level"] == pytest.approx(wd, abs=2e-4), r["doc_id"]
+        assert r["AL_gem"] == pytest.approx(wdep, abs=2e-4), r["doc_id"]

@@ -134,4 +134,101 @@ def _parse(root: ET.Element) -> FoliaDoc:
     return doc
 
 
-__all__ = ["FoliaDoc", "parse_folia", "parse_folia_file"]
+# ---------------------------------------------------------------------------
+# annotation-column serialization: precomputed annotations (+ optional
+# Alpino trees) as ONE JSON string column, so annotated corpora flow
+# through the distributed featurizer (stages/featurizer.py
+# ``annotations_column``) exactly like raw text does.
+# ---------------------------------------------------------------------------
+
+def annotations_to_json(paragraphs, trees=None) -> str:
+    """Serialize paragraphs-of-sentences-of-TokenAnnotation (+ optional
+    flat per-sentence Alpino ``alpino_ds`` XML strings) to one JSON
+    string — the schema of the engine's annotation column."""
+    import json
+
+    return json.dumps({
+        "p": [[[{"w": t.word, "l": t.lemma, "t": t.tag, "ft": t.full_tag,
+                 "f": list(map(list, t.feats)), "m": list(t.morphemes),
+                 "n": t.ner, "nb": t.ner_begin}
+                for t in sent] for sent in para] for para in paragraphs],
+        "trees": list(trees) if trees else None,
+    }, ensure_ascii=False)
+
+
+def annotations_from_json(s: str):
+    """Inverse of :func:`annotations_to_json`.  Returns
+    ``(paragraphs, tree_lookup)`` where ``tree_lookup`` is a stateful
+    callable yielding each sentence's parsed AlpTree in flattened
+    document order (or None) — exactly the ``featurize_document``
+    contract, which consults the lookup once per sentence in order."""
+    import json
+
+    d = json.loads(s)
+    paragraphs = [[[TokenAnnotation(
+        word=t["w"], lemma=t["l"], tag=t["t"], full_tag=t.get("ft", ""),
+        feats=tuple((a, b) for a, b in t.get("f", ())),
+        morphemes=tuple(t.get("m", ())), ner=t.get("n", ""),
+        ner_begin=t.get("nb", True))
+        for t in sent] for sent in para] for para in d["p"]]
+    trees = d.get("trees")
+    if not trees:
+        return paragraphs, None
+    from tscan_ray.text.alpino import load_treebank
+
+    parsed = iter([load_treebank(x)[0] if x else None for x in trees])
+
+    def lookup(_key: str):
+        return next(parsed, None)
+
+    return paragraphs, lookup
+
+
+def folia_to_row(xml_text: str, doc_id: str = "") -> dict:
+    """One FoLiA document -> an engine input row (doc_id, text,
+    annotations JSON) — trees are not part of FoLiA; join them via
+    ``annotations_to_json(paragraphs, trees=...)`` when a treebank
+    exists."""
+    doc = parse_folia(xml_text)
+    text = "\n".join(" ".join(t.word for t in s) for p in doc.paragraphs
+                     for s in p)
+    return {"doc_id": doc_id, "text": text,
+            "annotations": annotations_to_json(doc.paragraphs)}
+
+
+def read_folia(paths, annotations_col: str = "annotations"):
+    """Distributed FoLiA reader: a directory / list of FoLiA XML files
+    -> Dataset of (doc_id, text, annotations).  Built on
+    ``read_binary_files`` so documents stream block-wise at scale; XML
+    parsing happens inside the map tasks, never on the driver."""
+    import os
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    if isinstance(paths, str) and os.path.isdir(paths):
+        paths = sorted(
+            os.path.join(paths, f) for f in os.listdir(paths)
+            if f.endswith((".xml", ".folia", ".ok")))
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def parse_batch(batch: pa.Table) -> pa.Table:
+        rows = [folia_to_row(b.decode("utf-8"),
+                             os.path.basename(p))
+                for b, p in zip(batch.column("bytes").to_pylist(),
+                                batch.column("path").to_pylist())]
+        return pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            annotations_col: pa.array([r["annotations"] for r in rows],
+                                      pa.string()),
+        })
+
+    return ds.map_batches(parse_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+__all__ = ["FoliaDoc", "parse_folia", "parse_folia_file",
+           "annotations_to_json", "annotations_from_json",
+           "folia_to_row", "read_folia"]

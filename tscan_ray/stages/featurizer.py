@@ -56,6 +56,7 @@ class CaptionFeaturizer:
         prefix: str = "",
         keep_columns: list[str] | None = None,
         custom_groups: dict | None = None,
+        annotations_column: str | None = None,
     ):
         # once-per-actor setup (NOT per batch).  lm_ref: ray.put() of a
         # corpus-fitted BigramLM (one object-store copy shared per node);
@@ -74,6 +75,12 @@ class CaptionFeaturizer:
         self.cfg = cfg
         self.prefix = prefix
         self.keep_columns = keep_columns
+        # annotations_column: JSON per row (sources/folia.py
+        # annotations_to_json) carrying precomputed Frog/Alpino
+        # annotations — the reference's parse-cache pattern
+        # (src/tscan.cxx:168-221) distributed: rows with a non-null
+        # value bypass the heuristic tagger / reduced parser entirely
+        self.annotations_column = annotations_column
         self.lex = ray.get(lexicons_ref) if lexicons_ref is not None else default_lexicons()
         self.lm = ray.get(lm_ref) if lm_ref is not None else None
         self.names = feature_names(cfg)
@@ -86,8 +93,25 @@ class CaptionFeaturizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_column).to_pylist()
-        rows = [featurize_document(t or "", self.lex, self.cfg, lm=self.lm)
-                for t in texts]
+        if (self.annotations_column is not None
+                and self.annotations_column in batch.column_names):
+            from tscan_ray.sources.folia import annotations_from_json
+
+            rows = []
+            for t, a in zip(texts,
+                            batch.column(self.annotations_column).to_pylist()):
+                if a:
+                    paragraphs, lookup = annotations_from_json(a)
+                    rows.append(featurize_document(
+                        t or "", self.lex, self.cfg, lm=self.lm,
+                        annotations=paragraphs, tree_lookup=lookup))
+                else:
+                    rows.append(featurize_document(t or "", self.lex,
+                                                   self.cfg, lm=self.lm))
+        else:
+            rows = [featurize_document(t or "", self.lex, self.cfg,
+                                       lm=self.lm)
+                    for t in texts]
         if self.keep_columns is not None:
             batch = batch.select(self.keep_columns)
         # one arrow table construction (not 400 append_column copies)
@@ -116,8 +140,15 @@ def featurize(
     keep_columns: list[str] | None = None,
     lm_ref=None,
     lexicons_ref=None,
+    annotations_column: str | None = None,
 ):
     """Attach the feature-vector columns to a Dataset (actor-pool stage).
+
+    ``annotations_column``: name of a JSON annotation column
+    (``sources/folia.annotations_to_json``) — rows carrying precomputed
+    Frog/Alpino annotations are featurized from those instead of the
+    heuristic tagger (the reference's ``alpino_lookup.data`` pattern,
+    src/tscan.cxx:168-221, as a distributed column).
 
     ``concurrency``: int = fixed pre-started pool (best throughput; must
     fit the cluster), tuple = autoscaling, None = fixed pool sized to the
@@ -142,6 +173,7 @@ def featurize(
             "keep_columns": keep_columns,
             "lm_ref": lm_ref,
             "lexicons_ref": lexicons_ref,
+            "annotations_column": annotations_column,
             # snapshot the driver-side plugin registry for the actors
             "custom_groups": dict(_fmod._CUSTOM_GROUPS) or None,
         },

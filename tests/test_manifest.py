@@ -150,6 +150,15 @@ ray.shutdown()
         if p1.poll() is None:
             os.kill(p1.pid, signal.SIGKILL)
             p1.wait()
+        # killing the DRIVER does not instantly stop in-flight Ray
+        # worker tasks — let the write burst quiesce (manifest count
+        # stable for 3 s) before snapshotting the partial state
+        stable_since, last_n = time.time(), -1
+        while time.time() - stable_since < 3.0:
+            n = len(completed_partitions(out))
+            if n != last_n:
+                last_n, stable_since = n, time.time()
+            time.sleep(0.2)
         done1 = completed_partitions(out)
         rows1 = sum(m["rows"] for m in read_manifests(out))
         mtimes1 = {k: os.path.getmtime(

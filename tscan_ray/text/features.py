@@ -437,15 +437,24 @@ def _set_cgn_props(ann: WordAnn, info: PosInfo) -> None:
 
 
 def _set_sem_type(ann: WordAnn, lex: Lexicons) -> None:
-    """checkSemProps (src/tscan.cxx:1337-1464): noun via lemma; adj with
-    inflection fallback; verb via full_lemma then lemma."""
+    """checkNoun + checkSemProps (src/tscan.cxx:1337-1464): noun via
+    findInflected on the lemma; adj via findInflected on lemma then
+    word; verb via full_lemma, then the 'hidden adj' rule (a PRENOM
+    participle is looked up in the ADJ lexicon by word form BEFORE the
+    verb-lemma fallback), then lemma."""
     if ann.tag == "N":
-        ann.sem_type = lex.noun_sem.get(ann.lemma, "UNFOUND_NOUN")
+        st = kernels.find_inflected(lex.noun_sem, ann.lemma)
+        ann.sem_type = st if st is not None else "UNFOUND_NOUN"
     elif ann.tag == "ADJ":
         st = kernels.find_inflected(lex.adj_sem, ann.lemma)
+        if st is None:
+            st = kernels.find_inflected(lex.adj_sem, ann.lword)
         ann.sem_type = st if st is not None else "UNFOUND_ADJ"
     elif ann.tag == "WW":
         st = lex.verb_sem.get(ann.full_lemma) if ann.full_lemma else None
+        if st is None and ann.position == "PRENOM" \
+                and ann.prop in ("ISVD", "ISOD"):
+            st = lex.adj_sem.get(ann.lword)
         if st is None:
             st = lex.verb_sem.get(ann.lemma)
         ann.sem_type = st if st is not None else "UNFOUND_VERB"

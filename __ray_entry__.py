@@ -660,6 +660,8 @@ def q_text_word_table(sf_dir):
                         "text", ["doc_id"], concurrency=(1, 4))
     return out.select_columns(["doc_id", "par_idx", "sent_idx", "word_idx",
                                "word", "lemma", "tag", "is_content",
+                               "property_nl", "semtype_nl", "connective_nl",
+                               "word_overlap_cnt", "lemma_overlap_cnt",
                                "lprob_fwd", "lprob_bwd"])
 
 

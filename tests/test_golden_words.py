@@ -96,3 +96,38 @@ def test_word_displays_golden(case, lex, tree_lookup):
             f"{ctx}: connective"
         assert sit_nl(ann.sit_type) == gold.get("situation", ""), \
             f"{ctx}: situation"
+
+
+def test_word_table_stage_annotated(ray_session):
+    """The distributed word table (explode_words, annotations_column)
+    emits the reference's Dutch display vocabulary per word — checked
+    against the golden FoLiA word metrics for a whole fixture doc."""
+    import ray
+    import ray.data as rd
+
+    from tscan_ray.sources.folia import annotations_to_json, parse_folia_file
+    from tscan_ray.stages.words import explode_words
+    from tscan_ray.text.lexicons import reference_test_lexicons
+
+    case = "overlap3"
+    doc = parse_folia_file(os.path.join(REF_TESTS, f"{case}.example.ok"))
+    rows = [{
+        "doc_id": case,
+        "text": "\n".join(" ".join(t.word for t in s)
+                          for p in doc.paragraphs for s in p),
+        "annotations": annotations_to_json(doc.paragraphs),
+    }]
+    lex_ref = ray.put(reference_test_lexicons())
+    out = explode_words(rd.from_items(rows), "text", ["doc_id"],
+                        concurrency=1, lexicons_ref=lex_ref,
+                        annotations_column="annotations").to_pandas()
+    golden = [w for s in doc.word_metrics for w in s]
+    assert len(out) == len(golden)
+    out = out.sort_values(["par_idx", "sent_idx", "word_idx"])
+    for (_, r), g in zip(out.iterrows(), golden):
+        assert r["property_nl"] == g.get("property", ""), r["word"]
+        assert r["semtype_nl"] == g.get("semtype", ""), r["word"]
+        assert r["situation_nl"] == g.get("situation", ""), r["word"]
+        assert r["word_overlap_cnt"] == int(g["word_overlap_count"]), r["word"]
+        assert r["lemma_overlap_cnt"] == int(g["lemma_overlap_count"]), r["word"]
+        assert bool(r["is_pers_ref"]) == (g.get("pers_ref") == "true"), r["word"]

@@ -18,7 +18,7 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF_TESTS),
     reason="reference test corpus not available")
 
-from tests.test_golden_folia import lex, tree_lookup  # noqa: E402,F401
+from tests.test_golden_folia import CASES, lex, tree_lookup  # noqa: E402,F401
 
 
 def _tree_xml_lookup():
@@ -55,7 +55,9 @@ def test_folia_writer_round_trip_golden(ray_session, tmp_path, lex):
                                              PARSE_METRICS)
 
     tree_xml = _tree_xml_lookup()
-    cases = ["overlap3", "dlevel4", "depdist14", "connective2"]
+    # the ENTIRE reference fixture corpus round-trips (multi-paragraph
+    # cases — dlevel*, bug4/5, npmod — exercise the paragraph level)
+    cases = list(CASES)
     rows, golden = [], {}
     for case in cases:
         doc = parse_folia_file(os.path.join(REF_TESTS,
@@ -106,8 +108,25 @@ def test_folia_writer_round_trip_golden(ray_session, tmp_path, lex):
                             "word_overlap_count", "lemma_overlap_count"):
                     assert g.get(cls) == w.get(cls), \
                         f"{case} s{si} w{wi}: {cls}"
+        # paragraph metrics (parStats: same addMetrics, merged counters,
+        # mean-of-sentence-means deplen)
+        for pi, (got, want) in enumerate(zip(ours.par_metrics,
+                                             ref.par_metrics)):
+            for cls in emitted_sent:
+                if cls in want:
+                    assert cls in got, f"{case} p{pi}: {cls} missing"
+                    if want[cls] == "NA":
+                        assert got[cls] == "NA", f"{case} p{pi}: {cls}"
+                    else:
+                        assert float(got[cls]) == pytest.approx(
+                            float(want[cls]), abs=2e-4), \
+                            f"{case} p{pi}: {cls}"
         # doc metrics
         for cls in ("d_level", "deplen", "max_deplen"):
             if cls in ref.doc_metrics:
-                assert float(ours.doc_metrics[cls]) == pytest.approx(
-                    float(ref.doc_metrics[cls]), abs=2e-4), f"{case}: {cls}"
+                want = ref.doc_metrics[cls]
+                if want == "NA":
+                    assert ours.doc_metrics[cls] == "NA", f"{case}: {cls}"
+                else:
+                    assert float(ours.doc_metrics[cls]) == pytest.approx(
+                        float(want), abs=2e-4), f"{case}: {cls}"

@@ -89,28 +89,48 @@ def _word_el(parent: ET.Element, ann, wid: str) -> None:
         _metric(w, "semtype", _d.semtype_nl(ann.sem_type, ann.tag))
 
 
-def _sent_metrics(el: ET.Element, fold) -> None:
-    """Sentence-level metrics (sentStats addMetrics via structStats,
-    src/structstats.cxx:1327-1372): counters, parse counts, DD means."""
-    c = fold.c
+def _struct_metrics(el: ET.Element, folds, level: str) -> None:
+    """Struct-level metrics (addMetrics runs per level over the merged
+    stats, src/structstats.cxx:1327-1372): counters and parse counts
+    sum over the level's sentences; distance means pool the merged
+    multimap; ``deplen``/``max_deplen`` are the sentence's own pooled
+    values at level 's' but getMeanAL/getHighestAL (mean of child
+    al_gem/al_max) at paragraph/doc level (structstats.cxx:28-54)."""
+    from tscan_ray.text import depparse
+
+    totals: dict[str, float] = {}
+    for f in folds:
+        for k, v in f.c.items():
+            totals[k] = totals.get(k, 0) + v
     for cls, key in COUNTER_METRICS.items():
-        _metric(el, cls, int(c.get(key, 0)))
-    if fold.parses:
-        p = fold.parses[0]
-        for cls, attr in PARSE_METRICS.items():
-            val = getattr(p, attr)
-            if cls == "d_level" and val < 0:
-                continue
-            _metric(el, cls, int(val))
-        # distance metrics are emitted UNCONDITIONALLY, "NA" when absent
-        # (toMString on the NaN mean, structstats.cxx:1342-1364)
-        for cls, typ in DIST_METRICS.items():
-            got = p.distances.get(typ)
-            _metric(el, cls, sum(got) / len(got) if got else float("nan"))
-        all_d = p.all_distances()
+        _metric(el, cls, int(totals.get(key, 0)))
+    parses = [f.parses[0] for f in folds if f.parses]
+    if not parses:
+        return
+    for cls, attr in PARSE_METRICS.items():
+        if cls == "d_level":
+            dlv = depparse.merge_d_level([p.d_level for p in parses])
+            if dlv >= 0:
+                _metric(el, cls, dlv)
+            continue
+        _metric(el, cls, int(sum(getattr(p, attr) for p in parses)))
+    # distance metrics are emitted UNCONDITIONALLY, "NA" when absent
+    # (toMString on the NaN mean, structstats.cxx:1342-1364)
+    for cls, typ in DIST_METRICS.items():
+        got = [d for p in parses for d in p.distances.get(typ, ())]
+        _metric(el, cls, sum(got) / len(got) if got else float("nan"))
+    if level == "s":
+        all_d = parses[0].all_distances()
         _metric(el, "deplen",
                 sum(all_d) / len(all_d) if all_d else float("nan"))
-        _metric(el, "max_deplen", max(all_d) if all_d else float("nan"))
+        # sentStats::getHighestAL returns 0 (not NaN) on no distances
+        # (src/sentstats.cxx:257-264)
+        _metric(el, "max_deplen", max(all_d) if all_d else 0)
+    else:
+        _metric(el, "deplen",
+                depparse.doc_mean_al([p.al_gem for p in parses]))
+        _metric(el, "max_deplen",
+                depparse.doc_mean_al([p.al_max for p in parses]))
 
 
 def render_folia(doc_id: str, sent_folds_by_par, doc_metrics: dict) -> str:
@@ -132,7 +152,8 @@ def render_folia(doc_id: str, sent_folds_by_par, doc_metrics: dict) -> str:
             s.set(_XML_ID, sid)
             for wi, ann in enumerate(fold.words, 1):
                 _word_el(s, ann, f"{sid}.w.{wi}")
-            _sent_metrics(s, fold)
+            _struct_metrics(s, [fold], "s")
+        _struct_metrics(p, folds, "p")
     return ET.tostring(root, encoding="unicode")
 
 

@@ -895,6 +895,22 @@ def q_flagship(sf_dir):
     return flagship(sf_dir, n_entities=50, num_buckets=16)
 
 
+def q_folia_write(sf_dir):
+    """Annotated FoLiA XML sink (reference S3): write one decorated XML
+    per document under /tmp, return the write manifest."""
+    import hashlib
+    import shutil
+
+    from tscan_ray.stages.folia_writer import write_folia
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out_dir = f"/tmp/tscan_ray_folia_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return write_folia(
+        _docs(sf_dir).select_columns(["doc_id", "text"]).limit(100),
+        out_dir, concurrency=(1, 4))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -974,6 +990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": q_image_features,
         "image_resize": q_image_resize,
         "flagship_images": q_flagship,
+        "folia_write": q_folia_write,
     }
 
 

@@ -310,3 +310,39 @@ def test_distributed_annotated_featurizer(ray_session, tmp_path):
         wd, wdep = want[r["doc_id"]]
         assert r["D_level"] == pytest.approx(wd, abs=2e-4), r["doc_id"]
         assert r["AL_gem"] == pytest.approx(wdep, abs=2e-4), r["doc_id"]
+
+
+def test_sentence_table_stage_annotated(ray_session):
+    """The distributed sentence table consumes the annotation column:
+    per-sentence d_level equals the golden FoLiA metric for every
+    sentence of a multi-paragraph fixture."""
+    import ray
+    import ray.data as rd
+
+    from tscan_ray.sources.folia import annotations_to_json, parse_folia_file
+    from tscan_ray.stages.sentences import explode_sentences
+    from tscan_ray.text.lexicons import reference_test_lexicons
+    from tests.test_folia_writer import _tree_xml_lookup
+
+    tree_xml = _tree_xml_lookup()
+    case = "dlevel2"
+    doc = parse_folia_file(os.path.join(REF_TESTS, f"{case}.example.ok"))
+    trees = [tree_xml(" ".join(t.word for t in s))
+             for p in doc.paragraphs for s in p]
+    rows = [{
+        "doc_id": case,
+        "text": "\n".join(" ".join(t.word for t in s)
+                          for p in doc.paragraphs for s in p),
+        "annotations": annotations_to_json(doc.paragraphs, trees),
+    }]
+    lex_ref = ray.put(reference_test_lexicons())
+    out = explode_sentences(rd.from_items(rows), "text", ["doc_id"],
+                            concurrency=1, lexicons_ref=lex_ref,
+                            annotations_column="annotations").to_pandas()
+    out = out.sort_values(["par_idx", "sent_idx"]).reset_index(drop=True)
+    assert len(out) == len(doc.sent_metrics)
+    for i, sm in enumerate(doc.sent_metrics):
+        if sm.get("d_level") not in (None, "NA"):
+            assert out.loc[i, "d_level"] == int(sm["d_level"]), i
+        if sm.get("word_count") not in (None, "NA"):
+            assert out.loc[i, "wordCnt"] == int(sm["word_count"]), i

@@ -118,3 +118,41 @@ class TestMtld:
             assert m == 0.0
         else:
             assert np.isfinite(m) and m >= 0
+
+
+class TestAnnotationRoundTrip:
+    def test_annotations_json_round_trip(self):
+        """annotations_to_json / annotations_from_json is lossless for
+        arbitrary token annotations (hypothesis)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from tscan_ray.sources.folia import (annotations_from_json,
+                                             annotations_to_json)
+        from tscan_ray.text.features import TokenAnnotation
+
+        text = st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            max_size=12)
+        tok = st.builds(
+            TokenAnnotation,
+            word=text, lemma=text, tag=st.sampled_from(["N", "WW", "ADJ"]),
+            full_tag=text,
+            feats=st.lists(st.tuples(text, text), max_size=3).map(tuple),
+            morphemes=st.lists(text, max_size=4).map(tuple),
+            ner=st.sampled_from(["", "PER", "LOC"]),
+            ner_begin=st.booleans(),
+        )
+        paragraphs = st.lists(
+            st.lists(st.lists(tok, min_size=1, max_size=4),
+                     min_size=1, max_size=3),
+            min_size=1, max_size=2)
+
+        @settings(max_examples=50, deadline=None)
+        @given(paragraphs)
+        def check(paras):
+            back, lookup = annotations_from_json(annotations_to_json(paras))
+            assert lookup is None
+            assert back == paras
+
+        check()

@@ -36,10 +36,12 @@ class SentenceExploder:
         cfg: EngineConfig = DEFAULT_CONFIG,
         lexicons_ref=None,
         lm_ref=None,
+        annotations_column: str | None = None,
     ):
         self.text_column = text_column
         self.id_columns = id_columns
         self.cfg = cfg
+        self.annotations_column = annotations_column
         self.lex = (
             ray.get(lexicons_ref) if lexicons_ref is not None else default_lexicons()
         )
@@ -60,13 +62,31 @@ class SentenceExploder:
         for c in ("al_gem", "al_max", "d_level", "avg_prob10_fwd",
                   "entropy_fwd", "perplexity_fwd"):
             out[c] = []
+        ann_json = None
+        if (self.annotations_column is not None
+                and self.annotations_column in batch.column_names):
+            ann_json = batch.column(self.annotations_column).to_pylist()
         for row, text in enumerate(texts):
-            for pi, para in enumerate(segment(text or "")):
+            pre_doc = tree_lookup = None
+            if ann_json is not None and ann_json[row]:
+                from tscan_ray.sources.folia import annotations_from_json
+
+                pre_doc, tree_lookup = annotations_from_json(ann_json[row])
+            paragraphs = (pre_doc if pre_doc is not None
+                          else segment(text or ""))
+            for pi, para in enumerate(paragraphs):
                 prev = None  # prev-sentence pointer resets per paragraph
                 for si, sent in enumerate(para):
-                    f = analyze_sentence(sent, prev, self.lex, self.cfg,
-                                         lm=self.lm)
+                    pre = sent if pre_doc is not None else None
+                    toks = ([t.word for t in sent] if pre is not None
+                            else sent)
+                    tree = (tree_lookup(" ".join(toks))
+                            if tree_lookup is not None else None)
+                    f = analyze_sentence(toks, prev, self.lex, self.cfg,
+                                         lm=self.lm, pre=pre,
+                                         alpino_tree=tree)
                     prev = f
+                    sent = toks
                     parse = f.parses[0]
                     surp = f.surps[0]["fwd"] if f.surps else {}
                     for c in self.id_columns:
@@ -110,8 +130,13 @@ def explode_sentences(
     batch_size: int = 128,
     lexicons_ref=None,
     lm_ref=None,
+    annotations_column: str | None = None,
 ):
-    """One output row per sentence of ``text_column`` (actor-pool stage)."""
+    """One output row per sentence of ``text_column`` (actor-pool stage).
+
+    ``annotations_column``: JSON annotation column (sources/folia) —
+    rows with precomputed Frog/Alpino annotations bypass the heuristic
+    tagger / reduced parser, like the featurizer and word table."""
     return ds.map_batches(
         SentenceExploder,
         fn_constructor_kwargs={
@@ -120,6 +145,7 @@ def explode_sentences(
             "cfg": cfg,
             "lexicons_ref": lexicons_ref,
             "lm_ref": lm_ref,
+            "annotations_column": annotations_column,
         },
         batch_format="pyarrow",
         zero_copy_batch=True,

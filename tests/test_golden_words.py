@@ -98,6 +98,19 @@ def test_word_displays_golden(case, lex, tree_lookup):
             f"{ctx}: situation"
 
 
+@pytest.mark.parametrize("case", CASES)
+def test_word_verb_forms_golden(case, lex, tree_lookup):
+    """Per-word verb-form classification (wwform pos annotation) and
+    separable-verb full-lemma match the golden FoLiA exactly."""
+    from tscan_ray.text.display import wwform_nl
+
+    for ctx, ann, gold in _word_rows(case, lex, tree_lookup):
+        assert wwform_nl(ann.wwform) == gold.get("wwform", ""), \
+            f"{ctx}: wwform"
+        assert (ann.full_lemma or "") == gold.get("full-lemma", ""), \
+            f"{ctx}: full-lemma"
+
+
 def test_word_table_stage_annotated(ray_session):
     """The distributed word table (explode_words, annotations_column)
     emits the reference's Dutch display vocabulary per word — checked

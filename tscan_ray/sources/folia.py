@@ -128,8 +128,19 @@ def _parse(root: ET.Element) -> FoliaDoc:
                 toks.append(tok)
             para.append(toks)
             doc.sent_metrics.append(_metrics(s))
-            doc.word_metrics.append(
-                [_metrics(w) for w in s.findall(_NS + "w")])
+            wms = []
+            for w in s.findall(_NS + "w"):
+                wm = _metrics(w)
+                # the reference appends a SECOND pos annotation
+                # class="wwform(...)" in set tscan-set (addMetrics,
+                # src/wordstats.cxx:694-699) — surface it as a
+                # pseudo-metric for the conformance tests
+                for pos in w.findall(_NS + "pos"):
+                    cls = pos.get("class", "")
+                    if cls.startswith("wwform(") and cls.endswith(")"):
+                        wm["wwform"] = cls[7:-1]
+                wms.append(wm)
+            doc.word_metrics.append(wms)
         doc.paragraphs.append(para)
     return doc
 

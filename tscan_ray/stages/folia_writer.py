@@ -74,6 +74,13 @@ def _word_el(parent: ET.Element, ann, wid: str) -> None:
     pos.set("class", ann.tag)
     lem = ET.SubElement(w, "lemma")
     lem.set("class", ann.lemma)
+    if ann.wwform:
+        # second pos annotation set (addMetrics, wordstats.cxx:694-699)
+        wf = ET.SubElement(w, "pos")
+        wf.set("class", f"wwform({_d.wwform_nl(ann.wwform)})")
+        wf.set("set", "tscan-set")
+    if ann.full_lemma:
+        _metric(w, "full-lemma", ann.full_lemma)
     for cls, attr in _WORD_BOOLS:
         if getattr(ann, attr):
             _metric(w, cls, "true")

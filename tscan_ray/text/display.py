@@ -37,6 +37,15 @@ CONN_NL = {
     "CAUSAAL": "causaal",
 }
 
+# WWform toString (reference src/Alpino.cxx:616-636)
+WWFORM_NL = {
+    "HEAD_VERB": "hoofdww",
+    "PASSIVE_VERB": "passiefww",
+    "MODAL_VERB": "modaalww",
+    "TIME_VERB": "tijdww",
+    "COPULA": "koppelww",
+}
+
 SIT_NL = {
     "TIME_SIT": "tijd",
     "SPACE_SIT": "ruimte",
@@ -138,5 +147,9 @@ def sit_nl(sit_type: str) -> str:
     return SIT_NL.get(sit_type, "")
 
 
-__all__ = ["PROP_NL", "CONN_NL", "SIT_NL", "semtype_nl", "prop_nl",
-           "conn_nl", "sit_nl"]
+def wwform_nl(wwform: str) -> str:
+    return WWFORM_NL.get(wwform, "")
+
+
+__all__ = ["PROP_NL", "CONN_NL", "SIT_NL", "WWFORM_NL", "semtype_nl",
+           "prop_nl", "conn_nl", "sit_nl", "wwform_nl"]

@@ -99,6 +99,26 @@ def test_word_displays_golden(case, lex, tree_lookup):
 
 
 @pytest.mark.parametrize("case", CASES)
+def test_word_flags_golden(case, lex, tree_lookup):
+    """Remaining per-word metric classes: formalType, afktype,
+    subordinate (VG conjtype), betrekkelijk (relative pronoun) and
+    multi_connective membership — all exact vs the golden FoLiA."""
+    from tscan_ray.text.display import afk_nl, formal_nl
+
+    for ctx, ann, gold in _word_rows(case, lex, tree_lookup):
+        assert formal_nl(ann.formal_type) == gold.get("formalType", ""), \
+            f"{ctx}: formalType"
+        assert afk_nl(ann.afk_type) == gold.get("afktype", ""), \
+            f"{ctx}: afktype"
+        assert ann.is_onder == (gold.get("subordinate") == "true"), \
+            f"{ctx}: subordinate"
+        assert ann.is_betr == (gold.get("betrekkelijk") == "true"), \
+            f"{ctx}: betrekkelijk"
+        assert ann.is_multi_conn == (gold.get("multi_connective")
+                                     == "true"), f"{ctx}: multi_connective"
+
+
+@pytest.mark.parametrize("case", CASES)
 def test_word_verb_forms_golden(case, lex, tree_lookup):
     """Per-word verb-form classification (wwform pos annotation) and
     separable-verb full-lemma match the golden FoLiA exactly."""

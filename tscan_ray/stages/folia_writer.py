@@ -84,8 +84,18 @@ def _word_el(parent: ET.Element, ann, wid: str) -> None:
     for cls, attr in _WORD_BOOLS:
         if getattr(ann, attr):
             _metric(w, cls, "true")
+    if ann.is_onder:
+        _metric(w, "subordinate", "true")
+    if ann.is_betr:
+        _metric(w, "betrekkelijk", "true")
     if ann.conn_type:
         _metric(w, "connective", _d.conn_nl(ann.conn_type))
+    if ann.is_multi_conn:
+        _metric(w, "multi_connective", "true")
+    if ann.formal_type:
+        _metric(w, "formalType", _d.formal_nl(ann.formal_type))
+    if ann.afk_type:
+        _metric(w, "afktype", _d.afk_nl(ann.afk_type))
     if ann.sit_type:
         _metric(w, "situation", _d.sit_nl(ann.sit_type))
     _metric(w, "word_overlap_count", ann.word_overlap_cnt)

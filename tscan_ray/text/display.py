@@ -37,6 +37,26 @@ CONN_NL = {
     "CAUSAAL": "causaal",
 }
 
+# Formal::toString (reference src/formal.cxx:7-44)
+FORMAL_NL = {
+    "BVNW": "adjectief",
+    "BW": "bijwoord",
+    "VGW": "voegwoord",
+    "VNW": "voornaamwoord",
+    "VZ": "voorzetsel",
+    "VZG": "voorzetselgroep",
+    "WW": "werkwoord",
+    "ZNW": "zelfstandig naamwoord",
+}
+
+# Afk::toString (reference src/afk.cxx:7-28): engine internal labels
+# (loaders._AFK_DOMAINS) -> canonical display
+AFK_NL = {
+    "generiek": "Generiek", "internationaal": "Internationaal",
+    "juridisch": "Juridisch", "media": "Media", "onderwijs": "Onderwijs",
+    "overheid": "Overheid_Politiek", "overige": "Overig", "zorg": "Zorg",
+}
+
 # WWform toString (reference src/Alpino.cxx:616-636)
 WWFORM_NL = {
     "HEAD_VERB": "hoofdww",
@@ -151,5 +171,14 @@ def wwform_nl(wwform: str) -> str:
     return WWFORM_NL.get(wwform, "")
 
 
-__all__ = ["PROP_NL", "CONN_NL", "SIT_NL", "WWFORM_NL", "semtype_nl",
-           "prop_nl", "conn_nl", "sit_nl", "wwform_nl"]
+def formal_nl(formal_type: str) -> str:
+    return FORMAL_NL.get(formal_type, "")
+
+
+def afk_nl(afk_type: str) -> str:
+    return AFK_NL.get(afk_type, "")
+
+
+__all__ = ["PROP_NL", "CONN_NL", "SIT_NL", "WWFORM_NL", "FORMAL_NL", "AFK_NL",
+           "semtype_nl", "prop_nl", "conn_nl", "sit_nl", "wwform_nl", "afk_nl",
+           "formal_nl"]

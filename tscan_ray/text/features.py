@@ -97,6 +97,13 @@ class WordAnn:
     archaic: bool = False
     is_nominal: bool = False
     is_imperative: bool = False
+    # isBetr (vwtype=="betr", src/wordstats.cxx:211 — set BEFORE the
+    # men/er/het exclusion) / isOnder (VG conjtype=="onder", :247, the
+    # ORIGINAL tag value: contextual passes mutate .conjtype later) /
+    # isMultiConn (multiword-connective member, sentstats.cxx:283-316)
+    is_betr: bool = False
+    is_onder: bool = False
+    is_multi_conn: bool = False
     on_stoplist: bool = False
     conn_type: str = ""
     sit_type: str = ""
@@ -225,6 +232,7 @@ def _analyze_word_uncached(token: str, sent_initial: bool, lex: Lexicons) -> Wor
         _set_sem_type(ann, lex)
         if ann.tag == "VG":
             ann.conjtype = info.feat("conjtype")
+            ann.is_onder = ann.conjtype == "onder"
 
     return _finish_word(ann, lex)
 
@@ -277,6 +285,7 @@ def analyze_word_annotated(tok: TokenAnnotation, lex: Lexicons) -> WordAnn:
         _set_sem_type(ann, lex)
         if ann.tag == "VG":
             ann.conjtype = info.feat("conjtype")
+            ann.is_onder = ann.conjtype == "onder"
     # NER->SEM fallback (src/tscan.cxx:2306-2308 + NER::toSem,
     # src/ner.cxx:85-100): only fills an UNFOUND noun slot
     if ann.sem_type == "UNFOUND_NOUN" and ann.ner:
@@ -413,6 +422,7 @@ def _set_cgn_props(ann: WordAnn, info: PosInfo) -> None:
             elif tijd == "conj":
                 ann.prop = "ISSUBJ"
     elif ann.tag == "VNW":
+        ann.is_betr = info.feat("vwtype") == "betr"
         if ann.lword not in _PRON_EXCLUDED:
             vwtype = info.feat("vwtype")
             cas = info.feat("naamval")
@@ -1024,10 +1034,13 @@ def analyze_sentence(
         # type goes to the expression head; the covered words' own
         # word-level types are CLEARED (reference resolveConnectives
         # sets sv[i+1..] to NOCONN, src/sentstats.cxx:283-304 — "dan
-        # ook" must not also count ook's OPSOMMEND hit)
+        # ook" must not also count ook's OPSOMMEND hit); every covered
+        # word is flagged isMultiConn (setMultiConn on each)
         anns[start].conn_type = t
+        anns[start].is_multi_conn = True
         for k in range(start + 1, start + length):
             anns[k].conn_type = ""
+            anns[k].is_multi_conn = True
 
     # multiword negatives (resolveConnectives src/sentstats.cxx:271-272,
     # 291-306: "afgezien van", "zomin als", "met uitzondering van")

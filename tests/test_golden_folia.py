@@ -346,3 +346,23 @@ def test_sentence_table_stage_annotated(ray_session):
             assert out.loc[i, "d_level"] == int(sm["d_level"]), i
         if sm.get("word_count") not in (None, "NA"):
             assert out.loc[i, "wordCnt"] == int(sm["word_count"]), i
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_counter_metrics_ext_golden(case, lex, tree_lookup):
+    """The extended counter surface — NER name counts, the full
+    noun/adj/verb semtype taxonomies, intensifier/formal/general
+    classes, NP stats, afk domains, conditional counts — matches the
+    golden FoLiA exactly (everything except the data-file-gated
+    frequency/prevalence/LM families)."""
+    from tscan_ray.text.metric_names import (COMPUTED_METRICS,
+                                             COUNTER_METRICS_EXT)
+
+    for si, key, fold, sm in _folds(case, lex, tree_lookup):
+        ctx = f"{case} s{si} ({key[:60]})"
+        for mk, ck in COUNTER_METRICS_EXT.items():
+            if mk in sm:
+                assert fold.c.get(ck, 0) == int(sm[mk]), f"{ctx}: {mk}"
+        for mk, fn in COMPUTED_METRICS.items():
+            if mk in sm:
+                assert fn(fold.c) == int(sm[mk]), f"{ctx}: {mk}"

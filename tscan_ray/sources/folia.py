@@ -119,12 +119,24 @@ def _parse(root: ET.Element) -> FoliaDoc:
                     cls = ent.get("class", "").upper()
                     for j, wref in enumerate(ent.findall(_NS + "wref")):
                         ner[wref.get("id", "")] = (cls, j == 0)
+            # Frog chunker: word id -> (chunk class, is-chunk-initial)
+            # (np_length consumes NP chunks, src/tscan.cxx:2105-2124)
+            chunks: dict[str, tuple[str, bool]] = {}
+            chk = s.find(_NS + "chunking")
+            if chk is not None:
+                for ch in chk.findall(_NS + "chunk"):
+                    ccls = ch.get("class", "")
+                    for j, wref in enumerate(ch.findall(_NS + "wref")):
+                        chunks[wref.get("id", "")] = (ccls, j == 0)
             toks = []
             for w in s.findall(_NS + "w"):
                 tok = _token(w)
                 hit = ner.get(w.get(_xmlid, ""))
                 if hit is not None:
                     tok.ner, tok.ner_begin = hit
+                chit = chunks.get(w.get(_xmlid, ""))
+                if chit is not None:
+                    tok.chunk, tok.chunk_begin = chit
                 toks.append(tok)
             para.append(toks)
             doc.sent_metrics.append(_metrics(s))
@@ -161,7 +173,8 @@ def annotations_to_json(paragraphs, trees=None) -> str:
     return json.dumps({
         "p": [[[{"w": t.word, "l": t.lemma, "t": t.tag, "ft": t.full_tag,
                  "f": list(map(list, t.feats)), "m": list(t.morphemes),
-                 "n": t.ner, "nb": t.ner_begin}
+                 "n": t.ner, "nb": t.ner_begin,
+                 "ck": t.chunk, "ckb": t.chunk_begin}
                 for t in sent] for sent in para] for para in paragraphs],
         "trees": list(trees) if trees else None,
     }, ensure_ascii=False)
@@ -180,7 +193,8 @@ def annotations_from_json(s: str):
         word=t["w"], lemma=t["l"], tag=t["t"], full_tag=t.get("ft", ""),
         feats=tuple((a, b) for a, b in t.get("f", ())),
         morphemes=tuple(t.get("m", ())), ner=t.get("n", ""),
-        ner_begin=t.get("nb", True))
+        ner_begin=t.get("nb", True), chunk=t.get("ck", ""),
+        chunk_begin=t.get("ckb", True))
         for t in sent] for sent in para] for para in d["p"]]
     trees = d.get("trees")
     if not trees:

@@ -104,6 +104,10 @@ class WordAnn:
     is_betr: bool = False
     is_onder: bool = False
     is_multi_conn: bool = False
+    # the 'hidden adj' rule gave this WW word an ADJ semtype — it counts
+    # in the ADJ taxonomy (the count switch is on the SEM enum, not the
+    # tag, src/tscan.cxx:2402-2607)
+    sem_hidden_adj: bool = False
     on_stoplist: bool = False
     conn_type: str = ""
     sit_type: str = ""
@@ -257,6 +261,10 @@ class TokenAnnotation:
     # reference src/ner.cxx:8-41: only *_B words count toward nerCnt)
     ner: str = ""
     ner_begin: bool = True
+    # Frog CHUNKER tag ("NP"/"VP"/"PP"/..., empty = none) + whether this
+    # word BEGINS its chunk — drives np_length (src/tscan.cxx:2105-2124)
+    chunk: str = ""
+    chunk_begin: bool = True
 
 
 def analyze_word_annotated(tok: TokenAnnotation, lex: Lexicons) -> WordAnn:
@@ -465,6 +473,11 @@ def _set_sem_type(ann: WordAnn, lex: Lexicons) -> None:
         if st is None and ann.position == "PRENOM" \
                 and ann.prop in ("ISVD", "ISOD"):
             st = lex.adj_sem.get(ann.lword)
+            if st is not None:
+                # the SEM enum value IS an ADJ type — the tag-blind
+                # count switch (src/tscan.cxx:2402-2607) then counts
+                # this WW word in the ADJ taxonomy
+                ann.sem_hidden_adj = True
         if st is None:
             st = lex.verb_sem.get(ann.lemma)
         ann.sem_type = st if st is not None else "UNFOUND_VERB"
@@ -1087,12 +1100,30 @@ def analyze_sentence(
             alpino_tree, anns,
             adverb_type_fn=lambda w: (lex.adverbs.get(w) or ("", ""))[0])
         # NP length counters come from the Frog CHUNKER in the reference
-        # (np_length, src/tscan.cxx:2105-2124), not the tree — keep the
-        # reduced NP scan for those three (documented divergence)
-        rp = depparse.parse_sentence(anns)
-        parse.np_cnt = rp.np_cnt
-        parse.indef_np_cnt = rp.indef_np_cnt
-        parse.np_size_sum = rp.np_size_sum
+        # (np_length, src/tscan.cxx:2105-2124), not the tree: consume
+        # chunk annotations when the precomputed tokens carry them,
+        # else keep the reduced NP scan (documented divergence)
+        if pre is not None and any(t.chunk for t in pre):
+            j = 0
+            while j < len(pre):
+                t = pre[j]
+                if t.chunk == "NP" and t.chunk_begin:
+                    parse.np_cnt += 1
+                    k = j + 1
+                    while (k < len(pre) and pre[k].chunk == "NP"
+                           and not pre[k].chunk_begin):
+                        k += 1
+                    parse.np_size_sum += k - j
+                    if t.tag == "LID" and t.word == "een":
+                        parse.indef_np_cnt += 1
+                    j = k
+                else:
+                    j += 1
+        else:
+            rp = depparse.parse_sentence(anns)
+            parse.np_cnt = rp.np_cnt
+            parse.indef_np_cnt = rp.indef_np_cnt
+            parse.np_size_sum = rp.np_size_sum
     elif n_real_tokens > cfg.max_sentence_tokens:
         parse = SentParse()
         c["parseFailCnt"] += 1
@@ -1248,7 +1279,7 @@ def _word_sem_counts(c: Counter, ann: WordAnn) -> None:
                 c["broadNounCnt"] += 1
         else:  # UNFOUND_NOUN / a name with no sem entry
             c["uncoveredNounCnt"] += 1
-    elif ann.tag == "ADJ":
+    elif ann.tag == "ADJ" or ann.sem_hidden_adj:
         if sem in _ADJ_SEM_KEY:
             c[_ADJ_SEM_KEY[sem]] += 1
             if sem in _ADJ_NONHUMAN:

@@ -51,8 +51,10 @@ def test_folia_writer_round_trip_golden(ray_session, tmp_path, lex):
 
     from tscan_ray.sources.folia import annotations_to_json, parse_folia_file
     from tscan_ray.stages.folia_writer import write_folia
-    from tscan_ray.text.metric_names import (COUNTER_METRICS, DIST_METRICS,
-                                             PARSE_METRICS)
+    from tscan_ray.text.metric_names import (COMPUTED_METRICS,
+                                             COUNTER_METRICS,
+                                             COUNTER_METRICS_EXT,
+                                             DIST_METRICS, PARSE_METRICS)
 
     tree_xml = _tree_xml_lookup()
     # the ENTIRE reference fixture corpus round-trips (multi-paragraph
@@ -79,7 +81,8 @@ def test_folia_writer_round_trip_golden(ray_session, tmp_path, lex):
                            concurrency=2, lexicons_ref=lex_ref).to_pandas()
     assert sorted(manifest["doc_id"]) == sorted(cases)
 
-    emitted_sent = (set(COUNTER_METRICS) | set(PARSE_METRICS)
+    emitted_sent = (set(COUNTER_METRICS) | set(COUNTER_METRICS_EXT)
+                    | set(COMPUTED_METRICS) | set(PARSE_METRICS)
                     | set(DIST_METRICS) | {"deplen", "max_deplen"})
     for case in cases:
         ours = parse_folia_file(os.path.join(out_dir, f"{case}.xml"))

@@ -366,3 +366,53 @@ def test_counter_metrics_ext_golden(case, lex, tree_lookup):
         for mk, fn in COMPUTED_METRICS.items():
             if mk in sm:
                 assert fn(fold.c) == int(sm[mk]), f"{ctx}: {mk}"
+
+
+# doc-level golden metric class -> engine output column
+_DOC_METRIC_COLS = {
+    "word_mtld": "MTLD_wrd", "lemma_mtld": "MTLD_lem",
+    "name_mtld": "MTLD_namen", "content_mtld": "MTLD_inhwrd",
+    "content_mtld_strict": "MTLD_inhwrd_zonder_abw",
+    "word_ttr": "TTR_wrd", "lemma_ttr": "TTR_lem",
+    "names_ttr": "TTR_namen", "content_word_ttr": "TTR_inhwrd",
+    "content_word_ttr_strict": "TTR_inhwrd_zonder_abw",
+    "all_conn_mtld": "Conn_MTLD", "all_conn_ttr": "Conn_TTR",
+    "temp_conn_mtld": "Conn_temp_MTLD", "temp_conn_ttr": "Conn_temp_TTR",
+    "opsom_wg_conn_mtld": "Conn_reeks_wg_MTLD",
+    "opsom_wg_conn_ttr": "Conn_reeks_wg_TTR",
+    "opsom_zin_conn_mtld": "Conn_reeks_zin_MTLD",
+    "opsom_zin_conn_ttr": "Conn_reeks_zin_TTR",
+    "contrast_conn_mtld": "Conn_contr_MTLD",
+    "contrast_conn_ttr": "Conn_contr_TTR",
+    "comp_conn_mtld": "Conn_comp_MTLD", "comp_conn_ttr": "Conn_comp_TTR",
+    "cause_conn_mtld": "Conn_caus_MTLD", "cause_conn_ttr": "Conn_caus_TTR",
+    "cause_sit_mtld": "Causaal_MTLD", "cause_sit_ttr": "Causaal_TTR",
+    "ruimte_sit_mtld": "Ruimte_MTLD", "ruimte_sit_ttr": "Ruimte_TTR",
+    "tijd_sit_mtld": "Tijd_MTLD", "tijd_sit_ttr": "Tijd_TTR",
+    "emotion_sit_mtld": "Emotie_MTLD", "emotion_sit_ttr": "Emotie_TTR",
+}
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_doc_mtld_ttr_golden(case, lex, tree_lookup):
+    """Document-level lexical-diversity metrics (MTLD / TTR over word,
+    lemma, name, content and connective/situation classes) match the
+    golden FoLiA doc metrics exactly."""
+    from tscan_ray.sources.folia import parse_folia_file
+    from tscan_ray.text.features import featurize_document
+
+    doc = parse_folia_file(os.path.join(REF_TESTS, f"{case}.example.ok"))
+    out = featurize_document("", lex=lex, annotations=doc.paragraphs,
+                             tree_lookup=tree_lookup)
+    for mk, col in _DOC_METRIC_COLS.items():
+        want = doc.doc_metrics.get(mk)
+        if want is None:
+            continue
+        got = out[col]
+        if want == "NA":
+            assert isinstance(got, float) and math.isnan(got), \
+                f"{case}: {mk} expected NA, got {got}"
+        else:
+            # golden values are 6-significant-digit renderings
+            assert got == pytest.approx(float(want), rel=5e-6,
+                                        abs=2e-4), f"{case}: {mk}"

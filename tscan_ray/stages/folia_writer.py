@@ -29,7 +29,10 @@ import ray
 from tscan_ray.config import DEFAULT_CONFIG, EngineConfig
 from tscan_ray.text import display as _d
 from tscan_ray.text.lexicons import default_lexicons
-from tscan_ray.text.metric_names import (COUNTER_METRICS, DIST_METRICS,
+from tscan_ray.text.metric_names import (COMPUTED_METRICS,
+                                         CONDITIONAL_METRICS,
+                                         COUNTER_METRICS,
+                                         COUNTER_METRICS_EXT, DIST_METRICS,
                                          PARSE_METRICS)
 from tscan_ray.text.tokenize import segment
 
@@ -121,6 +124,13 @@ def _struct_metrics(el: ET.Element, folds, level: str) -> None:
             totals[k] = totals.get(k, 0) + v
     for cls, key in COUNTER_METRICS.items():
         _metric(el, cls, int(totals.get(key, 0)))
+    for cls, key in COUNTER_METRICS_EXT.items():
+        val = int(totals.get(key, 0))
+        if cls in CONDITIONAL_METRICS and val == 0:
+            continue  # emitted only when non-zero (structstats.cxx)
+        _metric(el, cls, val)
+    for cls, fn in COMPUTED_METRICS.items():
+        _metric(el, cls, int(fn(totals)))
     parses = [f.parses[0] for f in folds if f.parses]
     if not parses:
         return

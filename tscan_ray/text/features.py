@@ -1550,9 +1550,14 @@ def _mtld_families(words: list[WordAnn]) -> dict[str, float]:
         if sk:
             lists[sk].append(w.lemma)
     out = {f"MTLD_{k}": kernels.average_mtld(v) for k, v in lists.items()}
-    # combined connective MTLD excludes reeks_wg (src/tscan.cxx:1963-1974)
-    all_conn = (lists["temp_conn"] + lists["reeks_zin_conn"] + lists["contr_conn"]
-                + lists["comp_conn"] + lists["cause_conn"])
+    # combined connective MTLD excludes reeks_wg (src/tscan.cxx:1963-1974).
+    # QUIRK mirrored exactly: the reference's average_mtld REVERSES its
+    # argument in place (src/tscan.cxx:1857-1875), and all_conn is built
+    # from the per-class lists AFTER their own MTLDs ran — i.e. from the
+    # reversed lists (golden bug3 all_conn_mtld = 8, not 8.48)
+    all_conn = (lists["temp_conn"][::-1] + lists["reeks_zin_conn"][::-1]
+                + lists["contr_conn"][::-1] + lists["comp_conn"][::-1]
+                + lists["cause_conn"][::-1])
     out["MTLD_alle_conn"] = kernels.average_mtld(all_conn)
     return out
 

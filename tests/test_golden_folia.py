@@ -416,3 +416,40 @@ def test_doc_mtld_ttr_golden(case, lex, tree_lookup):
             # golden values are 6-significant-digit renderings
             assert got == pytest.approx(float(want), rel=5e-6,
                                         abs=2e-4), f"{case}: {mk}"
+
+
+@pytest.mark.parametrize("case", ["bug4", "bug5", "dlevel2", "npmod",
+                                  "flair1", "overlap5"])
+def test_doc_counters_and_ring_overlap_golden(case, lex, tree_lookup):
+    """Doc-level merged counters (every sentence counter summed) and the
+    50-word ring-buffer argument overlap (docStats doc_word/
+    doc_lemma_overlapCnt) match the golden doc metrics."""
+    from tscan_ray.sources.folia import parse_folia_file
+    from tscan_ray.text.features import (DEFAULT_CONFIG, _doc_overlap,
+                                         analyze_sentence, merge_folds)
+    from tscan_ray.text.metric_names import (COUNTER_METRICS,
+                                             COUNTER_METRICS_EXT)
+
+    doc = parse_folia_file(os.path.join(REF_TESTS, f"{case}.example.ok"))
+    folds = []
+    for para in doc.paragraphs:
+        prev = None
+        for sent in para:
+            key = " ".join(t.word for t in sent)
+            f = analyze_sentence([t.word for t in sent], prev, lex,
+                                 DEFAULT_CONFIG, pre=sent,
+                                 alpino_tree=tree_lookup(key))
+            prev = f
+            folds.append(f)
+    merged = merge_folds(folds)
+    for mk, ck in {**COUNTER_METRICS, **COUNTER_METRICS_EXT}.items():
+        want = doc.doc_metrics.get(mk)
+        if want not in (None, "NA", "missing"):
+            assert merged.c.get(ck, 0) == int(want), f"{case}: {mk}"
+    dw, dl = _doc_overlap(merged.words, DEFAULT_CONFIG.overlap_size)
+    want_w = doc.doc_metrics.get("document_word_argument_overlap_count")
+    want_l = doc.doc_metrics.get("document_lemma_argument_overlap_count")
+    if want_w is not None:
+        assert dw == int(want_w), f"{case}: doc word ring overlap"
+    if want_l is not None:
+        assert dl == int(want_l), f"{case}: doc lemma ring overlap"

@@ -453,3 +453,44 @@ def test_doc_counters_and_ring_overlap_golden(case, lex, tree_lookup):
         assert dw == int(want_w), f"{case}: doc word ring overlap"
     if want_l is not None:
         assert dl == int(want_l), f"{case}: doc lemma ring overlap"
+
+
+def test_paragraph_table_stage_annotated(ray_session):
+    """The distributed paragraph table consumes the annotation column:
+    per-paragraph D_level (CSV proportion semantics) and AL_gem match
+    the golden paragraph metrics of a multi-paragraph fixture."""
+    import ray
+    import ray.data as rd
+
+    from tests.test_folia_writer import _tree_xml_lookup
+    from tscan_ray.sources.folia import annotations_to_json, parse_folia_file
+    from tscan_ray.stages.paragraphs import explode_paragraphs
+    from tscan_ray.text.lexicons import reference_test_lexicons
+
+    tree_xml = _tree_xml_lookup()
+    case = "dlevel2"
+    doc = parse_folia_file(os.path.join(REF_TESTS, f"{case}.example.ok"))
+    trees = [tree_xml(" ".join(t.word for t in s))
+             for p in doc.paragraphs for s in p]
+    rows = [{
+        "doc_id": case,
+        "text": "\n".join(" ".join(t.word for t in s)
+                          for p in doc.paragraphs for s in p),
+        "annotations": annotations_to_json(doc.paragraphs, trees),
+    }]
+    lex_ref = ray.put(reference_test_lexicons())
+    out = explode_paragraphs(rd.from_items(rows), "text", ["doc_id"],
+                             concurrency=1, lexicons_ref=lex_ref,
+                             annotations_column="annotations").to_pandas()
+    out = out.sort_values("par_idx").reset_index(drop=True)
+    assert len(out) == len(doc.par_metrics)
+    for i, pm in enumerate(doc.par_metrics):
+        n_sent = len(doc.paragraphs[i])
+        if pm.get("d_level") not in (None, "NA", "missing"):
+            # FoLiA par d_level is the SUM; the CSV column D_level is
+            # proportion(sum, sentCnt)
+            assert out.loc[i, "D_level"] * n_sent == pytest.approx(
+                float(pm["d_level"]), abs=2e-4), i
+        if pm.get("deplen") not in (None, "NA"):
+            assert out.loc[i, "AL_gem"] == pytest.approx(
+                float(pm["deplen"]), abs=2e-4), i

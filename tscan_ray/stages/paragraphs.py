@@ -32,10 +32,12 @@ class ParagraphExploder:
         cfg: EngineConfig = DEFAULT_CONFIG,
         lexicons_ref=None,
         lm_ref=None,
+        annotations_column: str | None = None,
     ):
         self.text_column = text_column
         self.id_columns = id_columns
         self.cfg = cfg
+        self.annotations_column = annotations_column
         self.lex = (ray.get(lexicons_ref) if lexicons_ref is not None
                     else default_lexicons())
         self.lm = ray.get(lm_ref) if lm_ref is not None else None
@@ -52,10 +54,22 @@ class ParagraphExploder:
         out_ids: dict[str, list] = {c: [] for c in self.id_columns}
         par_idx: list[int] = []
         rows: list[dict] = []
+        ann_json = None
+        if (self.annotations_column is not None
+                and self.annotations_column in batch.column_names):
+            ann_json = batch.column(self.annotations_column).to_pylist()
         for row, text in enumerate(texts):
+            annotations = tree_lookup = None
+            if ann_json is not None and ann_json[row]:
+                from tscan_ray.sources.folia import annotations_from_json
+
+                annotations, tree_lookup = annotations_from_json(
+                    ann_json[row])
             for pi, vec in enumerate(
                     featurize_paragraphs(text or "", self.lex, self.cfg,
-                                         lm=self.lm)):
+                                         lm=self.lm,
+                                         annotations=annotations,
+                                         tree_lookup=tree_lookup)):
                 for c in self.id_columns:
                     out_ids[c].append(ids[c][row])
                 par_idx.append(pi)
@@ -87,8 +101,11 @@ def explode_paragraphs(
     batch_size: int = 64,
     lexicons_ref=None,
     lm_ref=None,
+    annotations_column: str | None = None,
 ):
-    """One output row per paragraph of ``text_column`` (actor-pool stage)."""
+    """One output row per paragraph of ``text_column`` (actor-pool stage).
+    ``annotations_column``: JSON annotation column (sources/folia), same
+    contract as the featurizer/word/sentence stages."""
     return ds.map_batches(
         ParagraphExploder,
         fn_constructor_kwargs={
@@ -97,6 +114,7 @@ def explode_paragraphs(
             "cfg": cfg,
             "lexicons_ref": lexicons_ref,
             "lm_ref": lm_ref,
+            "annotations_column": annotations_column,
         },
         batch_format="pyarrow",
         zero_copy_batch=True,

@@ -2297,6 +2297,8 @@ def featurize_paragraphs(
     lex: Lexicons | None = None,
     cfg: EngineConfig = DEFAULT_CONFIG,
     lm=None,
+    annotations: list[list[list[TokenAnnotation]]] | None = None,
+    tree_lookup=None,
 ) -> list[dict[str, float]]:
     """Paragraph-level feature vectors — the reference's 4th CSV level
     (parStats, src/docstats.cxx:24-94): a parStats IS a structStats, so
@@ -2311,11 +2313,18 @@ def featurize_paragraphs(
 
         lm = default_lm()
     out: list[dict[str, float]] = []
-    for para in segment(text):
+    paragraphs = (annotations if annotations is not None
+                  else segment(text))
+    for para in paragraphs:
         prev: Fold | None = None
         folds: list[Fold] = []
-        for sent_tokens in para:
-            fold = analyze_sentence(sent_tokens, prev, lex, cfg, lm=lm)
+        for sent in para:
+            pre = sent if annotations is not None else None
+            toks = [t.word for t in sent] if pre is not None else sent
+            tree = (tree_lookup(" ".join(toks))
+                    if tree_lookup is not None else None)
+            fold = analyze_sentence(toks, prev, lex, cfg, lm=lm, pre=pre,
+                                    alpino_tree=tree)
             prev = fold
             folds.append(fold)
         out.append(_emit_doc(merge_folds(folds), 1, cfg))

@@ -652,6 +652,18 @@ def q_text_paragraph_table(sf_dir):
                                "MTLD_wrd", "TTR_wrd", "LiNT_score1"])
 
 
+def q_text_sentence_table(sf_dir):
+    """Sentence-level exploded output (the reference's sentence CSV, S4)."""
+    from tscan_ray.stages.sentences import explode_sentences
+
+    out = explode_sentences(_docs(sf_dir).select_columns(["doc_id", "text"]),
+                            "text", ["doc_id"], concurrency=(1, 4))
+    return out.select_columns(["doc_id", "par_idx", "sent_idx", "n_tokens",
+                               "wordCnt", "contentCnt", "clauseCnt",
+                               "d_level", "al_gem", "al_max",
+                               "avg_prob10_fwd"])
+
+
 def q_text_word_table(sf_dir):
     """Word-level exploded output (the reference's word CSV, S4)."""
     from tscan_ray.stages.words import explode_words
@@ -984,6 +996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tscan_features": q_tscan_features,
         "text_surprisal": q_text_surprisal,
         "text_word_table": q_text_word_table,
+        "text_sentence_table": q_text_sentence_table,
         "text_paragraph_table": q_text_paragraph_table,
         "pit_rolling_ttr": q_pit_rolling_ttr,
         "image_dedup_phash": q_image_dedup_phash,

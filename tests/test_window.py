@@ -404,3 +404,43 @@ class TestTwoLevelExchange:
         # peak at combines*B + one in-flight group*B (+ pending blocks)
         assert st["peak_driver_refs"] < 320
         assert st["peak_driver_refs"] <= (st["combines"] + 5) * 8 + 8
+
+    def test_combine_scheduling_hook_invoked(self, ray_session):
+        """The node-affinity hook receives one call per combine group
+        (multi-node placement hook, single-node smoke)."""
+        import os
+
+        import pandas as pd
+        import ray.data as rd
+
+        from tscan_ray.ops import keyed as keyed_mod
+        from tscan_ray.ops.keyed import task_exchange
+
+        df = pd.DataFrame({"k": [i % 5 for i in range(300)],
+                           "v": range(300)})
+
+        def kernel(b: pd.DataFrame) -> pd.DataFrame:
+            return (b.groupby("k", sort=False)["v"].sum().reset_index())
+
+        calls = []
+
+        def sched(group_idx: int):
+            calls.append(group_idx)
+            return "DEFAULT"  # Ray's default scheduling strategy name
+
+        ds = rd.from_pandas(df).repartition(20)
+        old = os.environ.get("TSCAN_RAY_EXCHANGE_GROUP")
+        old_bytes = keyed_mod._TARGET_SPLIT_BYTES
+        try:
+            keyed_mod._TARGET_SPLIT_BYTES = 1
+            os.environ["TSCAN_RAY_EXCHANGE_GROUP"] = "4"
+            out = task_exchange(ds, "k", kernel, num_buckets=4,
+                                combine_scheduling=sched).to_pandas()
+        finally:
+            keyed_mod._TARGET_SPLIT_BYTES = old_bytes
+            if old is None:
+                os.environ.pop("TSCAN_RAY_EXCHANGE_GROUP", None)
+            else:
+                os.environ["TSCAN_RAY_EXCHANGE_GROUP"] = old
+        assert sorted(out["k"].unique()) == [0, 1, 2, 3, 4]
+        assert calls == [0, 1, 2, 3, 4]  # 20 splits / group 4 = 5 combines

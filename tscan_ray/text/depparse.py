@@ -133,7 +133,10 @@ def _is_finite(ann) -> bool:
 
 
 def _is_nounish(ann) -> bool:
-    return ann.tag in _NOUNISH_TAGS or ann.prop == "ISNAME"
+    # names are nounish; bare SPEC (abbreviations / foreign words) is
+    # NOT an argument — Alpino attaches it as a modifier ("bijv."
+    # rel=mod, reference tests/afk golden: verb_bw_mod edge, np_mod)
+    return ann.tag == "N" or ann.prop == "ISNAME"
 
 
 def _is_su_candidate(ann) -> bool:
@@ -280,7 +283,12 @@ def parse_sentence(anns: list) -> SentParse:
                         or (b.tag == "VNW" and b.lword in _DET_PRONOUNS)) \
                         and not saw_noun and det_idx < 0 and size == 0:
                     det_idx = j
-                elif b.tag == "ADJ" and not saw_noun:
+                elif (b.tag == "ADJ" or (
+                        b.tag == "WW" and b.prop in ("ISVD", "ISOD")
+                        and b.position == "PRENOM")) and not saw_noun:
+                    # prenominal participles carry pos=adj in the Alpino
+                    # tree ("De geasfalteerde wegen", reference
+                    # tests/npmod: np_mod AND adj_np_mod)
                     adj_mods += 1
                 elif b.tag == "TW" and not saw_noun:
                     # numerals are NP modifiers but not adjective mods
@@ -322,6 +330,13 @@ def parse_sentence(anns: list) -> SentParse:
         if prev < 0 or not _is_nounish(anns[prev]):
             continue
         np_pp_attached.add(i)
+        if _has_np_complement(anns, i, n, puncts):
+            # a real NP-attached PP is rel=mod under the NP node
+            # (Alpino mod_stats): np_modifier counts it ("sypmtomen van
+            # Pdd-Nos", tests/afk); a STRANDED preposition ("plaatjes
+            # bij ,", tests/depdist20 — half of a split pronominal
+            # adverb) is absorbed without an edge or a mod count
+            parse.np_mod_cnt += 1
         k = i + 1
         while k < n and anns[k].tag not in ("VZ", "WW", "VG"):
             if k not in puncts and (_is_nounish(anns[k]) or anns[k].tag == "VNW"):
@@ -361,7 +376,11 @@ def parse_sentence(anns: list) -> SentParse:
         if (
             a.tag == "VNW"
             and a.lword in _REL_PRONOUNS
-            and _is_nounish(anns[prev_idx])
+            and (_is_nounish(anns[prev_idx])
+                 # substantivized adjective head ("Het weinige dat ...",
+                 # reference tests/d6: rel clause under the het-NP)
+                 or (anns[prev_idx].tag == "ADJ" and prev_idx >= 1
+                     and anns[prev_idx - 1].tag == "LID"))
         ):
             rel_after_noun.append((prev_idx, i))
     parse.betr_cnt = len(rel_after_noun)
@@ -393,7 +412,7 @@ def parse_sentence(anns: list) -> SentParse:
                         a = anns[i]
                         if _is_su_candidate(a) and i not in poss_det:
                             return True
-                        if a.tag == "LID" and a.lword == "het":
+                        if a.lword == "het" and a.tag in ("LID", "VNW"):
                             nxt = next((anns[j] for j in range(i + 1, n)
                                         if j not in puncts), None)
                             return nxt is None or not _is_nounish(nxt)
@@ -669,7 +688,7 @@ def parse_sentence(anns: list) -> SentParse:
                 obj_cands.append(j)
                 if inf_head >= 0 and aci_pron < 0 and j < inf_head:
                     aci_pron = j
-            elif b.tag == "LID" and b.lword == "het":
+            elif b.lword == "het" and b.tag in ("LID", "VNW"):
                 k = j + 1
                 while k < cl.end and anns[k].tag == "ADJ":
                     k += 1
@@ -677,7 +696,13 @@ def parse_sentence(anns: list) -> SentParse:
                     # pronominal "het" with no noun to determine ("Ko het
                     # beter kon zien", reference tests/depdist20: obj1)
                     obj_cands.append(j)
-            elif b.tag == "BW":
+            elif b.tag == "BW" or (b.tag == "SPEC"
+                                   and b.prop != "ISNAME") or (
+                    b.tag == "VNW"
+                    and b.lword in ("er", "hier", "daar", "waar")):
+                # R-pronouns (VNW adv-pron in CGN) attach like adverbs
+                # ("maakte er ... bij", reference tests/depdist20:
+                # verb_bw_mod 0)
                 first_arg = aci_pron if aci_pron >= 0 else (
                     obj_cands[0] if obj_cands else -1)
                 if inf_head >= 0 and 0 <= first_arg < j:
@@ -690,9 +715,11 @@ def parse_sentence(anns: list) -> SentParse:
                         and anns[nx].tag in ("ADJ", "BW")):
                     continue  # intensifier below the AP ("erg vlug",
                     # reference tests/mod_bw: only vlug gets an edge)
-                if nx >= 0 and _is_nounish(anns[nx]):
+                if nx >= 0 and _is_nounish(anns[nx]) and b.tag == "BW":
                     continue  # NP-internal mod ("al jaren", reference
-                    # tests/mod_adv s3: al has no verb edge)
+                    # tests/mod_adv s3: al has no verb edge); SPEC
+                    # abbreviations attach to the clause ("bijv.",
+                    # reference tests/afk: verb_bw_mod 0)
                 if pv >= 0 and pv != verb and anns[pv].tag == "BW":
                     continue  # advp-internal ("niet MEER", "niet THUIS":
                     # only the advp head keeps the verb edge)

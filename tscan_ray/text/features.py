@@ -189,6 +189,28 @@ def analyze_word(token: str, sent_initial: bool, lex: Lexicons) -> WordAnn:
     return w
 
 
+def analyze_word_decided(token: str, decision, lex: Lexicons) -> WordAnn:
+    """wordStats ctor over a sentence-context tagger decision
+    (text/tagger.py) — memoized like :func:`analyze_word` but keyed on
+    the decision (the same surface form can resolve differently per
+    context: ``het`` LID vs VNW)."""
+    if decision.punct:
+        lword = token.lower()
+        return WordAnn(word=token, lword=lword, lemma=token, tag="LET",
+                       prop="ISLET")
+    ck = (lex.memo_token, token, decision.key())
+    tmpl = _ANALYZE_CACHE.get(ck)
+    if tmpl is None:
+        tmpl = _build_word_ann(token, token.lower(), decision.info,
+                               decision.is_name, lex)
+        if len(_ANALYZE_CACHE) >= _ANALYZE_CACHE_LIMIT:
+            _ANALYZE_CACHE.clear()
+        _ANALYZE_CACHE[ck] = tmpl
+    w = WordAnn.__new__(WordAnn)
+    w.__dict__.update(tmpl.__dict__)
+    return w
+
+
 def _analyze_word_uncached(token: str, sent_initial: bool, lex: Lexicons) -> WordAnn:
     lword = token.lower()
     if is_punct(token):
@@ -197,6 +219,26 @@ def _analyze_word_uncached(token: str, sent_initial: bool, lex: Lexicons) -> Wor
 
     info = lex.pos.get(lword, None)
     is_name = token[0].isupper() and (not sent_initial or info is None)
+    if not is_name and info is None:
+        # number-shaped unknowns (reference Frog tagging, evidenced by
+        # tests/numstring.example.ok): pure digit strings are TW
+        # numerals; digit-prefixed derivations ("35jarige",
+        # "20-jarige") are prenominal ADJs, never nouns
+        head = lword.rstrip("-.,")
+        if head and head.replace(".", "").replace(",", "").isdigit():
+            info = PosInfo("TW", lword, (lword,))
+        elif head and head[0].isdigit() and head[-1].isalpha():
+            info = PosInfo("ADJ", lword, (lword,))
+        else:
+            info = PosInfo("N", lword, (lword,))
+    return _build_word_ann(token, lword, info, is_name, lex)
+
+
+def _build_word_ann(token: str, lword: str, info, is_name: bool,
+                    lex: Lexicons) -> WordAnn:
+    """wordStats construction given a tag decision (lexicon hit, tagger
+    decision, or default) — shared by the per-word heuristic path and
+    the sentence-context tagger path."""
     if is_name:
         ann = WordAnn(
             word=token, lword=lword, lemma=token, tag="SPEC", prop="ISNAME",
@@ -216,18 +258,6 @@ def _analyze_word_uncached(token: str, sent_initial: bool, lex: Lexicons) -> Wor
         ann.sem_type = (lex.noun_sem.get(token) or lex.noun_sem.get(lword)
                         or _NER_TO_SEM.get(ner, ""))
     else:
-        if info is None:
-            # number-shaped unknowns (reference Frog tagging, evidenced by
-            # tests/numstring.example.ok): pure digit strings are TW
-            # numerals; digit-prefixed derivations ("35jarige",
-            # "20-jarige") are prenominal ADJs, never nouns
-            head = lword.rstrip("-.,")
-            if head and head.replace(".", "").replace(",", "").isdigit():
-                info = PosInfo("TW", lword, (lword,))
-            elif head and head[0].isdigit() and head[-1].isalpha():
-                info = PosInfo("ADJ", lword, (lword,))
-            else:
-                info = PosInfo("N", lword, (lword,))
         ann = WordAnn(
             word=token, lword=lword, lemma=info.lemma, tag=info.tag,
             morphemes=info.morphemes or (lword,),
@@ -809,64 +839,19 @@ def analyze_sentence(
         anns = [analyze_word_annotated(p, lex) for p in pre]
         tokens = [p.word for p in pre]
     else:
-        anns = [analyze_word(t, i == 0, lex) for i, t in enumerate(tokens)]
+        # sentence-context heuristic tagger (text/tagger.py): emulates
+        # the Frog tag decisions the reference consumes — including the
+        # "dat" complementizer-vs-relative saturation rule ("De kans dat
+        # hij Piet ziet", reference tests/depdist21: cp under np, not
+        # rel; expletive "er" fills the subject slot, tests/
+        # relativeclauses s15) and the prepositional-"als" retag
+        # ("dienden als begraafplaats", tests/d0)
+        from tscan_ray.text.tagger import tag_sentence
+
+        decisions = tag_sentence(tokens, lex)
+        anns = [analyze_word_decided(t, d, lex)
+                for t, d in zip(tokens, decisions)]
     f.words = anns
-
-    # "dat"/"of" disambiguation: the lexicon tags them VNW/VG-neven; after
-    # a verb they head a finite complement clause (VG/onder) — reduced
-    # stand-in for the Alpino cp/whsub decision (resolveRelativeClauses).
-    # After a NOUN, "dat" is a relative pronoun UNLESS the embedded clause
-    # is saturated — >= 2 subject/object candidates before its finite verb
-    # leave no gap for a relativizer to fill ("De kans dat hij Piet
-    # ziet", reference tests/depdist21: cp under np, not rel).
-    # Both retag passes emulate FROG tag decisions — skipped when real
-    # annotations were supplied.
-    for k in (range(1, len(anns)) if pre is None else ()):
-        a = anns[k]
-        if a.lword == "dat" and a.tag == "VNW":
-            p = next((anns[j] for j in range(k - 1, -1, -1)
-                      if anns[j].prop != "ISLET"), None)
-            if p is None:
-                continue
-            if p.tag == "WW":
-                a.tag = "VG"
-                a.conjtype = "onder"
-            elif p.tag == "N" or p.prop == "ISNAME":
-                args = 0
-                for j in range(k + 1, len(anns)):
-                    b = anns[j]
-                    if b.tag == "WW" and b.prop in ("ISPVTGW", "ISPVVERL"):
-                        break
-                    if (b.tag == "N" or b.prop == "ISNAME"
-                            or (b.tag == "VNW" and b.prop in
-                                ("ISPPRON1", "ISPPRON2", "ISPPRON3"))
-                            # expletive "er" fills the subject slot
-                            # ("de verwachting dat ER een einde aan zou
-                            # komen", reference tests/relativeclauses
-                            # s15: cp complement, rel_count 0)
-                            or b.lword == "er"):
-                        args += 1
-                if args >= 2:
-                    a.tag = "VG"
-                    a.conjtype = "onder"
-
-    # "als" disambiguation: Frog tags prepositional "als" ("dienden als
-    # begraafplaats", reference tests/d0) VZ; only a clause-introducing
-    # "als" — a finite verb follows before the next conjunction — keeps
-    # the lexicon's VG/onder reading
-    for k, a in (enumerate(anns) if pre is None else ()):
-        if a.lword == "als" and a.tag == "VG" and a.conjtype == "onder":
-            has_fin = False
-            for j in range(k + 1, len(anns)):
-                b = anns[j]
-                if b.tag == "VG":
-                    break
-                if b.tag == "WW" and b.prop in ("ISPVTGW", "ISPVVERL"):
-                    has_fin = True
-                    break
-            if not has_fin:
-                a.tag = "VZ"
-                a.conjtype = ""
 
     # checkAls (resolveConnectives, src/sentstats.cxx:366-424): "als" is
     # never a connective-list entry; its type is contextual —

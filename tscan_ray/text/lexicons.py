@@ -645,12 +645,16 @@ def _merge_published_lists(lex: Lexicons) -> None:
     # drop it.  Tag-restricted entries get their own tag; untagged
     # entries default to BW (passes the gate, stays out of the nounish
     # scans).  The reference gets these tags from Frog.
+    # the ("auto","1") feat marks these as derived POS evidence (lemma
+    # lists, not a tagger) — the sentence tagger's closed-class tables
+    # and morphology may override them, unlike hand-curated entries
+    auto = (("auto", "1"),)
     for _, tws in lex.conn_order:
         for tag, entries in tws.tagged.items():
             for w in entries:
-                lex.pos.setdefault(w, PosInfo(tag, w, (w,)))
+                lex.pos.setdefault(w, PosInfo(tag, w, (w,), auto))
         for w in tws.unass:
-            lex.pos.setdefault(w, PosInfo("BW", w, (w,)))
+            lex.pos.setdefault(w, PosInfo("BW", w, (w,), auto))
 
     # semantic-type lexicons (the reference golden-test bundles,
     # tests/{nouns,adjs,verbs}_semtype.data; fillN/fillADJ/fillWW
@@ -663,15 +667,16 @@ def _merge_published_lists(lex: Lexicons) -> None:
     lex.noun_sem.update(n_sem)
     lex.compounds.update(n_comp)
     for lem in n_sem:
-        lex.pos.setdefault(lem, PosInfo("N", lem, (lem,)))
+        lex.pos.setdefault(lem, PosInfo("N", lem, (lem,), auto))
     a_sem = loaders.read_adj_sem()
     lex.adj_sem.update(a_sem)
     for lem in a_sem:
-        lex.pos.setdefault(lem, PosInfo("ADJ", lem, (lem,)))
+        lex.pos.setdefault(lem, PosInfo("ADJ", lem, (lem,), auto))
     v_sem = loaders.read_verb_sem()
     lex.verb_sem.update(v_sem)
     for lem in v_sem:
-        lex.pos.setdefault(lem, PosInfo("WW", lem, (lem,), (("wvorm", "inf"),)))
+        lex.pos.setdefault(lem, PosInfo("WW", lem, (lem,),
+                                         (("auto", "1"), ("wvorm", "inf"))))
 
 
 _DEFAULT: Lexicons | None = None

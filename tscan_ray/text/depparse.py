@@ -160,6 +160,13 @@ def _has_np_complement(anns: list, j: int, end: int, puncts: set[int]) -> bool:
     return False
 
 
+# connective adverbs that start a new (V1-inverted) main clause when a
+# finite clause precedes and another finite verb follows
+_CONN_ADVERBS = frozenset({"dus", "daarom", "daardoor", "daarna",
+                           "vervolgens", "bovendien", "echter", "toch",
+                           "immers", "bijgevolg", "zodoende"})
+
+
 def _split_clauses(anns: list) -> list[Clause]:
     """Clause segmentation: a VG token closes the current clause and opens
     a new one — ``neven`` (coordinating) opens a peer main clause,
@@ -169,6 +176,7 @@ def _split_clauses(anns: list) -> list[Clause]:
     start = 0
     kind = "main"
     conj = -1
+    seen_finite = False
     for i, a in enumerate(anns):
         if a.tag == "VG":
             if i > start:
@@ -176,6 +184,22 @@ def _split_clauses(anns: list) -> list[Clause]:
             kind = "sub" if a.conjtype == "onder" else "coord"
             conj = i
             start = i + 1
+            seen_finite = False
+        elif (a.tag == "BW" and a.lword in _CONN_ADVERBS and seen_finite
+              and i > start
+              and any(_is_finite(anns[j])
+                      for j in range(i + 1, len(anns)))):
+            # connective adverb joining two finite clauses without a VG
+            # ("... geen repen met punten meer DUS kocht ik 2 repen",
+            # reference tests/bug1: Alpino brackets a second smain) —
+            # the adverb stays in the new clause (V1 inversion follows)
+            clauses.append(Clause(start, i, kind, conj))
+            kind = "main"
+            conj = -1
+            start = i
+            seen_finite = False
+        elif _is_finite(a):
+            seen_finite = True
     if start < len(anns):
         clauses.append(Clause(start, len(anns), kind, conj))
     if not clauses:
@@ -275,6 +299,7 @@ def parse_sentence(anns: list) -> SentParse:
             saw_noun = False
             adj_mods = 0
             tw_mods = 0
+            post_mods = 0
             size = 0
             det_idx = -1
             while j < n:
@@ -296,11 +321,20 @@ def parse_sentence(anns: list) -> SentParse:
                     # reference tests/npmod)
                     tw_mods += 1
                 elif _is_nounish(b):
+                    if saw_noun:
+                        # apposition / partitive second head ("De stad
+                        # Antwerpen", "Drie liter melk": rel=mod/app
+                        # under the NP — reference tests/npmod)
+                        post_mods += 1
                     saw_noun = True
                     np_start[j] = i
                     if det_idx >= 0:
                         _store(parse, "NOUN_DET", det_idx, j, puncts)
                         det_idx = -1
+                elif b.tag in ("ADJ", "TW") and saw_noun:
+                    # post-head modifier ("arbeidsbureau nieuwe stijl",
+                    # "het getal zeven")
+                    post_mods += 1
                 else:
                     break
                 size += 1
@@ -308,7 +342,7 @@ def parse_sentence(anns: list) -> SentParse:
             if saw_noun:
                 parse.np_cnt += 1
                 parse.np_size_sum += size
-                parse.np_mod_cnt += adj_mods + tw_mods
+                parse.np_mod_cnt += adj_mods + tw_mods + post_mods
                 parse.adj_np_mod_cnt += adj_mods
                 if anns[i].tag == "LID" and anns[i].lword == "een":
                     parse.indef_np_cnt += 1

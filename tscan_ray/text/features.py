@@ -918,6 +918,64 @@ def analyze_sentence(
             if not a.is_nominal and _alp.check_nominal_verb(wn):
                 a.is_nominal = True
 
+    # context verb reclassification (classifyVerb without a tree,
+    # src/Alpino.cxx:640-726 mirrored over the token window): hebben is
+    # a TIME auxiliary only with a verbal complement; zijn/worden with a
+    # participle are passive/perfect, not copulas; a copula needs a
+    # predicate.  The per-word lexical guess (_classify_verb) cannot see
+    # any of this.
+    if alpino_tree is None:
+        from tscan_ray.text.alpino import KOPPELS, MODALS
+
+        for k, a in enumerate(anns):
+            if a.tag != "WW":
+                continue
+            end = next((j for j in range(k + 1, len(anns))
+                        if anns[j].tag == "VG"), len(anns))
+            later = anns[k + 1:end]
+            has_vd = any(b.tag == "WW" and b.prop == "ISVD" for b in later)
+            has_vc = any(b.tag == "WW" and b.prop in ("ISVD", "ISINF")
+                         for b in later)
+            predc = False
+            for b in later:
+                if b.prop == "ISLET" or b.tag in ("BW", "LID", "TW",
+                                                  "VNW"):
+                    continue
+                if b.tag == "WW" or b.tag == "VZ":
+                    break
+                if b.tag in ("ADJ", "N") or b.prop == "ISNAME":
+                    predc = True
+                break
+            if not predc:
+                # verb-final subordinate clause: the predicate PRECEDES
+                # the copula ("omdat ie moe was")
+                for j in range(k - 1, -1, -1):
+                    b = anns[j]
+                    if b.prop == "ISLET" or b.tag == "BW":
+                        continue
+                    if b.tag == "ADJ":
+                        predc = True
+                    break
+            lemma = a.lemma
+            if lemma == "worden" and has_vd:
+                ww = "PASSIVE_VERB"
+            elif lemma in KOPPELS and predc and not has_vc:
+                ww = "COPULA"
+            elif lemma == "zullen":
+                ww = "TIME_VERB"
+            elif lemma in _MODAL_LEMMAS or (lemma in MODALS and has_vc):
+                ww = "MODAL_VERB"
+            elif lemma == "hebben":
+                ww = "TIME_VERB" if has_vc else "HEAD_VERB"
+            elif lemma == "zijn":
+                ww = "TIME_VERB"
+            else:
+                ww = "HEAD_VERB"
+            if ww != a.wwform:
+                a.wwform = ww
+                a.is_content = _check_content(a, False)
+                a.is_content_strict = _check_content(a, True)
+
     # separable-verb resolution (sentence context): a listed particle
     # elsewhere in the sentence gives the verb its full lemma, and the
     # full-lemma-first lookups (verb_sem, lemma_freq — reference

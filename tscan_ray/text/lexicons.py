@@ -178,7 +178,7 @@ def _dutch_entries() -> dict[str, PosInfo]:
     # tests/relativeclauses); "waar" the locative adverb-pronoun
     add("wie", "VNW", "wie", vwtype="vb", persoon="3")
     add("wat", "VNW", "wat", vwtype="vb")
-    add("waar", "BW", "waar")
+    add("waar", "VNW", "waar", vwtype="vb")
     add("u", "VNW", "u", vwtype="pers", persoon="2")
     add("men", "VNW", "men", vwtype="pers", persoon="3")
     add("iedereen", "VNW", "iedereen", vwtype="onbep")
@@ -315,6 +315,7 @@ def _dutch_entries() -> dict[str, PosInfo]:
                    # under the AP (reference tests/depdist21.example.alpino)
                    ("vrij", "vrij"), ("boze", "boos"),
                    ("onaanvaardbaar", "onaanvaardbaar"), ("laat", "laat"),
+                   ("erg", "erg"), ("heel", "heel"),
                    ("blind", "blind"), ("vlug", "vlug"),
                    ("halve", "half"), ("half", "half"), ("duur", "duur"),
                    ("meeste", "veel"), ("blaffende", "blaffen"),
@@ -329,13 +330,16 @@ def _dutch_entries() -> dict[str, PosInfo]:
     # conjunction (golden all_connector_count excludes it)
     add("daar", "VNW", "daar", vwtype="aanw")
     for w in ("niet", "nooit", "altijd", "vandaag", "morgen", "gisteren",
-              "hier", "nu", "dan", "snel2", "erg", "heel", "zeer",
+              "nu", "dan", "snel2", "zeer",
               "misschien", "moeilijk", "weg", "samen", "graag", "vaak",
               "bovendien", "echter", "daarna", "vervolgens", "daardoor",
               "daarnaast", "verder", "toch", "dus", "ook", "zo", "net",
-              "zowel", "evenmin", "al", "er", "binnen", "eens", "vandaan",
+              "zowel", "evenmin", "al", "binnen", "eens", "vandaan",
               "juist", "meteen", "thuis"):
         add(w, "BW", w)
+    # CGN adv-pronouns (Frog: VNW(aanw/vb, adv-pron) — like "daar" above)
+    add("er", "VNW", "er", vwtype="aanw")
+    add("hier", "VNW", "hier", vwtype="aanw")
 
     # conjunctions
     for w, ct in [("en", "neven"), ("of", "neven"), ("maar", "neven"),

@@ -313,6 +313,73 @@ def _closed_entries() -> dict[str, PosInfo]:
     return e
 
 
+# Frog's verb-morpheme scheme (observed across the reference's golden
+# FoLiA): every form segments as (present-stem, suffix-letters) — the
+# stem is the LEMMA's present stem even for ablaut preterites ("liep" ->
+# ("loop",), "dacht" -> ("denk","t")); a final d/t that the stem itself
+# ends in belongs to the stem ("vond" -> ("vind",)); suppletive zijn
+# forms are the bare lemma.
+_IRREG_STEM = {"kunnen": "kan", "zullen": "zal", "mogen": "mag",
+               "hebben": "heb", "zijn": "zijn", "gaan": "ga",
+               "doen": "doe", "staan": "sta", "zien": "zie",
+               "slaan": "sla"}
+_WW_MORPH_EXC = {
+    "geworden": ("ge", "worden"), "geweest": ("ge", "wees", "t"),
+    "ging": ("gaan",), "gingen": ("gaan", "en"),
+    "zeggen": ("zeg", "e", "n"), "leggen": ("leg", "e", "n"),
+    "gegaan": ("ge", "ga"), "gedaan": ("ge", "doe"),
+    "gestaan": ("ge", "sta"), "geslagen": ("ge", "sla", "en"),
+}
+
+
+def _split_stem(stem: str) -> tuple[str, ...]:
+    """Derivational-prefix split inside the stem (Frog: "betekent" ->
+    (be, teken, t), "verspillen" -> (ver, spil, en)); ge- initial
+    lemmas stay whole ("gebruikt" -> (gebruik, t))."""
+    for pre in ("ver", "be", "ont", "her"):
+        if stem.startswith(pre) and len(stem) > len(pre) + 2:
+            return (pre, stem[len(pre):])
+    return (stem,)
+
+
+def _ww_morphemes(surface: str, lemma: str) -> tuple[str, ...]:
+    exc = _WW_MORPH_EXC.get(surface)
+    if exc is not None:
+        return exc
+    if lemma == "zijn":
+        return ("zijn",)
+    stem = _IRREG_STEM.get(lemma) or _verb_stem(lemma)
+    if surface.startswith("ge") and not lemma.startswith("ge") \
+            and surface != stem and not stem.startswith("ge"):
+        # participle circumfix: (ge, present-stem[, ending])
+        if surface.endswith("en"):
+            return ("ge", stem, "en")
+        if surface.endswith("n"):
+            return ("ge", stem, "n")
+        if surface[-1] in "dt":
+            if stem[-1] == surface[-1]:
+                return ("ge", stem)
+            return ("ge", stem, surface[-1])
+        return ("ge", stem)
+    parts = _split_stem(stem)
+    if surface == stem:
+        return parts
+    if surface.endswith(("de", "te")) and len(surface) > 3:
+        return parts + (surface[-2:],)
+    if surface.endswith(("den", "ten")) and surface != lemma \
+            and len(surface) > 4:
+        return parts + (surface[-3:],)
+    if surface.endswith("en"):
+        return parts + ("en",)
+    if surface.endswith("n") and surface == lemma:
+        return parts + ("n",)
+    if surface[-1] in "dt":
+        if stem[-1] == surface[-1]:
+            return parts
+        return parts + (surface[-1],)
+    return parts
+
+
 def _verb_stem(lemma: str) -> str:
     """Infinitive -> written stem (standard Dutch spelling rules:
     undouble the open-syllable vowel, devoice v/z)."""
@@ -649,7 +716,98 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
                 d.info = _pi("N", lemma, morphs)
             else:
                 d.info = _pi("N", lword)
+
+    # final morphology normalization (Frog's segmentation conventions)
+    for i, d in enumerate(ds):
+        if d.punct or d.is_name or d.info is None:
+            continue
+        info = d.info
+        m = info.morphemes
+        if info.tag == "WW":
+            if m and len(m) >= 2 and (m[0] in _PARTICLES
+                                      or m[0] in ("ver", "be", "ont",
+                                                  "her")):
+                continue  # guessed prefixed participle keeps structure
+            new = _ww_morphemes(tokens[i].lower(), info.lemma)
+        elif info.tag == "N" and len(m) == 1:
+            lw = tokens[i].lower()
+            comp = lex.compounds.get(info.lemma)
+            stem_parts = None
+            if comp is not None and comp[2] >= 2 and comp[1]:
+                stem_parts = (comp[1], comp[0])  # (satellite, head)
+            if lw != info.lemma and lw.endswith(("en", "s")) \
+                    and len(lw) > 4:
+                # real plural: (lemma-stem[, compound-split], plural sfx)
+                sfx = "en" if lw.endswith("en") else "s"
+                new = (stem_parts or (info.lemma,)) + (sfx,)
+            elif stem_parts is not None:
+                new = stem_parts
+            elif (lw.endswith("en") and len(lw) > 4
+                  and _noun_lemma(lw)[0] in lex.noun_sem):
+                new = (_noun_lemma(lw)[0], "en")
+            else:
+                continue
+        elif info.tag == "BW" and len(m) == 1:
+            lw = tokens[i].lower()
+            new = _BW_MORPHS.get(lw)
+            if new is None:
+                for r in ("daar", "hier", "waar", "er"):
+                    if lw.startswith(r) and len(lw) > len(r) + 1:
+                        new = (r, lw[len(r):])  # pronominal adverb
+                        break
+            if new is None:
+                continue
+        elif info.tag == "TW" and len(m) == 1:
+            new = _TW_MORPHS.get(tokens[i].lower())
+            if new is None:
+                continue
+        elif info.tag == "ADJ" and len(m) == 1:
+            lw = tokens[i].lower()
+            new = None
+            for sfx in _ADJ_SUFFIXES:
+                if sfx in _ADJ_INFLECTED:
+                    continue
+                if lw.endswith(sfx) and len(lw) > len(sfx) + 2:
+                    # derivational split ("eigenlijk" -> (eigen, lijk),
+                    # "hartelijk" -> (hart, elijk): e belongs to suffix)
+                    stem = lw[: -len(sfx)]
+                    if stem.endswith("e") and sfx in ("lijk", "loos"):
+                        stem = stem[:-1]
+                        sfx = "e" + sfx
+                    new = (stem, sfx)
+                    break
+            if new is None:
+                continue
+        else:
+            continue
+        if new != m:
+            d.info = PosInfo(info.tag, info.lemma, new, info.feats)
     return ds
+
+
+# Frog morpheme splits for closed-class items
+_BW_MORPHS = {"eens": ("een", "s"), "misschien": ("misschien",),
+              "vandaag": ("van", "daag"), "vanavond": ("van", "avond"),
+              "vanmorgen": ("van", "morgen"),
+              "vanmiddag": ("van", "middag"),
+              "vannacht": ("van", "nacht"), "zelfs": ("zelf", "s"),
+              "thuis": ("te", "huis"), "bovendien": ("boven", "dien"),
+              "daarom": ("daar", "om"), "daarna": ("daar", "na"),
+              "daardoor": ("daar", "door")}
+_TW_MORPHS = {"eerste": ("een", "ste"), "tweede": ("twee", "de"),
+              "derde": ("drie", "de"), "vierde": ("vier", "de"),
+              "vijfde": ("vijf", "de"), "zesde": ("zes", "de"),
+              "zevende": ("zeven", "de"), "achtste": ("acht", "ste"),
+              "negende": ("negen", "de"), "tiende": ("tien", "de"),
+              "twintig": ("twee", "tig"), "dertig": ("drie", "tig"),
+              "veertig": ("vier", "tig"), "vijftig": ("vijf", "tig"),
+              "zestig": ("zes", "tig"), "zeventig": ("zeven", "tig"),
+              "tachtig": ("acht", "tig"), "negentig": ("negen", "tig"),
+              "vijfduizend": ("vijf", "duizend"),
+              "vijftien": ("vijf", "tien"), "veertien": ("vier", "tien"),
+              "dertien": ("drie", "tien"), "zestien": ("zes", "tien"),
+              "zeventien": ("zeven", "tien"), "achttien": ("acht", "tien"),
+              "negentien": ("negen", "tien")}
 
 
 def _prev_tag(ds: list[Decision], i: int) -> str:
@@ -849,7 +1007,11 @@ def _context_passes(tokens, ds, lex, n):
                 and lw.endswith("en")
                 and (prev_lw in ("de", "deze", "die", "alle", "sommige",
                                  "veel", "weinig", "mijn", "zijn", "hun")
-                     or pv in ("ADJ", "TW"))):
+                     or pv in ("ADJ", "TW")
+                     # bare "met/zonder punten": nominal, infinitives
+                     # under a preposition need "te"
+                     or (pv == "VZ" and d.info.feat("auto") == "1"
+                         and prev_lw not in ("te", "om")))):
             lemma, morphs = _noun_lemma(lw)
             d.info = _pi("N", lemma, morphs)
             continue

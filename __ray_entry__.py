@@ -741,6 +741,18 @@ def q_dedup_minhash(sf_dir):
     return minhash_lsh_pairs(_docs(sf_dir), "text", "doc_id", jaccard_threshold=0.7)
 
 
+def q_dedup_minhash_fast(sf_dir):
+    """Production-hash MinHash path (hash_impl='fast': memoized token
+    md5 + vectorized rolling-Horner gram hashing — no per-gram Python
+    hashing).  Rows-only check: the hash function differs from the
+    md5-gram oracle by design; pair-set equality vs the md5 path is
+    asserted in tests/test_dedup.py."""
+    from tscan_ray.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(sf_dir), "text", "doc_id",
+                             jaccard_threshold=0.7, hash_impl="fast")
+
+
 def q_dedup_components(sf_dir):
     """Near-dup pairs clustered into duplicate groups: MinHash+LSH pairs
     -> distributed connected components (hash-min label propagation);
@@ -986,6 +998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tscan_features_core": q_tscan_features_core,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_fast": q_dedup_minhash_fast,
         "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
         "ann_topk": q_ann_topk,

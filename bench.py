@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "pit_tumbling_window",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_minhash_fast",
     "text_word_freq_topk",
     "text_quality",
     "ann_topk",

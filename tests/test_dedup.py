@@ -96,6 +96,33 @@ class TestMinhash:
         assert len(b) > 0  # the planted dups must surface
         pd.testing.assert_frame_equal(b, e)
 
+    def test_fast_hash_matches_md5_pairs(self, docs):
+        """hash_impl='fast' (memoized-token + rolling-Horner grams) must
+        yield the same verified pair SET as the md5-gram oracle path on
+        the fixture corpus with planted near/exact dups."""
+        import pandas as pd
+
+        from tscan_ray.ops.dedup import minhash_lsh_pairs
+
+        texts = docs.limit(150).to_pandas()
+        dup = texts.head(12).copy()
+        dup["doc_id"] = dup["doc_id"] + 1_000_000
+        dup.loc[dup.index[:6], "text"] = (
+            dup.loc[dup.index[:6], "text"].str.replace(" de ", " het ", n=1))
+        corpus = rd.from_pandas(pd.concat([texts, dup], ignore_index=True))
+
+        kw = dict(jaccard_threshold=0.5)
+        md5p = minhash_lsh_pairs(corpus, "text", "doc_id", **kw).to_pandas()
+        fast = minhash_lsh_pairs(corpus, "text", "doc_id",
+                                 hash_impl="fast", **kw).to_pandas()
+        assert len(md5p) > 0
+        assert (set(zip(md5p["id_a"], md5p["id_b"]))
+                == set(zip(fast["id_a"], fast["id_b"])))
+        # jaccard values agree too (same set sizes, collision-free here)
+        m = md5p.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        f = fast.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        assert np.allclose(m["jaccard"], f["jaccard"], atol=1e-9)
+
     def test_no_pairs_on_all_distinct(self, docs):
         from tscan_ray.ops.dedup import minhash_lsh_pairs
 

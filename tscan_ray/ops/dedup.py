@@ -80,6 +80,60 @@ def shingles(text: str, k: int) -> np.ndarray:
     return np.unique(_md5_u64(grams) % _P31)
 
 
+# fast-path token-hash memo: natural text reuses a small vocabulary, so
+# md5 runs once per DISTINCT token per worker; gram hashing is then a
+# k-step vectorized rolling Horner over the token-hash array (no
+# per-gram Python hashing).  Bounded to keep worker heaps flat on
+# open-vocabulary corpora.
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_TOKEN_HASH_CACHE_LIMIT = 1_000_000
+
+
+def shingles_fast(text: str, k: int) -> np.ndarray:
+    """Vectorized word k-shingle hashes (production path).
+
+    Same output SHAPE and modulus as :func:`shingles` but a different
+    (still deterministic, process-independent) hash function: per-token
+    md5 (memoized) combined per-gram with the Horner rolling hash.
+    Jaccard over these hashes equals Jaccard over the md5-gram hashes
+    up to mod-P collisions, so the verified pair set matches the md5
+    path in practice (pytest asserts equality on the fixtures); the
+    DuckDB oracle pins the md5 path, which stays the default for
+    oracle-checked queries."""
+    toks = _TOKEN_RE.findall(text.lower())
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    h = np.empty(len(toks), dtype=np.uint64)
+    cache = _TOKEN_HASH_CACHE
+    for i, t in enumerate(toks):
+        v = cache.get(t)
+        if v is None:
+            v = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            if len(cache) >= _TOKEN_HASH_CACHE_LIMIT:
+                cache.clear()
+            cache[t] = v
+        h[i] = v
+    h %= _P31
+    if len(toks) < k:
+        acc = np.uint64(0)
+        for v in h:
+            acc = (acc * _HORNER_K + v) % _P31
+        return np.array([acc], dtype=np.uint64)
+    m = len(toks) - k + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        acc = (acc * _HORNER_K + h[j:j + m]) % _P31
+    return np.unique(acc)
+
+
+def _shingle_fn(hash_impl: str):
+    if hash_impl == "md5":
+        return shingles
+    if hash_impl == "fast":
+        return shingles_fast
+    raise ValueError(f"hash_impl must be 'md5' or 'fast', got {hash_impl!r}")
+
+
 def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """num_perm minima of (a*x + b) mod (2^31-1) — vectorized over
     shingles; a, x < 2^31 so products stay < 2^62 (exact in uint64)."""
@@ -135,6 +189,7 @@ def minhash_lsh_pairs(
     shingle_k: int = DEFAULT_CONFIG.shingle_k,
     jaccard_threshold: float = 0.7,
     broadcast_max_ids: int = 500_000,
+    hash_impl: str = "md5",
 ):
     """Near-duplicate pairs via MinHash banding, verified with exact
     Jaccard over shingle sets.
@@ -161,23 +216,44 @@ def minhash_lsh_pairs(
     """
     import ray
 
+    sh_fn = _shingle_fn(hash_impl)
     a, b = _minhash_params(num_perm)
     docs = ds.select_columns([id_col, text_col])
 
     def to_bands(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
-        ids = batch.column(id_col).to_pylist()
-        out_key, out_id = [], []
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        shs, keep = [], []
         for i, t in enumerate(texts):
-            sh = shingles(t or "", shingle_k)
-            if sh.size == 0:
-                continue
-            sig = minhash_signature(sh, a, b)
-            out_key.extend(band_keys(sig, bands).tolist())
-            out_id.extend([ids[i]] * bands)
+            sh = sh_fn(t or "", shingle_k)
+            if sh.size:
+                shs.append(sh)
+                keep.append(i)
+        if not shs:
+            return pa.table({
+                "band_key": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=batch.column(id_col).type),
+            })
+        # ONE (num_perm, total_shingles) pass for the whole batch, then
+        # segment-minima per doc — no per-doc numpy dispatch overhead
+        lens = np.fromiter((s.size for s in shs), np.int64, len(shs))
+        offsets = np.zeros(len(shs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        sh_all = np.concatenate(shs)
+        prod = (sh_all[None, :] * a[:, None] + b[:, None]) % _P31
+        sigs = np.minimum.reduceat(prod, offsets, axis=1).T  # (docs, perm)
+        # banded Horner keys, vectorized across docs
+        rows = sigs.shape[1] // bands
+        view = sigs.reshape(len(shs), bands, rows)
+        bh = np.zeros((len(shs), bands), dtype=np.uint64)
+        for j in range(rows):
+            bh = (bh * _HORNER_K + view[:, :, j]) % _P31
+        keys = (np.arange(bands, dtype=np.uint64)[None, :] * _P31
+                + bh).astype(np.int64)
         return pa.table({
-            "band_key": pa.array(out_key, type=pa.int64()),
-            id_col: pa.array(out_id, type=batch.column(id_col).type),
+            "band_key": pa.array(keys.ravel(), type=pa.int64()),
+            id_col: pa.array(np.repeat(ids[keep], bands),
+                             type=batch.column(id_col).type),
         })
 
     banded = docs.map_batches(to_bands, batch_format="pyarrow",
@@ -228,7 +304,8 @@ def minhash_lsh_pairs(
     if 2 * n_pairs > broadcast_max_ids:
         # adversarial candidate volume: no driver/broadcast involvement
         return _verify_pairs_exchange(docs, cand, text_col, id_col,
-                                      shingle_k, jaccard_threshold)
+                                      shingle_k, jaccard_threshold,
+                                      sh_fn=sh_fn)
     cand_df = cand.to_pandas()  # candidate pairs only — broadcast-small
 
     # shingle sets for candidate docs only (semi-filter streams the
@@ -241,7 +318,7 @@ def minhash_lsh_pairs(
         docs, pd.DataFrame({id_col: ids}), on=id_col, how="semi")
 
     def to_shingle_rows(batch: pa.Table) -> pa.Table:
-        sh = [shingles(t or "", shingle_k).view(np.int64).tolist()
+        sh = [sh_fn(t or "", shingle_k).view(np.int64).tolist()
               for t in batch.column(text_col).to_pylist()]
         return pa.table({id_col: batch.column(id_col),
                          "__sh__": pa.array(sh, type=pa.list_(pa.int64()))})
@@ -278,7 +355,8 @@ def minhash_lsh_pairs(
 
 
 def _verify_pairs_exchange(docs, cand, text_col: str, id_col: str,
-                           shingle_k: int, jaccard_threshold: float):
+                           shingle_k: int, jaccard_threshold: float,
+                           sh_fn=shingles):
     """Exact-Jaccard verification of candidate pairs with NO driver
     materialization and NO broadcast — the scale path for adversarial
     candidate volumes (``ops/dedup.py`` plan step 3-4 fallback).
@@ -348,7 +426,7 @@ def _verify_pairs_exchange(docs, cand, text_col: str, id_col: str,
                .drop_duplicates("__k__", keep="first"))
         # shingle only the docs an endpoint actually references
         txt = txt[txt["__k__"].isin(endp["__k__"].unique())]
-        sh_by_key = {k: shingles(t or "", shingle_k).tobytes()
+        sh_by_key = {k: sh_fn(t or "", shingle_k).tobytes()
                      for k, t in zip(txt["__k__"], txt["__txt__"])}
         m = endp[endp["__k__"].isin(txt["__k__"])]
         return pd.DataFrame({

@@ -126,6 +126,68 @@ def _gather(s: pd.Series, ridx: np.ndarray, out_index) -> pd.Series:
     return g
 
 
+def _ts_i64(a: np.ndarray) -> np.ndarray:
+    """Timestamp column as comparable int64 (datetime64 -> raw ticks)."""
+    if np.issubdtype(a.dtype, np.datetime64):
+        return a.view("int64")
+    return a.astype(np.int64, copy=False)
+
+
+def _asof_indices(lk, lts, rk, rts, direction: str,
+                  tolerance_us: int | None) -> np.ndarray:
+    """Arrow/numpy-native as-of matcher: for each left (key, ts) return
+    the positional index into the (key, ts)-deduped right side, or -1.
+
+    Replaces the pandas ``merge_asof(by=key)`` hot kernel: both sides'
+    keys are codified with one ``np.unique`` and timestamps with a rank
+    map, giving a single int64 composite ``key_code * M + ts_rank`` per
+    row whose TOTAL order equals the (key, ts) lexicographic order —
+    one vectorized ``np.searchsorted`` gallop then answers every left
+    row at once (no per-key grouping, no pandas block manager).
+    ``nearest`` ties prefer the backward row (pandas semantics)."""
+    n_r = len(rk)
+    if n_r == 0 or len(lk) == 0:
+        return np.full(len(lk), -1, dtype=np.int64)
+    allk = np.concatenate([rk, lk])
+    _, kinv = np.unique(allk, return_inverse=True)
+    rkc, lkc = kinv[:n_r].astype(np.int64), kinv[n_r:].astype(np.int64)
+    lts_i, rts_i = _ts_i64(lts), _ts_i64(rts)
+    allts = np.concatenate([rts_i, lts_i])
+    uts, tinv = np.unique(allts, return_inverse=True)
+    rtr, ltr = tinv[:n_r].astype(np.int64), tinv[n_r:].astype(np.int64)
+    m = np.int64(len(uts) + 1)
+    rcomp = rkc * m + rtr
+    lcomp = lkc * m + ltr
+    order_r = np.argsort(rcomp, kind="stable")
+    rcomp_s = rcomp[order_r]
+
+    def _backward():
+        pos = np.searchsorted(rcomp_s, lcomp, side="right") - 1
+        cand = order_r[np.maximum(pos, 0)]
+        ok = (pos >= 0) & (rkc[cand] == lkc)
+        if tolerance_us is not None:
+            ok &= (lts_i - rts_i[cand]) <= tolerance_us
+        return np.where(ok, cand, -1)
+
+    def _forward():
+        pos = np.searchsorted(rcomp_s, lcomp, side="left")
+        cand = order_r[np.minimum(pos, n_r - 1)]
+        ok = (pos < n_r) & (rkc[cand] == lkc)
+        if tolerance_us is not None:
+            ok &= (rts_i[cand] - lts_i) <= tolerance_us
+        return np.where(ok, cand, -1)
+
+    if direction == "backward":
+        return _backward()
+    if direction == "forward":
+        return _forward()
+    b, f = _backward(), _forward()
+    db = np.where(b >= 0, lts_i - rts_i[np.maximum(b, 0)], np.int64(2**62))
+    df_ = np.where(f >= 0, rts_i[np.maximum(f, 0)] - lts_i, np.int64(2**62))
+    return np.where(b >= 0, np.where((f >= 0) & (df_ < db), f, b),
+                    np.where(f >= 0, f, -1))
+
+
 def asof_join(
     left,
     right,
@@ -184,29 +246,17 @@ def asof_join(
         # deterministic dedup of right rows on (key, ts): latest order wins
         rdf = rdf.sort_values([key, ts] + r_sort_extra, kind="mergesort")
         rdf = rdf.drop_duplicates([key, ts], keep="last").reset_index(drop=True)
-        probe = pd.DataFrame({key: rdf[key], ts_r: rdf[ts],
-                              _RIDX: np.arange(len(rdf), dtype=np.int64)})
-        probe = probe.sort_values(ts_r, kind="mergesort")
-        ldf = ldf.sort_values([ts] + l_sort_extra, kind="mergesort")
-        kwargs = {}
-        if tolerance_us is not None:
-            tol = tolerance_us
-            if np.issubdtype(ldf[ts].dtype, np.datetime64):
-                tol = pd.Timedelta(microseconds=tolerance_us)
-            kwargs["tolerance"] = tol
-        out = pd.merge_asof(
-            ldf, probe,
-            left_on=ts, right_on=ts_r, by=key,
-            direction=direction, allow_exact_matches=True, **kwargs,
-        )
+        ldf = ldf.sort_values([ts] + l_sort_extra,
+                              kind="mergesort").reset_index(drop=True)
+        ridx = _asof_indices(
+            ldf[key].to_numpy(), ldf[ts].to_numpy(),
+            rdf[key].to_numpy(), rdf[ts].to_numpy(),
+            direction, tolerance_us)
         if how == "inner":
-            out = out[out[_RIDX].notna()]
-            ridx = out[_RIDX].to_numpy(dtype=np.float64).astype(np.int64)
-        else:
-            ridx = np.where(out[_RIDX].notna(),
-                            out[_RIDX].to_numpy(dtype=np.float64),
-                            -1).astype(np.int64)
-        out = out.drop(columns=[_RIDX])
+            keep = ridx >= 0
+            ldf = ldf[keep].reset_index(drop=True)
+            ridx = ridx[keep]
+        out = ldf
         # gather the matched right values by row index — exact dtypes,
         # no float64 round trip even for >2^53 int64 payloads
         out[ts_r] = _gather(rdf[ts], ridx, out.index)

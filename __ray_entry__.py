@@ -797,20 +797,46 @@ def q_text_fingerprint(sf_dir):
 
 
 def _ann_index_dir(sf_dir: str, kind: str) -> str:
-    """Per-fixture index cache under /tmp: built once, probed per query
-    (a rebuild is triggered by a missing _DONE marker)."""
+    """Per-fixture index cache under /tmp, keyed on CONTENT identity
+    (path + size + mtime of the source parquet): regenerating the data
+    in place yields a fresh cache key, so stale indexes are never
+    served."""
     import hashlib
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    src = os.path.abspath(f"{sf_dir}/embeddings.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"{src}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        ident = src
+    tag = hashlib.md5(ident.encode()).hexdigest()[:16]
     return f"/tmp/tscan_ray_ann/{kind}_{tag}"
+
+
+def _ensure_index(idx: str, build) -> str:
+    """Build the index into a private temp dir and publish it with ONE
+    atomic rename — two concurrent drivers on the same sf_dir can race
+    freely (the loser discards its build and reads the winner's)."""
+    import shutil
+
+    if os.path.exists(f"{idx}/_DONE"):
+        return idx
+    tmp = f"{idx}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build(tmp)
+    open(f"{tmp}/_DONE", "w").close()
+    os.makedirs(os.path.dirname(idx), exist_ok=True)
+    try:
+        os.rename(tmp, idx)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # another driver won
+    return idx
 
 
 def q_ann_topk_lsh(sf_dir):
     """LSH top-k over a hive-partitioned index: the probe reads ONLY the
     query bucket + multiprobe flips (partition prune at read_parquet;
     scanned fraction logged via ops.ann.LAST_PROBE_STATS)."""
-    import shutil
-
     import pyarrow.parquet as pq
 
     import ray.data as rd
@@ -820,13 +846,12 @@ def q_ann_topk_lsh(sf_dir):
     query = np.asarray(
         pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
         .column("embedding")[0].as_py(), dtype=np.float64)
-    idx = _ann_index_dir(sf_dir, "lsh6")
-    if not os.path.exists(f"{idx}/_DONE"):
-        shutil.rmtree(idx, ignore_errors=True)
-        build_lsh_index(rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                        override_num_blocks=_READ_BLOCKS),
-                        idx, nbits=6)
-        open(f"{idx}/_DONE", "w").close()
+    idx = _ensure_index(
+        _ann_index_dir(sf_dir, "lsh6"),
+        lambda d: build_lsh_index(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            override_num_blocks=_READ_BLOCKS),
+            d, nbits=6))
     return topk_cosine_lsh_indexed(idx, query, k=10)
 
 
@@ -853,8 +878,6 @@ def q_ann_topk_ivf(sf_dir):
     """IVF top-k over a hive-partitioned index: the probe reads ONLY the
     nprobe nearest cells' files (partition prune at read_parquet;
     scanned fraction logged via ops.ann.LAST_PROBE_STATS)."""
-    import shutil
-
     import pyarrow.parquet as pq
 
     import ray.data as rd
@@ -864,14 +887,12 @@ def q_ann_topk_ivf(sf_dir):
     query = np.asarray(
         pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
         .column("embedding")[0].as_py(), dtype=np.float64)
-    idx = _ann_index_dir(sf_dir, "ivf8")
-    if not os.path.exists(f"{idx}/_DONE"):
-        shutil.rmtree(idx, ignore_errors=True)
-        build_ivf_index(rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                        override_num_blocks=_READ_BLOCKS),
-                        idx, n_centroids=8,
-                        centroids=_seed_centroids(sf_dir, 8))
-        open(f"{idx}/_DONE", "w").close()
+    idx = _ensure_index(
+        _ann_index_dir(sf_dir, "ivf8"),
+        lambda d: build_ivf_index(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            override_num_blocks=_READ_BLOCKS),
+            d, n_centroids=8, centroids=_seed_centroids(sf_dir, 8)))
     return topk_cosine_ivf_indexed(idx, query, k=10, nprobe=3)
 
 

@@ -16,6 +16,7 @@ instead of skewing whichever leg is pinned tighter.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import subprocess
@@ -73,10 +74,12 @@ def _burn(n: int) -> int:
 
 def _spin_probe(k: int, n: int = 6_000_000) -> float:
     """Aggregate spin throughput of k concurrent processes (ops/sec) —
-    a ~0.5 s probe of how much CPU the box is actually delivering."""
+    a ~0.5 s probe of how much CPU the box is actually delivering.
+    Uses a SPAWN context: forking a process that holds live Ray/grpc
+    threads is not fork-safe and can hang the bench."""
     import multiprocessing as mp
 
-    with mp.Pool(k) as p:
+    with mp.get_context("spawn").Pool(k) as p:
         t0 = time.perf_counter()
         p.map(_burn, [n] * k)
         return k * n / (time.perf_counter() - t0)
@@ -199,7 +202,21 @@ def run_bench() -> dict:
 
     headline_sec = median(head_reps)
     q_times = {n: round(median(v), 3) for n, v in q_reps.items()}
-    spin_ref = _SPIN_REF_32 * probe_k / 32
+    # reference for probe_k processes: log-log interpolation between the
+    # measured 1-proc and 32-proc aggregate throughputs (the box scales
+    # sublinearly — a straight probe_k/32 scaling understates the
+    # achievable aggregate at small k and inflates spin_ratio past 1.0).
+    # The constants are per-box: flag when probe_k is outside the
+    # calibrated range so readers on other hardware discount the ratio.
+    if probe_k <= 1:
+        spin_ref = _SPIN_REF_1
+    elif probe_k >= 32:
+        spin_ref = _SPIN_REF_32 * probe_k / 32
+    else:
+        frac = math.log(probe_k) / math.log(32)
+        spin_ref = _SPIN_REF_1 * (_SPIN_REF_32 / _SPIN_REF_1) ** frac
+    calib_note = ("calibrated-range" if 1 <= probe_k <= 32
+                  else "extrapolated: constants are per-box")
     result = {
         "metric": "flagship_pipeline_sec",
         "value": round(headline_sec, 3),
@@ -219,6 +236,7 @@ def run_bench() -> dict:
             "spin_ratio": round(
                 min(spin_before, spin_after) / spin_ref, 3),
             "probe_procs": probe_k,
+            "reference_note": calib_note,
         },
     }
     ray.shutdown()

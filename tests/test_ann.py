@@ -154,3 +154,17 @@ class TestIndexedProbes:
         pd.testing.assert_frame_equal(
             base.reset_index(drop=True), probed.reset_index(drop=True))
         assert 0 < LAST_PROBE_STATS["scanned_fraction"] < 1
+
+
+def test_multiprobe_depth_semantics():
+    """multiprobe=d probes ALL buckets within d bit flips (ADVICE r3:
+    the old code treated every d>=1 as d=1)."""
+    from math import comb
+
+    from tscan_ray.ops.ann import _multiprobe_buckets
+
+    for nbits in (4, 6):
+        for d in range(0, 4):
+            got = _multiprobe_buckets(0b1010 & ((1 << nbits) - 1), nbits, d)
+            assert len(got) == sum(comb(nbits, i) for i in range(d + 1))
+    assert _multiprobe_buckets(5, 4, 0) == {5}

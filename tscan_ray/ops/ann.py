@@ -137,11 +137,7 @@ def topk_cosine_lsh(
 
     def probe_buckets(planes: np.ndarray) -> set[int]:
         base = int(lsh_bucket_ids(qn[None, :], planes)[0])
-        buckets = {base}
-        if multiprobe >= 1:
-            for i in range(planes.shape[0]):
-                buckets.add(base ^ (1 << i))
-        return buckets
+        return _multiprobe_buckets(base, planes.shape[0], multiprobe)
 
     planes = None
 
@@ -362,6 +358,23 @@ def build_lsh_index(
     return planes
 
 
+def _multiprobe_buckets(base: int, nbits: int, depth: int) -> set[int]:
+    """All buckets within ``depth`` Hamming bit flips of ``base``
+    (depth=0 -> just the query bucket; depth=2 probes 1- AND 2-bit
+    flips, etc.).  Shared by the scan and indexed LSH probes so the two
+    stay identical."""
+    from itertools import combinations
+
+    buckets = {base}
+    for d in range(1, max(0, depth) + 1):
+        for bits in combinations(range(nbits), d):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            buckets.add(base ^ m)
+    return buckets
+
+
 def topk_cosine_lsh_indexed(
     index_dir: str,
     query: np.ndarray,
@@ -382,10 +395,7 @@ def topk_cosine_lsh_indexed(
     q = np.asarray(query, dtype=np.float64).ravel()
     qn = q / (np.linalg.norm(q) or 1.0)
     base = int(lsh_bucket_ids(qn[None, :], planes)[0])
-    buckets = {base}
-    if multiprobe >= 1:
-        for i in range(planes.shape[0]):
-            buckets.add(base ^ (1 << i))
+    buckets = _multiprobe_buckets(base, planes.shape[0], multiprobe)
     avail = {d for d in os.listdir(index_dir) if d.startswith("lsh_bucket=")}
     paths = [os.path.join(index_dir, f"lsh_bucket={b}")
              for b in sorted(buckets) if f"lsh_bucket={b}" in avail]

@@ -494,7 +494,10 @@ def _set_sem_type(ann: WordAnn, lex: Lexicons) -> None:
         st = kernels.find_inflected(lex.noun_sem, ann.lemma)
         ann.sem_type = st if st is not None else "UNFOUND_NOUN"
     elif ann.tag == "ADJ":
-        st = kernels.find_inflected(lex.adj_sem, ann.lemma)
+        # the reference's checkSemProps ADJ branch runs findInflected on
+        # the LOWERCASED l_lemma (src/tscan.cxx:1409-1427): a
+        # sentence-initial capitalized FoLiA lemma must still hit
+        st = kernels.find_inflected(lex.adj_sem, ann.lemma.lower())
         if st is None:
             st = kernels.find_inflected(lex.adj_sem, ann.lword)
         ann.sem_type = st if st is not None else "UNFOUND_ADJ"

@@ -35,18 +35,27 @@ _EN_STOP = "the a of and to in is was for on with as by at it from"
 _READ_BLOCKS = 64
 
 
-def _events(sf_dir):
-    import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/events.parquet",
-                           override_num_blocks=_READ_BLOCKS)
+def _read_pq(path, **kwargs):
+    """All fixture reads go through the io seam (Lance-first fallback +
+    schema-metadata strip — pandas-written parquet metadata makes
+    pa.Schema unhashable and floods logs with schema-hash warnings)."""
+    from tscan_ray.sources.io import read_table
+
+    return read_table(path, **kwargs)
+
+def _events(sf_dir):
+    from tscan_ray.sources.io import read_table
+
+    return read_table(f"{sf_dir}/events.parquet",
+                      override_num_blocks=_READ_BLOCKS)
 
 
 def _docs(sf_dir):
-    import ray.data as rd
+    from tscan_ray.sources.io import read_table
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           override_num_blocks=_READ_BLOCKS)
+    return read_table(f"{sf_dir}/documents.parquet",
+                      override_num_blocks=_READ_BLOCKS)
 
 
 def _round_cols(ds, cols: list[str], ndigits: int = 6):
@@ -143,12 +152,12 @@ def q_join_supplier_nation_region(sf_dir):
 
     from tscan_ray.ops.join import broadcast_join
 
-    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+    sup = _read_pq(f"{sf_dir}/supplier.parquet",
                           columns=["s_suppkey", "s_name", "s_nationkey"])
-    nat = rd.read_parquet(f"{sf_dir}/nation.parquet").map_batches(
+    nat = _read_pq(f"{sf_dir}/nation.parquet").map_batches(
         lambda df: df.rename(columns={"n_nationkey": "s_nationkey"}),
         batch_format="pandas")
-    reg = rd.read_parquet(f"{sf_dir}/region.parquet").map_batches(
+    reg = _read_pq(f"{sf_dir}/region.parquet").map_batches(
         lambda df: df.rename(columns={"r_regionkey": "n_regionkey"}),
         batch_format="pandas")
     out = broadcast_join(sup, nat, on="s_nationkey",
@@ -165,10 +174,10 @@ def q_join_orders_customer_shuffle(sf_dir):
 
     from tscan_ray.ops.join import exchange_join
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey", "o_totalprice"],
                              override_num_blocks=_READ_BLOCKS)
-    customer = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    customer = _read_pq(f"{sf_dir}/customer.parquet",
                                columns=["c_custkey", "c_mktsegment"])         .map_batches(lambda df: df.rename(columns={"c_custkey": "o_custkey"}),
                      batch_format="pandas")
     out = exchange_join(orders, customer, on="o_custkey",
@@ -185,10 +194,10 @@ def q_join_orders_semi(sf_dir):
 
     from tscan_ray.ops.join import broadcast_join
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey", "o_totalprice"],
                              override_num_blocks=_READ_BLOCKS)
-    building = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    building = _read_pq(f"{sf_dir}/customer.parquet",
                                columns=["c_custkey", "c_mktsegment"]) \
         .filter(expr="c_mktsegment == 'BUILDING'") \
         .map_batches(lambda df: df.rename(columns={"c_custkey": "o_custkey"}),
@@ -204,10 +213,10 @@ def q_join_orders_anti(sf_dir):
 
     from tscan_ray.ops.join import broadcast_join
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey"],
                              override_num_blocks=_READ_BLOCKS)
-    building = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    building = _read_pq(f"{sf_dir}/customer.parquet",
                                columns=["c_custkey", "c_mktsegment"]) \
         .filter(expr="c_mktsegment == 'BUILDING'") \
         .map_batches(lambda df: df.rename(columns={"c_custkey": "o_custkey"}),
@@ -568,7 +577,7 @@ def q_ann_topk(sf_dir):
     query = np.asarray(
         pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
         .column("embedding")[0].as_py(), dtype=np.float64)
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _read_pq(f"{sf_dir}/embeddings.parquet",
                           override_num_blocks=_READ_BLOCKS)
     return topk_cosine(emb, query, k=10)
 
@@ -577,7 +586,7 @@ def q_agg_lineitem_pricing(sf_dir):
     import ray.data as rd
     import ray.data.aggregate as agg
 
-    li = rd.read_parquet(
+    li = _read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"],
@@ -677,6 +686,19 @@ def q_text_word_table(sf_dir):
                                "lprob_fwd", "lprob_bwd"])
 
 
+def q_text_word_table_core(sf_dir):
+    """SQL-expressible word-table slice (VERDICT r3 #7): the exploded
+    word rows' deterministic columns — token, lemma, tag, content flag,
+    char count — oracle-checked against a DuckDB reimplementation of
+    the tokenizer + testdata tag assignment."""
+    from tscan_ray.stages.words import explode_words
+
+    out = explode_words(_docs(sf_dir).select_columns(["doc_id", "text"]),
+                        "text", ["doc_id"], concurrency=(1, 4))
+    return out.select_columns(["doc_id", "word_idx", "word", "lemma",
+                               "tag", "is_content", "char_cnt"])
+
+
 def q_image_features(sf_dir):
     """Synthesize the image table, decode, extract visual features
     (payload dropped before any shuffle)."""
@@ -685,7 +707,7 @@ def q_image_features(sf_dir):
     from tscan_ray.sources.images import synth_images
     from tscan_ray.stages.image_ops import extract_image_features
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"]).limit(200)
     images = synth_images(docs, n_entities=20)
     out = extract_image_features(images, concurrency=(1, 4))
@@ -700,7 +722,7 @@ def q_image_resize(sf_dir):
     from tscan_ray.sources.images import synth_images
     from tscan_ray.stages.image_ops import resize_images
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"]).limit(100)
     images = synth_images(docs, n_entities=20)
     out = resize_images(images, out_h=8, out_w=8, concurrency=(1, 4))
@@ -849,7 +871,7 @@ def q_ann_topk_lsh(sf_dir):
     idx = _ensure_index(
         _ann_index_dir(sf_dir, "lsh6"),
         lambda d: build_lsh_index(
-            rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+            _read_pq(f"{sf_dir}/embeddings.parquet",
                             override_num_blocks=_READ_BLOCKS),
             d, nbits=6))
     return topk_cosine_lsh_indexed(idx, query, k=10)
@@ -890,7 +912,7 @@ def q_ann_topk_ivf(sf_dir):
     idx = _ensure_index(
         _ann_index_dir(sf_dir, "ivf8"),
         lambda d: build_ivf_index(
-            rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+            _read_pq(f"{sf_dir}/embeddings.parquet",
                             override_num_blocks=_READ_BLOCKS),
             d, n_centroids=8, centroids=_seed_centroids(sf_dir, 8)))
     return topk_cosine_ivf_indexed(idx, query, k=10, nprobe=3)
@@ -926,7 +948,7 @@ def q_emb_neardup(sf_dir):
         emb = pc.cast(batch.column("embedding"), pa.list_(pa.float64()))
         return pa.table({"vec_id": batch.column("vec_id"), "embedding": emb})
 
-    base = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    base = _read_pq(f"{sf_dir}/embeddings.parquet",
                            columns=["vec_id", "embedding"],
                            override_num_blocks=_READ_BLOCKS) \
         .map_batches(to_f64, batch_format="pyarrow", zero_copy_batch=True)
@@ -1030,6 +1052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tscan_features": q_tscan_features,
         "text_surprisal": q_text_surprisal,
         "text_word_table": q_text_word_table,
+        "text_word_table_core": q_text_word_table_core,
         "text_sentence_table": q_text_sentence_table,
         "text_paragraph_table": q_text_paragraph_table,
         "pit_rolling_ttr": q_pit_rolling_ttr,
@@ -1578,6 +1601,31 @@ def oracle_sql() -> dict[str, str]:
                    round(n_char::double / nullif(n_word, 0), 6)
                      as "Let_per_wrd"
             from documents d left join agg a using (doc_id)
+        """,
+        "text_word_table_core": r"""
+            -- tokenizer: whitespace split (the synthetic documents are
+            -- space-separated lowercase words); tags per the testdata
+            -- lexicon assignment (lexicons._testdata_entries), default N
+            with toks as (
+              select doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\s+')) as w,
+                     generate_subscripts(
+                       regexp_split_to_array(trim(text), '\s+'), 1)::int - 1
+                       as word_idx
+              from documents where length(trim(text)) > 0),
+            tagged as (
+              select doc_id, word_idx, w as word, w as lemma,
+                     case when w in ('the', 'a') then 'LID'
+                          when w in ('fast', 'slow', 'small', 'big')
+                            then 'ADJ'
+                          when w in ('sort', 'merge', 'join', 'scan',
+                                     'filter', 'group') then 'WW'
+                          else 'N' end as tag,
+                     length(w)::int as char_cnt
+              from toks)
+            select doc_id, word_idx, word, lemma, tag,
+                   (tag <> 'LID') as is_content, char_cnt
+            from tagged
         """,
         "join_supplier_nation_region": """
             select s.s_suppkey, s.s_name, n.n_name, r.r_name

@@ -51,6 +51,21 @@ _KNUTH = np.uint64(0x9E3779B97F4A7C15)
 _TARGET_SPLIT_BYTES = 64 * 1024 * 1024
 
 
+
+def _pandas_to_arrow(df) -> pa.Table:
+    """pandas -> Arrow block.  The b'pandas' schema metadata is kept
+    ONLY when an extension dtype (nullable Int64 etc.) needs it to
+    round-trip exactly (int64 > 2^53 with NAs would otherwise come back
+    float64); plain-numpy frames drop it — metadata-bearing pa.Schema
+    is unhashable and floods Ray's block-schema dedup with warnings."""
+    import pandas as _pd
+
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    if not any(isinstance(dt, _pd.api.extensions.ExtensionDtype)
+               for dt in df.dtypes):
+        t = t.replace_schema_metadata(None)
+    return t
+
 def bucket_of(values: np.ndarray, num_buckets: int) -> np.ndarray:
     """Deterministic bucket assignment for a key array."""
     if np.issubdtype(values.dtype, np.integer):
@@ -74,7 +89,7 @@ def with_bucket(ds, key: str, num_buckets: int):
 def _as_arrow(block) -> pa.Table:
     if isinstance(block, pa.Table):
         return block
-    return pa.Table.from_pandas(block, preserve_index=False)
+    return _pandas_to_arrow(block)
 
 
 @ray.remote
@@ -125,11 +140,11 @@ def _reduce_task(fn, batch_format: str, *parts):
     if batch_format == "pandas":
         out = fn(tbl.to_pandas())
         if isinstance(out, pd.DataFrame):
-            return pa.Table.from_pandas(out, preserve_index=False)
+            return _pandas_to_arrow(out)
         return out
     out = fn(tbl)
     if isinstance(out, pd.DataFrame):
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _pandas_to_arrow(out)
     return out
 
 
@@ -254,7 +269,7 @@ def task_exchange(
                           for n, t in zip(schema.names, schema.types)})
         out = fn(empty if batch_format == "pyarrow" else empty.to_pandas())
         if isinstance(out, pd.DataFrame):
-            out = pa.Table.from_pandas(out, preserve_index=False)
+            out = _pandas_to_arrow(out)
         return rd.from_arrow(out)
 
     if num_buckets == 1:

@@ -156,7 +156,8 @@ def materialize_images(
 
     import ray.data as rd
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from tscan_ray.sources.io import read_table
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     docs = amplify_docs(docs, sf_dir, amplify)
     if amplify <= 1:
         import ray as _ray
@@ -243,7 +244,8 @@ def flagship(
             return write_to
         return enriched
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from tscan_ray.sources.io import read_table
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     docs = amplify_docs(docs, sf_dir, amplify)
     images = synth_images(docs, n_entities=n_entities, cfg=cfg)
     validated = decode_validate(images, cfg=cfg, drop_bytes=True,

@@ -23,6 +23,17 @@ def lance_available() -> bool:
         return False
 
 
+def strip_schema_metadata(ds):
+    """Drop Arrow schema metadata from every block (a metadata-only op,
+    fused with the next stage).  Pandas-written parquet carries a
+    b'pandas' schema-metadata dict that makes ``pa.Schema`` UNHASHABLE —
+    Ray's block-schema dedup then logs 'Failed to hash the schemas'
+    on every unify and falls into the slow path."""
+    return ds.map_batches(
+        lambda t: t.replace_schema_metadata(None),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def read_table(path: str, columns: list[str] | None = None, **kwargs):
     """Read a Lance dataset directory or a parquet file/directory into a
     ``ray.data.Dataset``, pruning to ``columns`` at the scan."""
@@ -34,7 +45,8 @@ def read_table(path: str, columns: list[str] | None = None, **kwargs):
                 "input is a Lance dataset but pylance is not installed"
             )
         return rd.read_lance(path, columns=columns, **kwargs)
-    return rd.read_parquet(path, columns=columns, **kwargs)
+    return strip_schema_metadata(
+        rd.read_parquet(path, columns=columns, **kwargs))
 
 
 def write_table(ds, path: str, format: str = "auto", **kwargs) -> None:

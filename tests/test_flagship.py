@@ -117,3 +117,75 @@ class TestWindowedDiversity:
                 assert np.isnan(row["ttr_w5"])
             else:
                 assert abs(row["ttr_w5"] - expected) < 1e-12
+
+
+class TestSlicedTimeline:
+    """Skew-hardened (entity, ts-slice) timeline == whole-entity timeline
+    on a Zipf-hot fixture (VERDICT r3 #3)."""
+
+    def _fixture(self):
+        import pandas as pd
+        import ray.data as rd
+
+        rng = np.random.default_rng(11)
+        vocab = ["de", "kat", "hond", "loopt", "snel", "huis", "groot",
+                 "boek", "stad", "werkt", "mooi", "klein"]
+        rows = []
+        img = 0
+        # hot entity 7: 400 dense rows (many per hour-slice); cold
+        # entities 1..5: 12 sparse rows each
+        for ent, n, step_us in [(7, 400, 120_000_000)] + [
+                (e, 12, 7_200_000_000) for e in range(1, 6)]:
+            t = 0
+            for i in range(n):
+                t += int(step_us * (0.5 + (i % 3) * 0.5))
+                rows.append({
+                    "image_id": f"img_{img:07d}",
+                    "entity_id": ent,
+                    "ts": pd.Timestamp(2024, 1, 1).value // 1000 + t,
+                    "caption": " ".join(
+                        rng.choice(vocab, int(rng.integers(3, 8)))),
+                    "MTLD_wrd": float(rng.integers(1, 50)),
+                    "TTR_wrd": float(rng.random()),
+                    "Wrd_freq_log": float(rng.random() * 5),
+                    "wordCnt": int(rng.integers(3, 9)),
+                })
+                img += 1
+        df = pd.DataFrame(rows)
+        df["ts"] = pd.to_datetime(df["ts"], unit="us")
+        return rd.from_pandas(df).repartition(8)
+
+    def test_sliced_equals_unsliced(self, ray_session):
+        from tscan_ray.pipelines.flagship import (
+            add_timeline_features, add_timeline_features_sliced)
+
+        ds = self._fixture()
+        kw = dict(key="entity_id", ts="ts", order_col="image_id",
+                  rolling_window=5, snapshot_every=5, n_entities=1,
+                  diversity_window=5, num_buckets=8)
+        base = add_timeline_features(self._fixture(), **kw).to_pandas()
+        sliced = add_timeline_features_sliced(
+            ds, slice_us=3_600_000_000, hot_min_rows=100, **kw).to_pandas()
+        key_cols = ["image_id"]
+        b = base.sort_values(key_cols).reset_index(drop=True)
+        s = sliced.sort_values(key_cols).reset_index(drop=True)
+        assert sorted(b.columns) == sorted(s.columns)
+        s = s[b.columns]
+        pd.testing.assert_frame_equal(b, s, check_like=True)
+
+    def test_hot_entity_spreads_over_buckets(self, ray_session):
+        """The hot entity's rows must land in MANY distinct exchange
+        groups (the point of the salting)."""
+        from tscan_ray.pipelines.flagship import add_timeline_features_sliced
+
+        out = add_timeline_features_sliced(
+            self._fixture(), key="entity_id", ts="ts",
+            order_col="image_id", rolling_window=5, snapshot_every=None,
+            diversity_window=None, num_buckets=8,
+            slice_us=3_600_000_000, hot_min_rows=100).to_pandas()
+        assert len(out) == 400 + 5 * 12
+        # sanity: session ids of the hot entity are globally consistent
+        hot = out[out["entity_id"] == 7].sort_values("image_id")
+        sid = hot["session_id"].to_numpy()
+        assert sid[0] == 0
+        assert (np.diff(sid) >= 0).all()

@@ -75,3 +75,37 @@ class TestRollingTextDiversity:
                                      window=5, order_col="rid",
                                      num_buckets=4).to_pandas()
         assert (out["ttr_w5"] == 1.0).all()
+
+
+def test_rolling_diversity_window50_incremental_equals_direct():
+    """The incremental buffer (counter-delta TTR + deque MTLD recompute)
+    must equal a direct per-row recompute at a large window, across
+    entity boundaries."""
+    import pytest
+
+    from tscan_ray.ops.window import rolling_diversity_frame
+    from tscan_ray.text.kernels import average_mtld, ttr
+    from tscan_ray.text.tokenize import is_punct, tokenize
+
+    rng = np.random.default_rng(7)
+    vocab = ["de", "kat", "loopt", "snel", "huis", "groot", "mooi",
+             "werkt", "boek", "stad"]
+    rows = []
+    for ent in (1, 2):
+        for i in range(120):
+            k = int(rng.integers(3, 9))
+            rows.append({"e": ent, "ts": i,
+                         "txt": " ".join(rng.choice(vocab, k))})
+    df = pd.DataFrame(rows)
+    out = rolling_diversity_frame(df.copy(), "e", "txt", window=50)
+
+    toks = [[t.lower() for t in tokenize(x) if not is_punct(t)]
+            for x in df["txt"]]
+    start = 0
+    for i in range(len(df)):
+        if i > 0 and df["e"].iat[i] != df["e"].iat[i - 1]:
+            start = i
+        lo = max(start, i - 50 + 1)
+        buf = [t for j in range(lo, i + 1) for t in toks[j]]
+        assert out["ttr_w50"].iat[i] == pytest.approx(ttr(buf))
+        assert out["mtld_w50"].iat[i] == pytest.approx(average_mtld(buf))

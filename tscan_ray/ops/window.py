@@ -216,6 +216,9 @@ def rolling_diversity_frame(df: pd.DataFrame, key: str, text_col: str,
     from tscan_ray.text.kernels import average_mtld, ttr as ttr_fn
     from tscan_ray.text.tokenize import is_punct, tokenize
 
+    from collections import Counter, deque
+    from itertools import chain
+
     toks = [
         [t.lower() for t in tokenize(x or "") if not is_punct(t)]
         for x in df[text_col].tolist()
@@ -224,16 +227,32 @@ def rolling_diversity_frame(df: pd.DataFrame, key: str, text_col: str,
     n = len(df)
     ttrs = np.empty(n, dtype=np.float64)
     mtlds = np.empty(n, dtype=np.float64)
-    start = 0  # first row of the current entity run (rows are key-sorted)
+    # incremental window state (reused across rows): TTR from counter
+    # deltas — O(row tokens) per step instead of O(window * tokens);
+    # MTLD alone is recomputed from the buffered lists (it is a
+    # position-dependent scan, not decomposable — SURVEY §7.4)
+    dq: deque[list[str]] = deque()
+    cnt: Counter = Counter()
+    total = 0
     for i in range(n):
         if i > 0 and keys[i] != keys[i - 1]:
-            start = i
-        lo = max(start, i - window + 1)
-        buf: list[str] = []
-        for j in range(lo, i + 1):
-            buf.extend(toks[j])
-        ttrs[i] = ttr_fn(buf)
-        mtlds[i] = average_mtld(buf)
+            dq.clear()
+            cnt.clear()
+            total = 0
+        dq.append(toks[i])
+        cnt.update(toks[i])
+        total += len(toks[i])
+        if len(dq) > window:
+            old = dq.popleft()
+            total -= len(old)
+            for t in old:
+                c = cnt[t] - 1
+                if c:
+                    cnt[t] = c
+                else:
+                    del cnt[t]
+        ttrs[i] = (len(cnt) / total) if total else ttr_fn([])
+        mtlds[i] = average_mtld(list(chain.from_iterable(dq)))
     df[f"ttr_w{window}"] = ttrs
     df[f"mtld_w{window}"] = mtlds
     return df

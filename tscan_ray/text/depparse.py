@@ -294,7 +294,9 @@ def parse_sentence(anns: list) -> SentParse:
         a = anns[i]
         if a.tag == "LID" or a.tag == "ADJ" or a.tag == "TW" \
                 or _is_nounish(a) or i in poss_det \
-                or (a.tag == "VNW" and a.lword in _DET_PRONOUNS):
+                or (a.tag == "VNW" and a.lword in _DET_PRONOUNS) \
+                or (a.tag == "WW" and a.prop in ("ISVD", "ISOD")
+                    and a.position == "PRENOM"):
             j = i
             saw_noun = False
             adj_mods = 0
@@ -411,9 +413,10 @@ def parse_sentence(anns: list) -> SentParse:
             a.tag == "VNW"
             and a.lword in _REL_PRONOUNS
             and (_is_nounish(anns[prev_idx])
-                 # substantivized adjective head ("Het weinige dat ...",
-                 # reference tests/d6: rel clause under the het-NP)
-                 or (anns[prev_idx].tag == "ADJ" and prev_idx >= 1
+                 # substantivized adjective/quantifier head ("Het
+                 # weinige dat ...", reference tests/d6: rel clause
+                 # under the het-NP)
+                 or (anns[prev_idx].tag in ("ADJ", "VNW") and prev_idx >= 1
                      and anns[prev_idx - 1].tag == "LID"))
         ):
             rel_after_noun.append((prev_idx, i))

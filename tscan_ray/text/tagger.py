@@ -100,6 +100,15 @@ def _closed_entries() -> dict[str, PosInfo]:
               "meer", "meest", "minder", "minst", "weinig", "meerdere",
               "zoveel", "evenveel", "menig", "alle", "allen", "velen"):
         e.setdefault(w, _pi("VNW", w, vwtype="onbep"))
+    # suppletive comparative/superlative lemmas (Frog: meer/meest ->
+    # veel, minder/minst -> weinig) and inflected -e onbep forms
+    for w, lm in [("meer", "veel"), ("meest", "veel"), ("meeste", "veel"),
+                  ("meesten", "veel"), ("minder", "weinig"),
+                  ("minst", "weinig"), ("minste", "weinig"),
+                  ("elke", "elk"), ("iedere", "ieder"),
+                  ("velen", "veel"), ("allen", "al"), ("alle", "al"),
+                  ("weinige", "weinig"), ("vele", "veel")]:
+        e[w] = _pi("VNW", lm, (w,), vwtype="onbep")
 
     # --- articles (der/des: archaic genitive/dative case) --------------
     e.setdefault("de", _pi("LID", "de"))
@@ -109,7 +118,7 @@ def _closed_entries() -> dict[str, PosInfo]:
     e["den"] = _pi("LID", "de", naamval="dat")
 
     # --- prepositions ---------------------------------------------------
-    add("aan achter af beneden behalve bij binnen boven buiten dankzij "
+    add("aan achter af beneden bij binnen boven buiten dankzij "
         "door gedurende in jegens krachtens langs met middels na naar "
         "naast nabij namens om omstreeks omtrent ondanks onder op over "
         "per rond rondom sinds sedert te tegen tegenover tijdens tot "
@@ -124,7 +133,10 @@ def _closed_entries() -> dict[str, PosInfo]:
               "totdat", "terwijl", "hoewel", "alhoewel", "ofschoon",
               "tenzij", "mits", "indien", "wanneer", "zodra", "zolang",
               "zoals", "aangezien", "alsof", "naarmate", "voordat",
-              "zowel"):
+              "zowel", "behalve", "als"):
+        # Frog tags comparative/exceptive "als"/"behalve" VG(onder) even
+        # in phrasal uses ("net als Piet", "behalve de oudste") — the
+        # golden fixtures show VG throughout
         e.setdefault(w, _pi("VG", w, conjtype="onder"))
 
     # --- interjections ----------------------------------------------------
@@ -171,10 +183,15 @@ def _closed_entries() -> dict[str, PosInfo]:
         "dertien veertien vijftien zestien zeventien achttien negentien "
         "twintig dertig veertig vijftig zestig zeventig tachtig negentig "
         "honderd duizend miljoen miljard hoeveel", "TW")
-    for w in ("eerste", "tweede", "derde", "vierde", "vijfde", "zesde",
-              "zevende", "achtste", "negende", "tiende", "elfde",
-              "twaalfde", "twintigste", "dertigste", "honderdste"):
-        e.setdefault(w, _pi("TW", w))
+    for w, lm in (("eerste", "een"), ("tweede", "twee"), ("derde", "drie"),
+                  ("vierde", "vier"), ("vijfde", "vijf"), ("zesde", "zes"),
+                  ("zevende", "zeven"), ("achtste", "acht"),
+                  ("negende", "negen"), ("tiende", "tien"),
+                  ("elfde", "elf"), ("twaalfde", "twaalf"),
+                  ("twintigste", "twintig"), ("dertigste", "dertig"),
+                  ("honderdste", "honderd")):
+        e.setdefault(w, _pi("TW", lm, (w,)))
+    e["één"] = _pi("TW", "een", ("één",))
 
     # --- irregular / high-frequency verb paradigms -----------------------
     # (textbook Dutch strong/irregular verbs; CGN wvorm/pvtijd)
@@ -468,6 +485,39 @@ _SUBJ_PRONOUNS = frozenset({
     "niemand", "alles", "er", "wie", "ie"})
 
 
+def _diminutive_base(lword: str) -> tuple[str | None, str | None]:
+    """Diminutive -> (base noun, suffix) via inverse Dutch diminutive
+    phonotactics (Frog lemmatizes plekje -> plek, mobieltje -> mobiel):
+    -etje after short-vowel sonorants (mannetje -> man), -pje after m,
+    -tje after long-vowel + l/n/r or vowel-final bases, plain -je after
+    obstruents (nachtje -> nacht, gesprekje -> gesprek)."""
+    if not lword.endswith("je") or len(lword) < 5:
+        return None, None
+    if lword.endswith("etje") and len(lword) > 6:
+        base = lword[:-4]
+        if base and base[-1] in "lmnr":
+            if len(base) >= 2 and base[-1] == base[-2]:
+                base = base[:-1]  # mannetje -> man
+            return base, "etje"
+    if lword.endswith("pje") and len(lword) > 5 and lword[-4] == "m":
+        return lword[:-3], "pje"
+    if lword.endswith("kje") and len(lword) > 5 and lword[-4] == "n":
+        return lword[:-3] + "g", "kje"  # koninkje -> koning
+    if lword.endswith("tje") and len(lword) > 5:
+        base = lword[:-3]
+        if base[-1] in "aeiouy":  # autootje -> auto (strip the doubled
+            if len(base) >= 2 and base[-1] == base[-2]:  # long vowel)
+                base = base[:-1]
+            return base, "tje"
+        if (base[-1] in "lnr" and len(base) >= 3
+                and (base[-2] in "aeiouy" and base[-3] in "aeiouyj")):
+            return base, "tje"  # mobieltje -> mobiel, kraantje -> kraan
+    base = lword[:-2]
+    if len(base) >= 3 and base[-1] not in "aeiou":
+        return base, "je"  # nachtje -> nacht, plekje -> plek
+    return None, None
+
+
 def _noun_lemma(lword: str) -> tuple[str, tuple[str, ...]]:
     """Plural -en/-s noun -> (lemma, morphemes) via inverse spelling rules."""
     if lword.endswith("'s"):
@@ -514,16 +564,53 @@ def _redouble(stem: str) -> str:
     return stem
 
 
+def _schwa_final_syllable(stem: str) -> bool:
+    """Unstressed final -e<consonant> syllable (beteken, wandel, aarzel,
+    luister): a single 'e' before the last consonant with at least one
+    vowel group earlier (excluding a bare derivational prefix) — those
+    never double the final consonant before -en."""
+    if len(stem) < 4 or stem[-1] in "aeiou" or stem[-2] != "e" \
+            or stem[-3] in "aeiou":
+        return False
+    body = stem
+    for pre in ("ver", "be", "ont", "her", "ge", "er"):
+        if body.startswith(pre) and len(body) >= len(pre) + 3:
+            body = body[len(pre):]
+            break
+    # count vowel groups before the final e<C>
+    head = body[:-2]
+    groups = 0
+    prev_v = False
+    for ch in head:
+        v = ch in "aeiouy"
+        if v and not prev_v:
+            groups += 1
+        prev_v = v
+    return groups >= 1
+
+
 def _finite_lemma(lword: str, strip: int) -> tuple[str, tuple[str, ...]]:
     """Finite form minus its ending -> (infinitive lemma, morphemes)."""
     stem = lword[:-strip] if strip else lword
     suffix = lword[len(stem):]
-    # stem+en with spelling rules: maak+en -> maken, zet+en -> zetten
+    # stem+en with spelling rules: maak+en -> maken, zet+en -> zetten,
+    # wens+en -> wensen (no voicing after a consonant), betref+fen
+    # (doubling after a short vowel), beteken+en (schwa: no doubling)
     s = stem
-    if s.endswith("f") and len(s) > 2:
-        inf_stem = s[:-1] + "v"
-    elif s.endswith("s") and len(s) > 2 and s[-2] not in "st":
-        inf_stem = s[:-1] + "z"
+
+    def _long_before(idx: int) -> bool:
+        # long vowel/diphthong right before s[idx]: vowel digraph (aa,
+        # ee, oe, ui, ...) or ij ("blijf", "verhuis", "reis"); a single
+        # short vowel ("betref") or a consonant ("wens") stays voiceless
+        if idx < 2:
+            return False
+        a, b = s[idx - 2], s[idx - 1]
+        return (b in "aeiouy" and a in "aeiouy") or (a == "i" and b == "j")
+
+    if s.endswith("f") and len(s) > 2 and _long_before(len(s) - 1):
+        inf_stem = s[:-1] + "v"  # blijf -> blijven, geef -> geven
+    elif s.endswith("s") and len(s) > 2 and _long_before(len(s) - 1):
+        inf_stem = s[:-1] + "z"  # reis -> reizen, verhuis -> verhuizen
     else:
         inf_stem = s
     if (len(inf_stem) >= 3 and inf_stem[-1] not in "aeiou"
@@ -531,40 +618,53 @@ def _finite_lemma(lword: str, strip: int) -> tuple[str, tuple[str, ...]]:
         lemma = inf_stem[:-2] + inf_stem[-1] + "en"  # maak -> maken
     elif (len(inf_stem) >= 2 and inf_stem[-1] not in "aeiouwy"
           and inf_stem[-2] in "aeiou"
-          and (len(inf_stem) < 3 or inf_stem[-3] not in "aeiou")):
+          and (len(inf_stem) < 3 or inf_stem[-3] not in "aeiou")
+          and not _schwa_final_syllable(inf_stem)):
         lemma = inf_stem + inf_stem[-1] + "en"  # zet -> zetten
     else:
         lemma = inf_stem + "en"
     return lemma, (stem, suffix) if suffix else (stem,)
 
 
-def _guess_participle(lword: str, lex: Lexicons) -> PosInfo | None:
+def _guess_participle(lword: str, lex: Lexicons,
+                      min_len: int = 7) -> PosInfo | None:
     """Past-participle morphology (checked BEFORE the semtype lexicons:
     Frog tags lexicalized participles like "gewenst"/"gebouwd" WW(vd)
     even when an adjective reading exists — the engine's hidden-adj rule
     recovers the ADJ semtype separately)."""
     # participle circumfix ge-X-d/t/en (stem >= 3 to dodge geld/gezicht
     # false positives), incl. the inflected -de/-te/-e prenominal forms
-    if lword.startswith("ge") and len(lword) >= 7:
+    if lword.endswith(("heid", "heden", "ing", "ingen")):
+        return None  # derivational nouns (gelegenheid, gedraging)
+    if lword.startswith("ge") and len(lword) >= min_len:
         if lword.endswith("en"):
             stem = lword[2:-2]
             lemma, _m = _finite_lemma(stem, 0)
             return _pi("WW", lemma, ("ge", stem, "en"), wvorm="vd")
-        if lword[-1] in "dt" and lword[-2] not in "dt":
-            stem = lword[2:-1]
-            lemma, _m = _finite_lemma(stem, 0)
-            return _pi("WW", lemma, ("ge", stem, lword[-1]), wvorm="vd")
+        if lword[-1] in "dt":
+            # the final d/t may belong to the stem itself (gebrand ->
+            # (ge, brand), lemma branden): prefer the reading whose
+            # infinitive the verb lexicon knows
+            full = lword[2:]
+            if _finite_lemma(full, 0)[0] in lex.verb_sem:
+                lemma, _m = _finite_lemma(full, 0)
+                return _pi("WW", lemma, ("ge", full), wvorm="vd")
+            if lword[-2] not in "dt":
+                stem = lword[2:-1]
+                lemma, _m = _finite_lemma(stem, 0)
+                return _pi("WW", lemma, ("ge", stem, lword[-1]),
+                           wvorm="vd")
         if (lword[-1] == "e" and lword[-2] in "dt"
-                and len(lword) >= 8):  # gewenste, geordende
+                and len(lword) >= min_len + 1):  # gewenste, geordende
             stem = lword[2:-2]
             lemma, _m = _finite_lemma(stem, 0)
             return _pi("WW", lemma, ("ge", stem, lword[-2:]), wvorm="vd",
                        positie="prenom")
-    # separable-verb participles: op-ge-stuurd, mee-ge-nomen
+    # separable-verb participles: op-ge-stuurd, mee-ge-nomen, opgebeld
     for part in _PARTICLES:
-        if (lword.startswith(part + "ge") and len(lword) > len(part) + 5
+        if (lword.startswith(part + "ge") and len(lword) > len(part) + 4
                 and (lword[-1] in "dte" or lword.endswith("en"))):
-            g = _guess_participle(lword[len(part):], lex)
+            g = _guess_participle(lword[len(part):], lex, min_len=6)
             if g is not None:
                 return _pi("WW", part + g.lemma, (part,) + g.morphemes,
                            wvorm="vd", positie=g.feat("positie") or "vrij")
@@ -619,14 +719,13 @@ def _guess_open(lword: str, lex: Lexicons) -> PosInfo | None:
         if inner is not None and inner.tag == "ADJ":
             return _pi("ADJ", lword, ("on",) + inner.morphemes)
 
-    # present participle -end(e): CGN tags these WW(od)
+    # present participle -end(e): CGN tags these WW(od); the lemma is
+    # simply the form minus d(e) — "lopende" -> lopen, no stem rebuild
     if lword.endswith("ende") and len(lword) > 6:
-        lemma, _m = _finite_lemma(lword[:-4], 0)
-        return _pi("WW", lemma, (lword[:-1], "e"), wvorm="od",
+        return _pi("WW", lword[:-2], (lword[:-1], "e"), wvorm="od",
                    positie="prenom")
     if lword.endswith("end") and len(lword) > 5:
-        lemma, _m = _finite_lemma(lword[:-3], 0)
-        return _pi("WW", lemma, (lword,), wvorm="od", positie="vrij")
+        return _pi("WW", lword[:-1], (lword,), wvorm="od", positie="vrij")
 
     # noun derivational suffixes
     for sfx in _N_SUFFIXES:
@@ -668,6 +767,14 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
             part = _guess_participle(lword, lex)
             if part is not None:
                 info = part
+        # curated ADJ entries whose lemma is a verb infinitive are
+        # lexicalized participles ("geasfalteerde" -> asfalteren): Frog
+        # tags the token WW(vd/od), the hidden-adj rule keeps the semtype
+        if (info is not None and info.tag == "ADJ"
+                and info.lemma != lword and info.lemma.endswith("en")
+                and not info.feats):
+            wv = "od" if lword.rstrip("e").endswith("end") else "vd"
+            info = _pi("WW", info.lemma, info.morphemes, wvorm=wv)
         # clause-initial-like position: sentence start or right after
         # punctuation (colon/quote/comma) — capitalization there is not
         # name evidence for known words
@@ -680,7 +787,9 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
         if is_name:
             ds.append(Decision(None, is_name=True))
             continue
-        if lword in _SPEC_WORDS and (info is None or not info.feats):
+        if lword in _SPEC_WORDS and (
+                info is None or not info.feats
+                or info.feat("auto") == "1"):
             # months/weekdays: SPEC names in Frog's tagging
             ds.append(Decision(None, is_name=True))
             continue
@@ -728,9 +837,30 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
                                       or m[0] in ("ver", "be", "ont",
                                                   "her")):
                 continue  # guessed prefixed participle keeps structure
-            new = _ww_morphemes(tokens[i].lower(), info.lemma)
+            wv = info.feat("wvorm")
+            lwi = tokens[i].lower()
+            if wv == "od":
+                # present participle: (infinitive-d[, e])
+                new = (lwi[:-1], "e") if lwi.endswith("e") else (lwi,)
+            elif wv == "vd" and lwi.startswith("ge") \
+                    and lwi.endswith(("de", "te")):
+                new = ("ge", lwi[2:-2], lwi[-2:])  # geasfalteer-de
+            else:
+                new = _ww_morphemes(lwi, info.lemma)
         elif info.tag == "N" and len(m) == 1:
             lw = tokens[i].lower()
+            # diminutive lemma recovery (Frog lemmatizes -je forms to
+            # the base noun when it exists: plekje -> plek, smsjes ->
+            # sms; lexicalized diminutives like meisje stay whole)
+            if info.lemma == lw and lw.endswith(("je", "jes")) \
+                    and lw not in ("meisje", "beetje", "meisjes"):
+                base_form = lw[:-1] if lw.endswith("jes") else lw
+                cand, sfx = _diminutive_base(base_form)
+                if cand is not None:
+                    morphs = (cand, sfx) if base_form == lw \
+                        else (cand, sfx, "s")
+                    d.info = info = _pi("N", cand, morphs)
+                    continue
             comp = lex.compounds.get(info.lemma)
             stem_parts = None
             if comp is not None and comp[2] >= 2 and comp[1]:
@@ -744,7 +874,9 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
                 new = stem_parts
             elif (lw.endswith("en") and len(lw) > 4
                   and _noun_lemma(lw)[0] in lex.noun_sem):
-                new = (_noun_lemma(lw)[0], "en")
+                lemma = _noun_lemma(lw)[0]
+                d.info = info = _pi("N", lemma, (lemma, "en"))
+                continue
             else:
                 continue
         elif info.tag == "BW" and len(m) == 1:
@@ -854,6 +986,80 @@ def _nounish_ahead(tokens, ds, i, lex, max_hops=3) -> bool:
     return False
 
 
+_NOM_PRONOUNS = frozenset({"ik", "jij", "je", "u", "wij", "we", "ze",
+                           "hij", "zij", "men", "het", "ie", "gij",
+                           "jullie"})
+_3SG_PRONOUNS = frozenset({"hij", "zij", "ze", "men", "het", "ie"})
+# finite verbs that take a bare-infinitive complement (verb clusters)
+_CLUSTER_VERBS = frozenset({
+    "zullen", "kunnen", "moeten", "mogen", "willen", "gaan", "komen",
+    "laten", "blijven", "hoeven", "durven", "leren", "helpen", "zien",
+    "horen", "voelen", "doen", "staan", "zitten", "liggen", "lopen"})
+
+
+def _vowel_groups(w: str) -> int:
+    groups = 0
+    prev = False
+    for ch in w:
+        v = ch in "aeiouy"
+        if v and not prev:
+            groups += 1
+        prev = v
+    return groups
+
+
+def _vwtype(d) -> str:
+    return d.info.feat("vwtype") if d.info is not None else ""
+
+
+def _np_prev(ds, lowers, i) -> bool:
+    """Is position i inside a determined NP (prev = article, possessive/
+    demonstrative/indefinite pronoun, numeral, or inflected adjective)?"""
+    for j in range(i - 1, -1, -1):
+        d = ds[j]
+        if d.punct:
+            return False
+        if d.is_name or d.info is None:
+            return False
+        t = d.info.tag
+        if t == "LID" or t == "TW":
+            return True
+        if t == "VNW":
+            return (_vwtype(d) in ("bez", "aanw", "onbep")
+                    and lowers[j] not in ("er", "hier", "daar", "waar"))
+        if t == "ADJ" and lowers[j].endswith(("e", "en")):
+            continue  # look through prenominal adjectives
+        return False
+    return False
+
+
+def _finite_guess(lw: str):
+    """Verbal-morphology reading of an unknown token: (PosInfo, ok)."""
+    if lw.endswith(("heid", "teit", "ing", "schap")):
+        return None
+    if lw.endswith(("de", "te")) and len(lw) > 4:
+        lemma, morphs = _finite_lemma(lw, 2)
+        return _pi("WW", lemma, morphs, wvorm="pv", pvtijd="verl")
+    if lw.endswith(("den", "ten")) and len(lw) > 5:
+        lemma, morphs = _finite_lemma(lw, 3)
+        return _pi("WW", lemma, morphs, wvorm="pv", pvtijd="verl")
+    if lw.endswith("en") and len(lw) > 4:
+        stem = _verb_stem(lw)
+        return _pi("WW", lw, (stem, "en"), wvorm="pv", pvtijd="tgw")
+    if lw.endswith("t") and len(lw) > 3:
+        strip = 0 if lw[-2] == "t" else 1
+        lemma, morphs = _finite_lemma(lw, strip)
+        return _pi("WW", lemma, morphs, wvorm="pv", pvtijd="tgw")
+    if len(lw) > 2:
+        if lw[-1] in "aeiou":  # bare stem ending in a vowel: meedoe
+            lemma = lw + ("n" if lw[-1] == "e" or (len(lw) >= 2 and
+                          lw[-2] in "aeiou") else lw[-1] + "n")
+            return _pi("WW", lemma, (lw,), wvorm="pv", pvtijd="tgw")
+        lemma, morphs = _finite_lemma(lw, 0)
+        return _pi("WW", lemma, morphs, wvorm="pv", pvtijd="tgw")
+    return None
+
+
 def _context_passes(tokens, ds, lex, n):
     lowers = [t.lower() for t in tokens]
 
@@ -869,6 +1075,11 @@ def _context_passes(tokens, ds, lex, n):
             if nx >= 0 and (_nounish_ahead(tokens, ds, nx, lex)
                             or (ds[nx].info is not None
                                 and (ds[nx].info.tag == "ADJ"
+                                     # substantivized quantifier ("het
+                                     # weinige dat zij hebben")
+                                     or (ds[nx].info.tag == "VNW"
+                                         and _vwtype(ds[nx]) == "onbep"
+                                         and lowers[nx].endswith("e"))
                                      # nominalized infinitive ("het
                                      # lopen is leuk")
                                      or (ds[nx].info.tag == "WW"
@@ -905,68 +1116,6 @@ def _context_passes(tokens, ds, lex, n):
             else:
                 d.info = _pi("VG", "toen", conjtype="onder")
 
-    # -- die/dat: determiner / relative / demonstrative / complementizer
-    for i, d in enumerate(ds):
-        lw = lowers[i]
-        if d.punct or d.is_name or lw not in ("die", "dat"):
-            continue
-        if d.info is not None and d.info.tag == "VG" and lw == "dat":
-            continue  # lexicon already says VG; leave it
-        nx = _next_idx(ds, i)
-        pv = _prev_tag(ds, i)
-        if nx >= 0 and _nounish_ahead(tokens, ds, nx, lex):
-            d.info = _pi("VNW", lw, vwtype="aanw")  # prenominal determiner
-            continue
-        if pv in ("N", "SPEC"):
-            if lw == "dat":
-                # saturated embedded clause -> complementizer; else the
-                # reference's Frog run keeps aanw,pron (cp vs rel is the
-                # parser's job — see features dat-pass provenance)
-                args = 0
-                for j in range(i + 1, n):
-                    dj = ds[j]
-                    if dj.punct:
-                        continue
-                    ij = dj.info
-                    if ij is not None and ij.tag == "WW" \
-                            and ij.feat("wvorm") == "pv":
-                        break
-                    if (dj.is_name or ij is None or ij.tag == "N"
-                            or (ij.tag == "VNW"
-                                and ij.feat("vwtype") in ("pers", "pr",
-                                                          "refl"))
-                            or lowers[j] == "er"):
-                        args += 1
-                if args >= 2:
-                    d.info = _pi("VG", "dat", conjtype="onder")
-                else:
-                    d.info = _pi("VNW", lw, vwtype="aanw")
-            else:
-                d.info = _pi("VNW", lw, vwtype="betr")
-        elif pv == "WW" and lw == "dat":
-            d.info = _pi("VG", "dat", conjtype="onder")
-        elif d.info is None or d.info.tag != "VG":
-            d.info = _pi("VNW", lw, vwtype="aanw")
-
-    # -- "als": prepositional unless a finite clause follows -------------
-    for i, d in enumerate(ds):
-        if d.punct or d.is_name or lowers[i] != "als":
-            continue
-        if d.info is None or d.info.tag != "VG":
-            continue
-        has_fin = False
-        for j in range(i + 1, n):
-            dj = ds[j]
-            if dj.punct or dj.info is None:
-                continue
-            if dj.info.tag == "VG":
-                break
-            if dj.info.tag == "WW" and dj.info.feat("wvorm") == "pv":
-                has_fin = True
-                break
-        if not has_fin:
-            d.info = _pi("VZ", "als")
-
     # -- auto-lexicon overrides: the semtype-derived POS entries are
     # lemma lists, not taggers — strong local context beats them --------
     for i, d in enumerate(ds):
@@ -987,19 +1136,81 @@ def _context_passes(tokens, ds, lex, n):
                     d.info = _pi("ADJ", lw)
                     continue
             # noun-lemma homograph adjacent to a personal subject
-            # pronoun ("ik merk", "stuur ik", "ze snikt"): finite verb
+            # pronoun ("ik merk", "stuur ik", "ze snikt", "meent ze"):
+            # finite verb; inversion accepts 3sg subjects for -t/-de/-te.
+            # "je" doubles as a possessive — the verb reading then needs
+            # verbal shape (-t or a monosyllabic stem: "je merkt" yes,
+            # "je voordeel"/"je hersens" no)
             nx2 = _next_idx(ds, i)
             next_lw = lowers[nx2] if nx2 >= 0 else ""
-            if not lw.endswith("en") and (
-                    prev_lw in ("ik", "jij", "je", "u", "wij", "we")
-                    or (next_lw in ("ik", "jij", "je", "u", "wij", "we")
-                        and pv not in ("LID", "ADJ", "TW", "VZ"))
+            next_name = nx2 >= 0 and ds[nx2].is_name
+            inv_sub = (next_lw in ("ik", "jij", "je", "u", "wij", "we")
+                       or (next_lw in _3SG_PRONOUNS
+                           and lw.endswith(("t", "de", "te"))))
+            prev_sub = prev_lw in ("ik", "jij", "je", "u", "wij", "we")
+            if prev_sub and prev_lw in ("je", "u") and not (
+                    lw.endswith("t") or _vowel_groups(lw) == 1):
+                prev_sub = False
+            if not lw.endswith("en") and not next_name and (
+                    prev_sub
+                    or (inv_sub and pv not in ("LID", "ADJ", "TW", "VZ"))
                     or (lw.endswith("t")
                         and prev_lw in ("hij", "zij", "ze", "men"))):
-                lemma, morphs = _finite_lemma(
-                    lw, 1 if lw.endswith("t") else 0)
-                d.info = _pi("WW", lemma, morphs, wvorm="pv", pvtijd="tgw")
-                continue
+                g = _finite_guess(lw)
+                if g is not None:
+                    d.info = g
+                    continue
+            # modal/aux + bare -en noun-homograph: verb cluster ("zal
+            # slagen", "moeten deinstalleren" at clause end)
+            if lw.endswith("en") and i and not _np_prev(ds, lowers, i):
+                pd = ds[i - 1]
+                if (not pd.punct and pd.info is not None
+                        and pd.info.tag == "WW"
+                        and pd.info.feat("wvorm") == "pv"
+                        and pd.info.lemma in _CLUSTER_VERBS):
+                    stem = _verb_stem(lw)
+                    d.info = _pi("WW", lw, (stem, "en"), wvorm="inf")
+                    continue
+        # a prefix-participle GUESS inside a determined NP is a noun
+        # after all ("haar verdriet", "het vertrek"): the guess is
+        # morphology-only, the determiner is stronger evidence
+        if (d.info.tag == "WW" and d.info.feat("wvorm") == "vd"
+                and d.info.morphemes
+                and d.info.morphemes[0] in ("ver", "be", "ont", "her")
+                and lw == "".join(d.info.morphemes)
+                and (_np_prev(ds, lowers, i)
+                     # raw possessive forms (they may still be tagged
+                     # pers at this point: "haar verdriet")
+                     or prev_lw in ("mijn", "jouw", "uw", "zijn", "haar",
+                                    "hun", "ons", "onze", "je"))):
+            d.info = _pi("N", lw)
+            continue
+        # WW-inf demotion also after possessive/demonstrative/indefinite
+        # pronouns ("geen punten", "die wenkbrauwen", "haar hersens");
+        # NOT after adverbial er/hier/daar or object-quantifier
+        # niets/iets/alles ("niets kunnen"), and never for the closed
+        # verb paradigms
+        if (d.info.tag == "WW" and d.info.feat("wvorm") == "inf"
+                and lw.endswith("en") and i and not ds[i - 1].punct
+                and ds[i - 1].info is not None
+                and ds[i - 1].info.tag == "VNW"
+                and _vwtype(ds[i - 1]) in ("bez", "aanw", "onbep")
+                and prev_lw not in ("er", "hier", "daar", "waar",
+                                    "niets", "iets", "alles", "wat")
+                and not (lw in _CLOSED and _CLOSED[lw].tag == "WW")):
+            lemma, morphs = _noun_lemma(lw)
+            d.info = _pi("N", lemma, morphs)
+            continue
+        # a bare closed-paradigm verb form inside a determined NP is a
+        # noun homograph ("in de loop der eeuwen", "de vraag wie")
+        if (d.info.tag == "WW" and d.info.feat("wvorm") == "pv"
+                and not d.info.feat("auto") and i and not ds[i - 1].punct
+                and (pv == "LID" or prev_lw in ("mijn", "jouw", "uw",
+                                                "zijn", "haar", "hun",
+                                                "ons", "onze"))
+                and not lw.endswith("t")):
+            d.info = _pi("N", lw)
+            continue
         # verb-lemma homograph after a plural determiner/numeral
         # ("de punten", "twee dingen"): plural noun, not infinitive —
         # "het" + inf stays verbal (nominalized infinitive, WW in CGN)
@@ -1007,7 +1218,11 @@ def _context_passes(tokens, ds, lex, n):
                 and lw.endswith("en")
                 and (prev_lw in ("de", "deze", "die", "alle", "sommige",
                                  "veel", "weinig", "mijn", "zijn", "hun")
-                     or pv in ("ADJ", "TW")
+                     # an inflected prenominal adjective marks an NP
+                     # ("de houten punten"); a bare adverbial adjective
+                     # does not ("gezellig zitten", "hardnekkig geloven")
+                     or (pv == "ADJ" and _np_prev(ds, lowers, i))
+                     or pv == "TW"
                      # bare "met/zonder punten": nominal, infinitives
                      # under a preposition need "te"
                      or (pv == "VZ" and d.info.feat("auto") == "1"
@@ -1057,16 +1272,24 @@ def _context_passes(tokens, ds, lex, n):
             lemma = _deinflect_e(lw)
             d.info = _pi("ADJ", lemma, (lemma, "e"))
             continue
-        # finite verb adjacent to a 1st/2nd-person subject pronoun
-        # ("ik stuur", "stuur ik", "dank u"): bare-stem present form
+        # finite verb adjacent to a subject pronoun ("ik stuur",
+        # "stuur ik", "snikt ze", "vervolgde ik"): 1st/2nd person on
+        # either side; 3sg and past -de/-te only under inversion
+        next_lw = lowers[nx] if nx >= 0 else ""
+        next_name = nx >= 0 and ds[nx].is_name
+        verl_inv = (lw.endswith(("de", "te")) and len(lw) > 4
+                    and next_lw in _NOM_PRONOUNS)
         nbr = ((prev_lw in ("ik", "jij", "je", "u", "wij", "we"))
-               or (nx >= 0 and lowers[nx] in ("ik", "jij", "je", "u",
-                                              "wij", "we")))
-        if nbr and not lw.endswith(("e", "en")) and pv not in (
-                "LID", "ADJ", "TW", "VZ"):
-            lemma, morphs = _finite_lemma(lw, 1 if lw.endswith("t") else 0)
-            d.info = _pi("WW", lemma, morphs, wvorm="pv", pvtijd="tgw")
-            continue
+               or (next_lw in ("ik", "jij", "je", "u", "wij", "we"))
+               or (next_lw in _3SG_PRONOUNS and lw.endswith("t")))
+        if not next_name and (verl_inv or (
+                nbr and not lw.endswith(("e", "en")))) and (
+                pv not in ("LID", "TW", "VZ")
+                and not (pv == "ADJ" and _np_prev(ds, lowers, i))):
+            g = _finite_guess(lw)
+            if g is not None:
+                d.info = g
+                continue
 
     # -- -en unknowns: infinitive vs plural noun -------------------------
     for i, d in enumerate(ds):
@@ -1077,8 +1300,16 @@ def _context_passes(tokens, ds, lex, n):
             continue
         pv = _prev_tag(ds, i)
         prev_lw = lowers[i - 1] if i else ""
-        if pv in ("LID", "ADJ", "TW") or (pv == "VNW" and prev_lw not in
-                                          _SUBJ_PRONOUNS):
+        det_prev = (pv in ("LID", "TW")
+                    or (pv == "ADJ" and _np_prev(ds, lowers, i))
+                    # determiner-like pronouns only; an object pronoun
+                    # ("we elkaar bellen") or adverbial er/hier/daar
+                    # ("daar horen nog 2 bij") is verb context
+                    or (pv == "VNW" and i and
+                        _vwtype(ds[i - 1]) in ("bez", "aanw", "onbep")
+                        and prev_lw not in ("er", "hier", "daar",
+                                            "waar")))
+        if det_prev:
             continue  # determined NP -> noun default later
         # te/om..te/modal context, or clause-final after an earlier finite
         # verb -> infinitive
@@ -1092,7 +1323,7 @@ def _context_passes(tokens, ds, lex, n):
             for j in range(i + 1, n))
         pre = next((p for p in ("ver", "be", "ont", "her")
                     if lw.startswith(p)), None)
-        if pre and aux_before and pv not in ("LID", "ADJ", "TW", "VZ"):
+        if pre and aux_before and pv != "VZ":
             # strong prefix participle after an auxiliary ("ligt ...
             # verscholen", "zijn ... vergaan")
             d.info = _pi("WW", lw, (pre, lw[len(pre):]), wvorm="vd")
@@ -1105,36 +1336,371 @@ def _context_passes(tokens, ds, lex, n):
             stem = _verb_stem(lw)
             d.info = _pi("WW", lw, (stem, "en"), wvorm="pv", pvtijd="tgw")
 
-    # -- verb-second recovery: a main clause needs a finite verb ---------
-    has_finite = any(
-        not d.punct and d.info is not None and d.info.tag == "WW"
-        and d.info.feat("wvorm") == "pv" for d in ds)
-    if not has_finite and n >= 2:
-        # candidate: first undecided token ending in a finite-looking
-        # suffix after an initial subject-ish constituent
-        for i in range(1, min(n, 6)):
+    # -- clause-aware finite-verb recovery --------------------------------
+    # Each clause (comma / coordinating-VG segment) normally carries a
+    # finite verb; when the lexicons don't know it ("omdat het hard
+    # regent", "als ik meedoe", "waartoe de herten behoren") the last
+    # verb-compatible unknown of the clause gets the finite reading.
+    def _is_fin(d) -> bool:
+        return (not d.punct and d.info is not None and d.info.tag == "WW"
+                and d.info.feat("wvorm") == "pv")
+
+    spans: list[tuple[int, int]] = []
+    s0 = 0
+    for i in range(n + 1):
+        at_bound = i == n or (ds[i].punct and lowers[i] in
+                              (",", ";", ":", "(", ")", "-", "—")) \
+            or (i > s0 and ds[i].info is not None
+                and ds[i].info.tag == "VG"
+                and ds[i].info.feat("conjtype") == "neven")
+        # a mid-span subordinator/relative opens its own clause span
+        # ("... groep waartoe de herten behoren")
+        sub_start = i < n and i > s0 and not ds[i].punct \
+            and ds[i].info is not None and (
+                (ds[i].info.tag == "VG"
+                 and ds[i].info.feat("conjtype") == "onder")
+                or (ds[i].info.tag == "VNW"
+                    and _vwtype(ds[i]) == "betr")
+                or (ds[i].info.tag == "BW"
+                    and lowers[i].startswith("waar")))
+        if at_bound:
+            if i > s0:
+                spans.append((s0, i))
+            s0 = i + 1
+        elif sub_start:
+            spans.append((s0, i))
+            s0 = i
+    sent_has_verl = any(
+        _is_fin(d) and d.info.feat("pvtijd") == "verl" for d in ds)
+    for (a, b) in spans:
+        fins = [j for j in range(a, b) if _is_fin(ds[j])]
+        if fins:
+            # one finite mid-span followed by an inverted subject: a
+            # fronted verb-final subordinate clause + V2 main clause
+            # ("als ik meedoe win ik ...") — recover the sub-verb in
+            # the window before the finite
+            nxf = _next_idx(ds, fins[0])
+            if (len(fins) == 1 and nxf >= 0 and nxf < b
+                    and lowers[nxf] in _NOM_PRONOUNS):
+                b = fins[0]
+            else:
+                continue
+        if a >= b:
+            continue
+        # the clause head: subordinator / relative / question word?
+        head = next((j for j in range(a, b) if not ds[j].punct), -1)
+        if head < 0:
+            continue
+        hd = ds[head]
+        sub_head = (hd.info is not None and (
+            (hd.info.tag == "VG"
+             and hd.info.feat("conjtype") == "onder")
+            or (hd.info.tag == "VNW"
+                and _vwtype(hd) in ("betr", "vb"))
+            or (hd.info.tag == "BW" and lowers[head].startswith("waar"))))
+        # a subject somewhere in the clause makes a finite verb likely
+        subj = any(
+            not ds[j].punct and (ds[j].is_name or (
+                ds[j].info is not None and (
+                    ds[j].info.tag == "N"
+                    or (ds[j].info.tag == "VNW"
+                        and _vwtype(ds[j]) in ("pers", "aanw", "onbep",
+                                               "vb")))))
+            for j in range(a, b))
+        if not (sub_head and subj):
+            # main-clause coordination after a comma: ", hanteerden
+            # houten werktuigen" — a past-shaped unknown heading a
+            # multi-word span when the sentence already has a past
+            # finite verb (single nouns like "sterrenkunde" stay nouns)
+            if sent_has_verl and a > 0 and lowers[a - 1] == ",":
+                toks_in = [j for j in range(a, b) if not ds[j].punct]
+                cand0 = next((j for j in toks_in
+                              if ds[j].info is None), -1)
+                if (len(toks_in) >= 2 and cand0 == toks_in[0]
+                        and lowers[cand0].endswith(
+                            ("de", "te", "den", "ten"))
+                        and not _np_prev(ds, lowers, cand0)):
+                    g = _finite_guess(lowers[cand0])
+                    if g is not None and g.feat("pvtijd") == "verl":
+                        ds[cand0].info = g
+            continue
+        # last verb-compatible candidate after the head — with a
+        # subject BETWEEN head and candidate ("als ik meedoe" yes,
+        # "als jager" no: the lone noun IS the subject slot)
+        def _subj_at(j: int) -> bool:
+            return not ds[j].punct and (ds[j].is_name or (
+                ds[j].info is not None and (
+                    ds[j].info.tag == "N"
+                    or (ds[j].info.tag == "VNW"
+                        and _vwtype(ds[j]) in ("pers", "aanw", "onbep",
+                                               "vb")))))
+
+        for j in range(b - 1, head, -1):
+            d = ds[j]
+            if d.punct or d.is_name:
+                continue
+            if d.info is not None and d.info.tag in (
+                    "VZ", "BW", "LET", "TSW"):
+                continue  # look left past trailing modifiers
+            cand_ok = (d.info is None
+                       or (d.info.feat("auto") == "1"
+                           and d.info.tag in ("N", "ADJ"))
+                       or (d.info.tag == "WW"
+                           and d.info.feat("wvorm") == "inf"
+                           and d.info.feat("auto") == "1"))
+            if cand_ok and not _np_prev(ds, lowers, j) \
+                    and any(_subj_at(k) for k in range(head + 1, j)):
+                lw = lowers[j]
+                g = _finite_guess(lw)
+                if g is not None:
+                    # plural -en after a plural subject stays pv; after
+                    # "te" it's an infinitive and not the clause verb
+                    if lw.endswith("en") and lowers[j - 1] == "te":
+                        break
+                    d.info = g
+            break
+
+    # -- verb-second recovery, per clause span: a main clause needs a
+    # finite verb in second position ("Hij leerde er jongens kennen",
+    # "zijn loopje compenseert dat", "Het regent") -------------------------
+    for (a, b) in spans:
+        if any(_is_fin(ds[j]) for j in range(a, b)):
+            continue
+        head = next((j for j in range(a, b) if not ds[j].punct), -1)
+        if head < 0:
+            continue
+        hd = ds[head]
+        if hd.info is not None and hd.info.tag == "VG" \
+                and hd.info.feat("conjtype") == "onder":
+            continue  # subordinate spans handled above
+        seen_subject = False
+        for i in range(head, b):
             d = ds[i]
-            if d.punct or d.is_name or d.info is not None:
+            if d.punct:
+                continue
+            if d.is_name or (d.info is not None and (
+                    d.info.tag in ("N", "SPEC")
+                    or (d.info.tag == "VNW"
+                        and _vwtype(d) in ("pers", "aanw", "onbep",
+                                           "vb")))):
+                seen_subject = True
+            if d.is_name or d.info is not None:
                 continue
             lw = lowers[i]
             pv = _prev_tag(ds, i)
-            if pv in ("LID", "VZ", "TW"):
+            prev_lw = lowers[i - 1] if i else ""
+            if pv in ("LID", "VZ", "TW") and prev_lw != "het":
                 continue
-            if pv == "ADJ" and i >= 2 and _prev_tag(ds, i - 1) in (
-                    "LID", "VNW"):
+            if pv == "ADJ" and _np_prev(ds, lowers, i):
                 continue  # inside an NP ("de grote X") — not the V2 slot
-            if lw.endswith(("de", "te")) and len(lw) > 4:
+            # V2 slot: a subject before the candidate, or right after
+            # it (inversion after a fronted adverbial: "Gelukkig
+            # besteedt de PvdA ...")
+            nx2 = _next_idx(ds, i)
+            subj_after = nx2 >= 0 and nx2 < b and (
+                ds[nx2].is_name or lowers[nx2] in _NOM_PRONOUNS
+                or (ds[nx2].info is not None
+                    and ds[nx2].info.tag in ("N", "LID")))
+            v2_ok = seen_subject or subj_after
+            if lw.endswith(("de", "te")) and len(lw) > 4 and v2_ok:
                 lemma, morphs = _finite_lemma(lw, 2)
-                d.info = _pi("WW", lemma, morphs, wvorm="pv", pvtijd="verl")
+                d.info = _pi("WW", lemma, morphs, wvorm="pv",
+                             pvtijd="verl")
                 break
-            if lw.endswith(("den", "ten")) and len(lw) > 5:
+            if lw.endswith(("den", "ten")) and len(lw) > 5 and v2_ok:
                 lemma, morphs = _finite_lemma(lw, 3)
-                d.info = _pi("WW", lemma, morphs, wvorm="pv", pvtijd="verl")
+                d.info = _pi("WW", lemma, morphs, wvorm="pv",
+                             pvtijd="verl")
                 break
-            if lw.endswith("t") and len(lw) > 3:
-                lemma, morphs = _finite_lemma(lw, 1)
-                d.info = _pi("WW", lemma, morphs, wvorm="pv", pvtijd="tgw")
+            if lw.endswith("t") and len(lw) > 3 and not lw.endswith(
+                    ("heid", "teit")) and v2_ok:
+                strip = 0 if lw[-2] == "t" else 1
+                lemma, morphs = _finite_lemma(lw, strip)
+                d.info = _pi("WW", lemma, morphs, wvorm="pv",
+                             pvtijd="tgw")
                 break
+            # bare-stem present right after a leading subject ("Ik ken
+            # het verschijnsel") — monosyllabic or verb-known stems only
+            if (seen_subject and i == _next_idx(ds, head)
+                    and lowers[head] in _NOM_PRONOUNS
+                    and not lw.endswith(("e", "s"))
+                    and not (lw.endswith("en") and len(lw) > 4)
+                    and _vowel_groups(lw) <= 1):
+                g = _finite_guess(lw)
+                if g is not None:
+                    d.info = g
+                    break
+            # imperative: span-initial bare stem with NP material after
+            # INSIDE the span ("forceer een uitspraak", "stuur zo snel
+            # mogelijk ...") — bare NPs/single nouns stay nouns
+            nx3 = _next_idx(ds, i)
+            if (not seen_subject and (i == head or pv in ("BW", "VG"))
+                    and not lw.endswith(("e", "en", "s", "t"))
+                    and _vowel_groups(lw) <= 2
+                    and 0 <= nx3 < b
+                    and not _np_prev(ds, lowers, i)):
+                g = _finite_guess(lw)
+                if g is not None:
+                    d.info = g
+                    break
+
+    # -- verbless-span tail: "Alvast hartelijk dank ." ---------------------
+    for (a, b) in spans:
+        if any(_is_fin(ds[j]) or (ds[j].info is not None
+                                  and ds[j].info.tag == "WW")
+               for j in range(a, b)):
+            continue
+        last = next((j for j in range(b - 1, a - 1, -1)
+                     if not ds[j].punct), -1)
+        if last < 0 or ds[last].info is not None or ds[last].is_name:
+            continue
+        lw = lowers[last]
+        pv = _prev_tag(ds, last)
+        if (pv in ("ADJ", "BW") and not _np_prev(ds, lowers, last)
+                and not lowers[last - 1].endswith("e")
+                and not lw.endswith(("e", "en", "s", "t"))
+                and _vowel_groups(lw) <= 1):
+            g = _finite_guess(lw)
+            if g is not None:
+                ds[last].info = g
+
+    # -- coordinated past verbs: "-de/-te right after VG when the
+    # conjunct before the VG is a past finite" ----------------------------
+    for i, d in enumerate(ds):
+        if d.punct or d.is_name or d.info is not None:
+            continue
+        lw = lowers[i]
+        if not lw.endswith(("de", "te", "den", "ten")) or len(lw) < 5:
+            continue
+        pvj = next((j for j in range(i - 1, -1, -1)
+                    if not ds[j].punct), -1)
+        if pvj < 0 or ds[pvj].info is None \
+                or ds[pvj].info.tag != "VG":
+            continue
+        before = next((j for j in range(pvj - 1, -1, -1)
+                       if not ds[j].punct), -1)
+        if before >= 0 and _is_fin(ds[before]) \
+                and ds[before].info.feat("pvtijd") == "verl":
+            g = _finite_guess(lw)
+            if g is not None and g.feat("pvtijd") == "verl":
+                d.info = g
+
+    # -- ge-participles with auxiliary support: "is ... geveld", "had
+    # opgebeld", "gelukt is" (length-6 forms need the aux cue) ------------
+    for (a, b) in spans:
+        has_aux = any(
+            _is_fin(ds[j]) and ds[j].info.lemma in ("zijn", "hebben",
+                                                    "worden")
+            for j in range(a, b))
+        if not has_aux:
+            continue
+        for j in range(a, b):
+            d = ds[j]
+            if d.punct or d.is_name:
+                continue
+            lw = lowers[j]
+            cand = (d.info is None
+                    or (d.info.feat("auto") == "1"
+                        and d.info.tag in ("N", "ADJ")))
+            if (cand and lw.startswith("ge") and len(lw) >= 6
+                    and lw[-1] in "dt" and not _np_prev(ds, lowers, j)):
+                g = _guess_participle(lw, lex, min_len=6)
+                if g is not None:
+                    d.info = g
+
+    # -- die/dat: determiner / relative / demonstrative / complementizer
+    # (runs AFTER verb recovery so embedded finite verbs are visible)
+    for i, d in enumerate(ds):
+        lw = lowers[i]
+        if d.punct or d.is_name or lw not in ("die", "dat"):
+            continue
+        if d.info is not None and d.info.tag == "VG" and lw == "dat":
+            continue  # lexicon already says VG; leave it
+        nx = _next_idx(ds, i)
+        pv = _prev_tag(ds, i)
+        initial = i == 0 or ds[i - 1].punct
+        if nx >= 0 and _nounish_ahead(tokens, ds, nx, lex):
+            d.info = _pi("VNW", lw, vwtype="aanw")  # prenominal determiner
+            continue
+        if lw == "dat" and (pv in ("ADJ", "VZ", "WW")
+                            or (initial and nx >= 0
+                                and not _is_fin(ds[nx]))):
+            # "zo blind dat", "zonder dat", "Ik geloof dat", clause-
+            # initial "Dat je ..." -> complementizer
+            d.info = _pi("VG", "dat", conjtype="onder")
+            continue
+        if pv in ("N", "SPEC"):
+            if lw == "dat":
+                # saturated embedded clause -> complementizer; else the
+                # reference's Frog run keeps aanw,pron (cp vs rel is the
+                # parser's job — see features dat-pass provenance)
+                args = 0
+                for j in range(i + 1, n):
+                    dj = ds[j]
+                    if dj.punct:
+                        continue
+                    ij = dj.info
+                    if ij is not None and ij.tag == "WW" \
+                            and ij.feat("wvorm") == "pv":
+                        break
+                    if (dj.is_name or ij is None or ij.tag == "N"
+                            or (ij.tag == "VNW"
+                                and ij.feat("vwtype") in ("pers", "pr",
+                                                          "refl"))
+                            or lowers[j] == "er"):
+                        args += 1
+                if args >= 2:
+                    d.info = _pi("VG", "dat", conjtype="onder")
+                else:
+                    d.info = _pi("VNW", lw, vwtype="aanw")
+            else:
+                d.info = _pi("VNW", lw, vwtype="betr")
+        elif d.info is None or d.info.tag != "VG":
+            d.info = _pi("VNW", lw, vwtype="aanw")
+
+    # -- "als": prepositional when no finite clause follows it (runs
+    # AFTER verb recovery so recovered finite verbs count: "als we
+    # elkaar bellen" stays VG, "dienden als begraafplaats" -> VZ) ------
+    for i, d in enumerate(ds):
+        if d.punct or d.is_name or lowers[i] != "als":
+            continue
+        if d.info is None or d.info.tag != "VG":
+            continue
+        has_fin = False
+        for j in range(i + 1, n):
+            dj = ds[j]
+            if dj.punct and lowers[j] in (",", ";", ":"):
+                break
+            if dj.punct or dj.info is None:
+                continue
+            if dj.info.tag == "VG" \
+                    and dj.info.feat("conjtype") == "onder":
+                break
+            if _is_fin(dj):
+                has_fin = True
+                break
+        if not has_fin:
+            d.info = _pi("VZ", "als")
+
+    # -- "het" re-resolution: the early pass ran before verb recovery,
+    # so "Het regent" / "als het goed is" looked nounish; a finite verb
+    # or predicative adjective right after marks the pronoun reading
+    for i, d in enumerate(ds):
+        if d.punct or d.is_name or lowers[i] != "het":
+            continue
+        if d.info is None or d.info.tag != "LID":
+            continue
+        nx = _next_idx(ds, i)
+        if nx < 0:
+            continue
+        dn = ds[nx]
+        if dn.info is None or dn.is_name:
+            continue
+        if _is_fin(dn) or dn.info.tag == "BW" or (
+                dn.info.tag == "ADJ" and not lowers[nx].endswith("e")
+                and not _nounish_ahead(tokens, ds, _next_idx(ds, nx),
+                                       lex)):
+            d.info = _pi("VNW", "het", vwtype="pers", persoon="3")
 
     # -- participle / adjective position (prenom before an NP head) ------
     for i, d in enumerate(ds):

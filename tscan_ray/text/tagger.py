@@ -997,6 +997,10 @@ _CLUSTER_VERBS = frozenset({
     "horen", "voelen", "doen", "staan", "zitten", "liggen", "lopen"})
 
 
+_POSS_FORMS = frozenset({"mijn", "m'n", "jouw", "uw", "zijn", "z'n",
+                         "haar", "d'r", "ons", "onze", "hun"})
+
+
 def _vowel_groups(w: str) -> int:
     groups = 0
     prev = False
@@ -1025,7 +1029,8 @@ def _np_prev(ds, lowers, i) -> bool:
         if t == "LID" or t == "TW":
             return True
         if t == "VNW":
-            return (_vwtype(d) in ("bez", "aanw", "onbep")
+            return ((_vwtype(d) in ("bez", "aanw", "onbep")
+                     or lowers[j] in _POSS_FORMS)
                     and lowers[j] not in ("er", "hier", "daar", "waar"))
         if t == "ADJ" and lowers[j].endswith(("e", "en")):
             continue  # look through prenominal adjectives
@@ -1060,8 +1065,47 @@ def _finite_guess(lw: str):
     return None
 
 
+def _comp_sup_adj(lw: str, lex: Lexicons) -> PosInfo | None:
+    """Comparative/superlative of a lexicon adjective: ouder -> oud,
+    hipper -> hip, oudste -> oud, dichterbij -> dichtbij."""
+    for sfx, grad in (("ere", "comp"), ("er", "comp"),
+                      ("ste", "sup"), ("st", "sup")):
+        if not lw.endswith(sfx) or len(lw) <= len(sfx) + 2:
+            continue
+        stem = lw[: -len(sfx)]
+        cands = [stem]
+        if len(stem) >= 2 and stem[-1] == stem[-2]:
+            cands.append(stem[:-1])  # hipp -> hip
+        cands.append(_redouble(stem))
+        if stem.endswith("z"):
+            cands.append(stem[:-1] + "s")
+        if stem.endswith("v"):
+            cands.append(stem[:-1] + "f")
+        for c in cands:
+            if c in lex.adj_sem and c not in lex.noun_sem:
+                return _pi("ADJ", c, (c, sfx), graad=grad)
+    return None
+
+
+# English function words: >=3 distinct hits mark a foreign sentence
+# (Frog tags every token of such runs SPEC(vreemd))
+_ENGLISH_CUES = frozenset({
+    "the", "this", "and", "there", "but", "you", "my", "very", "with",
+    "i'm", "don't", "it's", "that's", "what", "not", "good", "big",
+    "on", "to", "are"})
+
+
 def _context_passes(tokens, ds, lex, n):
     lowers = [t.lower() for t in tokens]
+
+    # -- foreign (English) sentences: tag every token SPEC ----------------
+    cues = {lw for lw in lowers if lw in _ENGLISH_CUES}
+    if len(cues) >= 3:
+        for i, d in enumerate(ds):
+            if not d.punct:
+                d.info = _pi("SPEC", lowers[i])
+                d.is_name = False
+        return
 
     # -- ambiguous function words ---------------------------------------
     for i, d in enumerate(ds):
@@ -1607,6 +1651,104 @@ def _context_passes(tokens, ds, lex, n):
                 g = _guess_participle(lw, lex, min_len=6)
                 if g is not None:
                     d.info = g
+
+    # -- adjective context pass (after verb recovery: copulas are now
+    # visible) -----------------------------------------------------------
+    for (a, b) in spans:
+        cop_at = [j for j in range(a, b) if _is_fin(ds[j])
+                  and ds[j].info.lemma in _COPULA_LEMMAS]
+        # non-finite copula tail ("ze niet ouder worden")
+        cop_tail = [j for j in range(a, b) if not ds[j].punct
+                    and ds[j].info is not None
+                    and ds[j].info.tag == "WW"
+                    and ds[j].info.lemma in _COPULA_LEMMAS]
+        for i in range(a, b):
+            d = ds[i]
+            if d.punct or d.is_name:
+                continue
+            lw = lowers[i]
+            cand = (d.info is None
+                    or (d.info.feat("auto") == "1"
+                        and d.info.tag == "N"))
+            if not cand or _np_prev(ds, lowers, i):
+                continue
+            pv = _prev_tag(ds, i)
+            prev_lw = lowers[i - 1] if i else ""
+            # 1. comparative/superlative of a known adjective
+            #    ("ouder", "hipper", "oudste", "dichterbij")
+            g = _comp_sup_adj(lw, lex)
+            if g is not None:
+                d.info = g
+                continue
+            # 2. partitive -s ("iets dappers", "niets leukers")
+            if (prev_lw in ("iets", "niets", "zoiets", "wat", "veel",
+                            "weinig", "genoeg", "allerlei")
+                    and lw.endswith("s") and len(lw) > 4):
+                base = lw[:-1]
+                cs = _comp_sup_adj(base, lex)
+                if base in lex.adj_sem and base not in lex.noun_sem:
+                    d.info = _pi("ADJ", base, (base, "s"))
+                    continue
+                if cs is not None:
+                    d.info = _pi("ADJ", cs.lemma, (base, "s"))
+                    continue
+            # 3. predicative: a copula BEFORE the token with only light
+            #    material between ("is ze gek op spelletjes", "is niet
+            #    lief"); a copula AFTER only in the verb-cluster shape
+            #    "<subject> ... BW token COPULA" ("ze niet ouder worden")
+            #    — never for the bare subject slot ("Jouw hond is ...")
+            near_cop = None
+            for j in cop_at + cop_tail:
+                lo, hi = (j, i) if j < i else (i, j)
+                light = all(
+                    ds[k].punct or (ds[k].info is not None
+                                    and (ds[k].info.tag in ("BW", "TW")
+                                         or (ds[k].info.tag == "VNW"
+                                             and _vwtype(ds[k]) in
+                                             ("pers", "onbep", "aanw"))))
+                    for k in range(lo + 1, hi))
+                if not light:
+                    continue
+                if j < i:
+                    near_cop = j
+                    break
+                # copula after: adjacent, non-initial, after an adverb
+                # or punctuation, with another nominal earlier in the
+                # span (the clause subject)
+                if (j == _next_idx(ds, i) and i > a
+                        and pv in ("BW", "LET", "")
+                        and any(not ds[k].punct and (
+                            ds[k].is_name or (
+                                ds[k].info is not None
+                                and ds[k].info.tag in ("N", "VNW")))
+                            for k in range(a, i))):
+                    near_cop = j
+                    break
+            if near_cop is not None and not lw.endswith(("en", "s")):
+                nx2 = _next_idx(ds, i)
+                if lw in lex.adj_sem or nx2 < 0 or not _nounish_ahead(
+                        tokens, ds, nx2, lex):
+                    d.info = _pi("ADJ", lw)
+                    continue
+            # 4. prenominal inflected -e before an NP head, any left
+            #    context ("met blonde haren", "Een glas rode wijn")
+            if lw.endswith("e") and len(lw) > 3 and not ds[i].punct:
+                nx2 = _next_idx(ds, i)
+                if nx2 >= 0 and _nounish_ahead(tokens, ds, nx2, lex):
+                    base = _deinflect_e(lw)
+                    if base in lex.adj_sem or d.info is None:
+                        d.info = _pi("ADJ", base, (base, "e"))
+                        continue
+            # 5. nominalized adjective plural after a determiner/TW
+            #    ("de aanwezigen", "duizend doden")
+            if (lw.endswith("en") and len(lw) > 5
+                    and pv in ("LID", "TW")):
+                nx2 = _next_idx(ds, i)
+                if nx2 < 0 or not _nounish_ahead(tokens, ds, nx2, lex):
+                    base = _deinflect_e(lw[:-1])
+                    if base in lex.adj_sem:
+                        d.info = _pi("ADJ", base, (lw[:-1], "en"))
+                        continue
 
     # -- die/dat: determiner / relative / demonstrative / complementizer
     # (runs AFTER verb recovery so embedded finite verbs are visible)

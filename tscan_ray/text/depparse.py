@@ -199,6 +199,27 @@ def _split_clauses(anns: list) -> list[Clause]:
             start = i
             seen_finite = False
         elif _is_finite(a):
+            if seen_finite and i > start + 1:
+                # run-on second main clause without conjunction: a
+                # fresh det+noun subject NP directly before a second
+                # finite verb ("... een probleem de situatie zit zo",
+                # reference tests/bug1: Alpino brackets two smains)
+                j = i - 1
+                while j > start and anns[j].tag in ("N", "SPEC"):
+                    j -= 1
+                while j > start and anns[j].tag in ("ADJ", "TW"):
+                    j -= 1
+                if (j < i - 1 and j > start
+                        and (anns[j].tag == "LID"
+                             or (anns[j].tag == "VNW"
+                                 and anns[j].lword in (
+                                     "deze", "die", "dit", "dat", "mijn",
+                                     "zijn", "haar", "hun", "onze")))
+                        and anns[i - 1].tag in ("N", "SPEC")):
+                    clauses.append(Clause(start, j, kind, conj))
+                    kind = "main"
+                    conj = -1
+                    start = j
             seen_finite = True
     if start < len(anns):
         clauses.append(Clause(start, len(anns), kind, conj))
@@ -312,10 +333,15 @@ def parse_sentence(anns: list) -> SentParse:
                     det_idx = j
                 elif (b.tag == "ADJ" or (
                         b.tag == "WW" and b.prop in ("ISVD", "ISOD")
-                        and b.position == "PRENOM")) and not saw_noun:
-                    # prenominal participles carry pos=adj in the Alpino
-                    # tree ("De geasfalteerde wegen", reference
-                    # tests/npmod: np_mod AND adj_np_mod)
+                        and b.position == "PRENOM")
+                      or (b.tag == "VNW" and det_idx >= 0
+                          and b.lword in ("meeste", "minste", "weinige",
+                                          "vele", "enkele"))) \
+                        and not saw_noun:
+                    # prenominal participles and post-determiner
+                    # quantifiers carry pos=adj in the Alpino tree ("De
+                    # geasfalteerde wegen", "De meeste boeken" —
+                    # reference tests/npmod: np_mod AND adj_np_mod)
                     adj_mods += 1
                 elif b.tag == "TW" and not saw_noun:
                     # numerals are NP modifiers but not adjective mods
@@ -469,7 +495,11 @@ def parse_sentence(anns: list) -> SentParse:
             clause_cls.append(None)
             continue
         finites = [i for i in idxs if _is_finite(anns[i])]
-        verbs = [i for i in idxs if anns[i].tag == "WW"]
+        # prenominal participles are NP modifiers (pos=adj in the Alpino
+        # tree), never clause verbs ("De geasfalteerde wegen")
+        verbs = [i for i in idxs if anns[i].tag == "WW"
+                 and not (anns[i].prop in ("ISVD", "ISOD")
+                          and anns[i].position == "PRENOM")]
         verb = finites[0] if finites else (verbs[0] if verbs else -1)
 
         su = -1

@@ -176,6 +176,11 @@ def _closed_entries() -> dict[str, PosInfo]:
     for w in ("erg", "echt", "gewoon", "bijzonder", "alleen", "heel",
               "gauw", "prima", "vaker"):
         e.setdefault(w, _pi("ADJ", w))
+    # suppletive adjective grades (Frog lemma: goed)
+    e["beter"] = _pi("ADJ", "goed", ("goed", "er"), graad="comp")
+    e["betere"] = _pi("ADJ", "goed", ("goed", "er", "e"), graad="comp")
+    e["best"] = _pi("ADJ", "goed", ("goed", "st"), graad="sup")
+    e["beste"] = _pi("ADJ", "goed", ("goed", "st", "e"), graad="sup")
     e.setdefault("allerlei", _pi("ADJ", "allerlei"))
 
     # --- numerals ---------------------------------------------------------
@@ -302,6 +307,7 @@ def _closed_entries() -> dict[str, PosInfo]:
         ("drinken", ["drink", "drinkt", "drinken"],
          ["dronk", "dronken"], "gedronken"),
         ("spijten", ["spijt"], ["speet"], "gespeten"),
+        ("gelieven", ["gelieve"], [], None),  # formal imperative
         ("kijken", ["kijk", "kijkt", "kijken"], ["keek", "keken"],
          "gekeken"),
         ("roepen", ["roep", "roept", "roepen"], ["riep", "riepen"],
@@ -346,6 +352,10 @@ _WW_MORPH_EXC = {
     "zeggen": ("zeg", "e", "n"), "leggen": ("leg", "e", "n"),
     "gegaan": ("ge", "ga"), "gedaan": ("ge", "doe"),
     "gestaan": ("ge", "sta"), "geslagen": ("ge", "sla", "en"),
+    # monosyllabic-stem infinitives segment as the bare stem; suppletive
+    # zijn-paradigm past forms carry the lemma
+    "gaan": ("ga",), "staan": ("sta",), "slaan": ("sla",),
+    "waren": ("zijn", "en"), "was": ("zijn",),
 }
 
 
@@ -445,6 +455,15 @@ _PARTICLES = ("af", "aan", "bij", "binnen", "door", "in", "klaar",
               "voor", "weg")
 
 
+# quantifier forms Frog always tags VNW(onbep) even though adjective
+# lexicon entries exist for them
+_QUANT_FORMS = frozenset({"meeste", "meesten", "minste", "weinige",
+                          "vele", "velen", "meer", "meest", "minder",
+                          "minst",
+                          # suppletive grades with the Frog lemma
+                          "beter", "betere", "best", "beste"})
+
+
 def _lookup(lword: str, lex: Lexicons) -> PosInfo | None:
     """Lexicon + closed-class lookup.  The hand-curated lexicon entries
     (they carry CGN feats) win; the AUTO-derived POS entries the lexicon
@@ -453,6 +472,8 @@ def _lookup(lword: str, lex: Lexicons) -> PosInfo | None:
     function-word/paradigm table, which is CGN-grounded."""
     info = lex.pos.get(lword)
     closed = _CLOSED.get(lword)
+    if lword in _QUANT_FORMS and closed is not None:
+        return closed
     if closed is not None and (
             info is None
             or (info.feat("auto") == "1" and info.tag != closed.tag)):
@@ -485,7 +506,7 @@ _SUBJ_PRONOUNS = frozenset({
     "niemand", "alles", "er", "wie", "ie"})
 
 
-def _diminutive_base(lword: str) -> tuple[str | None, str | None]:
+def _diminutive_base(lword: str, lex: Lexicons) -> tuple[str | None, str | None]:
     """Diminutive -> (base noun, suffix) via inverse Dutch diminutive
     phonotactics (Frog lemmatizes plekje -> plek, mobieltje -> mobiel):
     -etje after short-vowel sonorants (mannetje -> man), -pje after m,
@@ -493,6 +514,12 @@ def _diminutive_base(lword: str) -> tuple[str | None, str | None]:
     obstruents (nachtje -> nacht, gesprekje -> gesprek)."""
     if not lword.endswith("je") or len(lword) < 5:
         return None, None
+    if lword.endswith("tje"):
+        # lexicon preference for the t-ambiguous split: plaatje ->
+        # plaat+je (t in the base) vs mobieltje -> mobiel+tje
+        tbase = lword[:-2]
+        if tbase in lex.noun_sem:
+            return tbase, "je"
     if lword.endswith("etje") and len(lword) > 6:
         base = lword[:-4]
         if base and base[-1] in "lmnr":
@@ -637,6 +664,12 @@ def _guess_participle(lword: str, lex: Lexicons,
     if lword.endswith(("heid", "heden", "ing", "ingen")):
         return None  # derivational nouns (gelegenheid, gedraging)
     if lword.startswith("ge") and len(lword) >= min_len:
+        # ge-initial VERBS keep the ge in the stem ("gebruikt" ->
+        # (gebruik, t), lemma gebruiken — Frog's MBMA does the same)
+        if lword[-1] in "dt":
+            ge_lemma, ge_m = _finite_lemma(lword, 1)
+            if ge_lemma in lex.verb_sem:
+                return _pi("WW", ge_lemma, ge_m, wvorm="vd")
         if lword.endswith("en"):
             stem = lword[2:-2]
             lemma, _m = _finite_lemma(stem, 0)
@@ -855,7 +888,7 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
             if info.lemma == lw and lw.endswith(("je", "jes")) \
                     and lw not in ("meisje", "beetje", "meisjes"):
                 base_form = lw[:-1] if lw.endswith("jes") else lw
-                cand, sfx = _diminutive_base(base_form)
+                cand, sfx = _diminutive_base(base_form, lex)
                 if cand is not None:
                     morphs = (cand, sfx) if base_form == lw \
                         else (cand, sfx, "s")
@@ -873,12 +906,52 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
             elif stem_parts is not None:
                 new = stem_parts
             elif (lw.endswith("en") and len(lw) > 4
+                  and lw not in lex.noun_sem
                   and _noun_lemma(lw)[0] in lex.noun_sem):
+                # plural of a known noun — but lexicalized -en nouns
+                # ("jongen", "keuken") stay whole
                 lemma = _noun_lemma(lw)[0]
                 d.info = info = _pi("N", lemma, (lemma, "en"))
                 continue
-            else:
+            elif (lw.endswith("s") and len(lw) > 4
+                  and lw[:-1] in lex.noun_sem):
+                # vowel-final -s plurals the generic rule skips
+                # ("cadeaus", "machines")
+                d.info = info = _pi("N", lw[:-1], (lw[:-1], "s"))
                 continue
+            elif lw.endswith("er") and len(lw) > 4 and lw == info.lemma:
+                # deverbal agent noun: roker -> (rook, er)
+                vstem = _redouble(lw[:-2])
+                if _finite_lemma(vstem, 0)[0] in lex.verb_sem:
+                    d.info = info = _pi("N", lw, (vstem, "er"))
+                    continue
+                continue
+            else:
+                # Germanic derivational suffixes split; Romance ones
+                # ("componist", "iteit") stay whole in Frog's MBMA
+                sfx = next((s for s in ("ing", "heid", "sel", "schap",
+                                        "erij", "nis", "dom")
+                            if lw.endswith(s)
+                            and len(lw) > len(s) + 2), None)
+                if sfx is not None and lw == info.lemma:
+                    # derivational noun suffix with undoubling
+                    # ("verrassing" -> (verras, ing))
+                    stem = lw[: -len(sfx)]
+                    if len(stem) >= 2 and stem[-1] == stem[-2] \
+                            and stem[-1] not in "aeiou":
+                        stem = stem[:-1]
+                    # prefix splits off only when the remainder is a
+                    # verb stem ("verkiezing" -> (ver, kies, ing) but
+                    # "verrassing" -> (verras, ing))
+                    pre = next((p for p in ("ver", "be", "ont", "her")
+                                if stem.startswith(p)
+                                and len(stem) > len(p) + 2
+                                and _finite_lemma(stem[len(p):], 0)[0]
+                                in lex.verb_sem), None)
+                    new = (pre, stem[len(pre):], sfx) if pre \
+                        else (stem, sfx)
+                else:
+                    continue
         elif info.tag == "BW" and len(m) == 1:
             lw = tokens[i].lower()
             new = _BW_MORPHS.get(lw)
@@ -906,8 +979,25 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
                     if stem.endswith("e") and sfx in ("lijk", "loos"):
                         stem = stem[:-1]
                         sfx = "e" + sfx
-                    new = (stem, sfx)
+                    if stem.startswith("on") and len(stem) > 5:
+                        new = ("on", stem[2:], sfx)  # on-geloof-lijk
+                    else:
+                        new = (stem, sfx)
                     break
+            if new is None and lw.endswith("e") and len(lw) > 3 \
+                    and lw == info.lemma + "e":
+                new = (info.lemma, "e")  # inflected but un-deinflected
+            if new is None and lw.endswith("e") and len(lw) > 3 \
+                    and lw != info.lemma and not lw.endswith(
+                        ("je", "ie", "ee", "oe")):
+                new = (info.lemma, "e")  # grote -> (groot, e)
+            if new is None and lw.endswith("en") and len(lw) > 4 \
+                    and lw == info.lemma:
+                # material adjective: houten -> (hout, en), lemma hout
+                base = _noun_lemma(lw)[0]
+                if base in lex.noun_sem:
+                    d.info = info = _pi("ADJ", base, (base, "en"))
+                    continue
             if new is None:
                 continue
         else:
@@ -923,7 +1013,9 @@ _BW_MORPHS = {"eens": ("een", "s"), "misschien": ("misschien",),
               "vanmorgen": ("van", "morgen"),
               "vanmiddag": ("van", "middag"),
               "vannacht": ("van", "nacht"), "zelfs": ("zelf", "s"),
-              "thuis": ("te", "huis"), "bovendien": ("boven", "dien"),
+              "thuis": ("thuis",), "bovendien": ("boven", "dien"),
+              "meestal": ("meest", "al"), "eerder": ("eer", "er"),
+              "tekort": ("te", "kort"), "eerst": ("eer", "st"),
               "daarom": ("daar", "om"), "daarna": ("daar", "na"),
               "daardoor": ("daar", "door")}
 _TW_MORPHS = {"eerste": ("een", "ste"), "tweede": ("twee", "de"),
@@ -1670,10 +1762,26 @@ def _context_passes(tokens, ds, lex, n):
             cand = (d.info is None
                     or (d.info.feat("auto") == "1"
                         and d.info.tag == "N"))
-            if not cand or _np_prev(ds, lowers, i):
+            if not cand:
                 continue
             pv = _prev_tag(ds, i)
             prev_lw = lowers[i - 1] if i else ""
+            # 4. prenominal inflected -e before an NP head (runs even
+            #    inside a determined NP: "deze vroege boeren", "Een
+            #    glas rode wijn", "met blonde haren")
+            if lw.endswith("e") and not lw.endswith(
+                    ("ie", "oe", "ee", "je", "ue", "ye")) \
+                    and len(lw) > 3:
+                nx2 = _next_idx(ds, i)
+                if nx2 >= 0 and nx2 < b and _nounish_ahead(
+                        tokens, ds, nx2, lex) and (
+                        d.info is None or d.info.lemma == lw
+                        or d.info.lemma in lex.adj_sem):
+                    base = _deinflect_e(lw)
+                    d.info = _pi("ADJ", base, (base, "e"))
+                    continue
+            if _np_prev(ds, lowers, i):
+                continue
             # 1. comparative/superlative of a known adjective
             #    ("ouder", "hipper", "oudste", "dichterbij")
             g = _comp_sup_adj(lw, lex)
@@ -1730,15 +1838,6 @@ def _context_passes(tokens, ds, lex, n):
                         tokens, ds, nx2, lex):
                     d.info = _pi("ADJ", lw)
                     continue
-            # 4. prenominal inflected -e before an NP head, any left
-            #    context ("met blonde haren", "Een glas rode wijn")
-            if lw.endswith("e") and len(lw) > 3 and not ds[i].punct:
-                nx2 = _next_idx(ds, i)
-                if nx2 >= 0 and _nounish_ahead(tokens, ds, nx2, lex):
-                    base = _deinflect_e(lw)
-                    if base in lex.adj_sem or d.info is None:
-                        d.info = _pi("ADJ", base, (base, "e"))
-                        continue
             # 5. nominalized adjective plural after a determiner/TW
             #    ("de aanwezigen", "duizend doden")
             if (lw.endswith("en") and len(lw) > 5

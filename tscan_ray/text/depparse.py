@@ -540,12 +540,22 @@ def parse_sentence(anns: list) -> SentParse:
                 else:
                     parse.bijw_cnt += 1
             elif verb_first and su < 0:
-                # finite verb with no subject sibling -> sv1 (imperative /
-                # verb-initial; checkImp src/Alpino.cxx:956-966)
-                parse.sv1_cnt += 1
-                cls = "sv1"
-                if ci == 0:
-                    parse.imperative_idx = finites[0]
+                if ci > 0 and clause_cls and clause_cls[ci - 1] == "ssub":
+                    # verb-first main clause directly after a fronted
+                    # subordinate clause: that clause IS its subject
+                    # ("Dat je ... gaat, is raar" — rel=su cat=cp)
+                    parse.smain_cnt += 1
+                    cls = "smain"
+                    if main_verb_idx < 0:
+                        main_verb_idx = finites[0]
+                else:
+                    # finite verb with no subject sibling -> sv1
+                    # (imperative / verb-initial; checkImp
+                    # src/Alpino.cxx:956-966)
+                    parse.sv1_cnt += 1
+                    cls = "sv1"
+                    if ci == 0:
+                        parse.imperative_idx = finites[0]
             else:
                 parse.smain_cnt += 1
                 cls = "smain"
@@ -922,6 +932,22 @@ def _d_level(
     # noun that precedes the main verb)
     for noun_idx, _pron in rel_after_noun:
         if main_verb_idx >= 0 and noun_idx < main_verb_idx:
+            return 6
+    # level 6 (2nd form): a clause as the SUBJECT (Alpino rel=su with
+    # cat=cp/whsub/whrel, reference src/Alpino.cxx:781-789): sentence-
+    # initial dat/of complementizer or wh word heading a verb-final
+    # clause, with the matrix finite verb later in the sentence
+    first = next((i for i in range(len(anns)) if i not in puncts), -1)
+    if first >= 0:
+        a0 = anns[first]
+        fins = [i for i, a in enumerate(anns) if _is_finite(a)]
+        nxt = next((i for i in range(first + 1, len(anns))
+                    if i not in puncts), -1)
+        v2 = nxt >= 0 and nxt < len(anns) and _is_finite(anns[nxt])
+        if (len(fins) >= 2 and not v2
+                and ((a0.tag == "VG" and a0.conjtype == "onder"
+                      and a0.lword in ("dat", "of"))
+                     or (a0.tag == "VNW" and a0.lword in ("wie", "wat")))):
             return 6
 
     # level 5: subordinating conjunction other than "dat"

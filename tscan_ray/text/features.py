@@ -61,8 +61,14 @@ _TIME_LEMMAS = frozenset({"hebben", "gaan", "komen"})
 
 # tiny deterministic NER gazetteer (replaces Frog NER, src/ner.cxx:8-41)
 _NER_PER = frozenset({"jan", "marie", "piet", "anna", "sophie", "daan"})
-_NER_LOC = frozenset({"amsterdam", "rotterdam", "utrecht", "nederland", "europa"})
+_NER_LOC = frozenset({"amsterdam", "rotterdam", "utrecht", "nederland",
+                      "europa", "ede", "antwerpen", "drenthe",
+                      "denemarken", "duitsland", "noord-duitsland",
+                      "belgië", "frankrijk", "engeland", "amerika",
+                      "afrika", "azië", "groningen", "friesland"})
 _NER_ORG = frozenset({"philips", "shell", "rabobank"})
+_NER_LOC_SUFFIX = ("dam", "burg", "wijk", "stad", "dorp", "land",
+                   "dijk", "veen", "loo", "richt", "um")
 # NER -> SEM fallback (src/ner.cxx:85-100)
 _NER_TO_SEM = {"PER": "human", "ORG": "institut", "LOC": "place"}
 
@@ -247,7 +253,13 @@ def _build_word_ann(token: str, lword: str, info, is_name: bool,
         ner = (
             "PER" if lword in _NER_PER
             else "LOC" if lword in _NER_LOC
+            or lword.endswith(_NER_LOC_SUFFIX)
             else "ORG" if lword in _NER_ORG
+            # Frog's NER reads a standalone capitalized token as a
+            # person by default (first names dominate); all-caps
+            # acronyms and mixed tokens stay MISC
+            else "PER" if token[:1].isupper() and not token.isupper()
+            and token[1:].islower() and len(token) > 2
             else "MISC"
         )
         ann.ner = ner
@@ -933,8 +945,18 @@ def analyze_sentence(
         for k, a in enumerate(anns):
             if a.tag != "WW":
                 continue
-            end = next((j for j in range(k + 1, len(anns))
-                        if anns[j].tag == "VG"), len(anns))
+            # the window ends at a CLAUSAL conjunction; a nominal
+            # coordination ("zijn zoon en zijn dochter gezien") does
+            # not cut the verb cluster off from its auxiliary
+            end = len(anns)
+            for j in range(k + 1, len(anns)):
+                if anns[j].tag != "VG":
+                    continue
+                if anns[j].conjtype == "onder" or any(
+                        b.tag == "WW" and b.prop.startswith("ISPV")
+                        for b in anns[j + 1:]):
+                    end = j
+                    break
             later = anns[k + 1:end]
             has_vd = any(b.tag == "WW" and b.prop == "ISVD" for b in later)
             has_vc = any(b.tag == "WW" and b.prop in ("ISVD", "ISINF")

@@ -433,7 +433,8 @@ _CLOSED = _closed_entries()
 
 # words whose tag is context-dependent (resolved in the repair passes) —
 # the plain closed/lexicon entry is only the default reading
-_AMBIG = frozenset({"het", "dat", "die", "zijn", "haar", "toen", "een"})
+_AMBIG = frozenset({"het", "dat", "die", "zijn", "haar", "toen", "een",
+                    "of"})
 
 # month / weekday names: Frog tags these SPEC(deeleigen) (name-like)
 _SPEC_WORDS = frozenset({
@@ -820,6 +821,19 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
         if is_name:
             ds.append(Decision(None, is_name=True))
             continue
+        # sentence-initial capitalized noun-homograph of a first name:
+        # name-coordination ("Peter en Thea zijn...") or a 3sg-verb
+        # subject slot ("Leen is in tranen") reads as a name
+        if (initial and tok[0].isupper() and not shouty
+                and info is not None and info.feat("auto") == "1"
+                and info.tag == "N" and i + 2 < n):
+            nxt, nxt2 = tokens[i + 1].lower(), tokens[i + 2]
+            nclosed = _CLOSED.get(nxt)
+            if (nxt == "en" and nxt2[0].isupper()) or (
+                    nclosed is not None and nclosed.tag == "WW"
+                    and nclosed.feat("wvorm") == "pv"):
+                ds.append(Decision(None, is_name=True))
+                continue
         if lword in _SPEC_WORDS and (
                 info is None or not info.feats
                 or info.feat("auto") == "1"):
@@ -1243,6 +1257,12 @@ def _context_passes(tokens, ds, lex, n):
                 d.info = _CLOSED["haar\x00bez"]
             else:
                 d.info = _pi("VNW", "haar", vwtype="pers", persoon="3")
+        elif lw == "of":
+            # sentence/clause-initial "of" = complementizer ("Of ik
+            # morgen zal slagen is mij niet bekend"); elsewhere the
+            # coordinating reading stands
+            if i == 0 or ds[i - 1].punct:
+                d.info = _pi("VG", "of", conjtype="onder")
         elif lw == "toen":
             nxt = ds[nx] if nx >= 0 else None
             if (nxt is not None and nxt.info is not None
@@ -1316,9 +1336,12 @@ def _context_passes(tokens, ds, lex, n):
                 and lw == "".join(d.info.morphemes)
                 and (_np_prev(ds, lowers, i)
                      # raw possessive forms (they may still be tagged
-                     # pers at this point: "haar verdriet")
-                     or prev_lw in ("mijn", "jouw", "uw", "zijn", "haar",
-                                    "hun", "ons", "onze", "je"))):
+                     # pers at this point: "haar verdriet") — but not
+                     # when already resolved verbal ("zijn verongelukt")
+                     or (prev_lw in ("mijn", "jouw", "uw", "zijn",
+                                     "haar", "hun", "ons", "onze", "je")
+                         and not (ds[i - 1].info is not None
+                                  and ds[i - 1].info.tag == "WW")))):
             d.info = _pi("N", lw)
             continue
         # WW-inf demotion also after possessive/demonstrative/indefinite

@@ -540,10 +540,17 @@ def parse_sentence(anns: list) -> SentParse:
                 else:
                     parse.bijw_cnt += 1
             elif verb_first and su < 0:
-                if ci > 0 and clause_cls and clause_cls[ci - 1] == "ssub":
+                prev_conj = (anns[clauses[ci - 1].conj_idx].lword
+                             if ci > 0 and clauses[ci - 1].conj_idx >= 0
+                             else "")
+                if (ci > 0 and clause_cls
+                        and clause_cls[ci - 1] == "ssub"
+                        and prev_conj in ("dat", "of")):
                     # verb-first main clause directly after a fronted
-                    # subordinate clause: that clause IS its subject
-                    # ("Dat je ... gaat, is raar" — rel=su cat=cp)
+                    # COMPLEMENT clause: that clause IS its subject
+                    # ("Dat je ... gaat, is raar" — rel=su cat=cp); an
+                    # adverbial subordinate ("Als ..., ga dan ...")
+                    # leaves the main clause verb-initial (sv1)
                     parse.smain_cnt += 1
                     cls = "smain"
                     if main_verb_idx < 0:
@@ -579,6 +586,11 @@ def parse_sentence(anns: list) -> SentParse:
         content = verb
         if finites and anns[verb].wwform in _AUX_WWFORMS:
             parts = [w for w in verbs if w > verb and anns[w].prop == "ISVD"]
+            if not parts:
+                # verb-final subordinate order puts the participle
+                # BEFORE the finite aux ("omdat ik hem gevraagd had")
+                parts = [w for w in verbs if w < verb
+                         and anns[w].prop == "ISVD"]
             if parts:
                 content = parts[-1]
         elif finites and anns[verb].wwform == "MODAL_VERB":
@@ -586,6 +598,9 @@ def parse_sentence(anns: list) -> SentParse:
             # the infinitive, whose coindexed su doubles the subject edge
             # ("zodat Ko het beter kon zien", reference tests/depdist20)
             parts = [w for w in verbs if w > verb and anns[w].prop == "ISINF"]
+            if not parts:
+                parts = [w for w in verbs if w < verb
+                         and anns[w].prop == "ISINF"]
             if parts:
                 content = parts[-1]
         aux_construction = content != verb
@@ -893,6 +908,17 @@ def parse_sentence(anns: list) -> SentParse:
     # phrase-level (nominal) conjunctions were merged out of the clause
     # list above and counted in small_cnj_cnt there
     for ci, cl in enumerate(clauses):
+        # coordinated SUBORDINATE clauses: "omdat ... en omdat ..." —
+        # the neven VG directly precedes the second subordinator, so
+        # the sub clause (and its left peer) are ssub conjuncts
+        if (cl.kind == "sub" and cl.conj_idx >= 1
+                and clause_cls[ci] == "ssub"
+                and anns[cl.conj_idx - 1].tag == "VG"
+                and anns[cl.conj_idx - 1].conjtype == "neven"):
+            parse.ssub_cnj_cnt += 1
+            if ci > 0 and clause_cls[ci - 1] == "ssub":
+                parse.ssub_cnj_cnt += 1
+            continue
         if cl.kind != "coord" or cl.conj_idx < 0:
             continue
         if clause_cls[ci] is not None:

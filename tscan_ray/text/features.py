@@ -958,9 +958,21 @@ def analyze_sentence(
                     end = j
                     break
             later = anns[k + 1:end]
-            has_vd = any(b.tag == "WW" and b.prop == "ISVD" for b in later)
+            # verb-final subordinate order: the participle/infinitive
+            # sits directly before the finite aux ("gevraagd had",
+            # "komen wou") — extend the window backwards over the
+            # immediately preceding verb cluster
+            back = []
+            for j in range(k - 1, -1, -1):
+                if anns[j].tag == "WW":
+                    back.append(anns[j])
+                else:
+                    break
+            cluster = later + back
+            has_vd = any(b.tag == "WW" and b.prop == "ISVD"
+                         for b in cluster)
             has_vc = any(b.tag == "WW" and b.prop in ("ISVD", "ISINF")
-                         for b in later)
+                         for b in cluster)
             predc = False
             for b in later:
                 if b.prop == "ISLET" or b.tag in ("BW", "LID", "TW",

@@ -1361,9 +1361,11 @@ def _context_passes(tokens, ds, lex, n):
             d.info = _pi("N", lemma, morphs)
             continue
         # a bare closed-paradigm verb form inside a determined NP is a
-        # noun homograph ("in de loop der eeuwen", "de vraag wie")
+        # noun homograph ("in de loop der eeuwen", "de vraag wie") —
+        # only the built-in paradigm table, never curated lexicon verbs
         if (d.info.tag == "WW" and d.info.feat("wvorm") == "pv"
-                and not d.info.feat("auto") and i and not ds[i - 1].punct
+                and lw in _CLOSED and _CLOSED[lw].tag == "WW"
+                and i and not ds[i - 1].punct
                 and (pv == "LID" or prev_lw in ("mijn", "jouw", "uw",
                                                 "zijn", "haar", "hun",
                                                 "ons", "onze"))

@@ -183,3 +183,36 @@ ray.shutdown()
         for k, m in mtimes1.items():
             assert os.path.getmtime(
                 os.path.join(out, f"part-{k:05d}.parquet")) == m
+
+
+class TestStdinMode:
+    def test_stdin_incremental(self, ray_session, tmp_path, monkeypatch,
+                               capsys):
+        """Reference -S mode (src/tscan.cxx:3414-3491): filenames on
+        stdin, analysed incrementally, echoed when done, '.' exits."""
+        import io
+        import os
+
+        from tscan_ray.run import main
+
+        f1 = tmp_path / "a.txt"
+        f1.write_text("De kat loopt snel naar huis .\n\n"
+                      "De hond slaapt .\n")
+        f2 = tmp_path / "b.txt"
+        f2.write_text("Een mooi boek over de stad .\n")
+        out = tmp_path / "out"
+        out.mkdir()
+        feed = f"{f1}\n\n{f2}\nmissing_file.txt\n.\n"
+        monkeypatch.setattr("sys.stdin", io.StringIO(feed))
+        rc = main(["--stdin", "--stdin-out", str(out)])
+        assert rc == 0
+        got = capsys.readouterr()
+        lines = [ln for ln in got.out.splitlines() if ln.strip()]
+        assert lines[0].startswith("$ WAITING ON STDIN")
+        assert lines[1] == str(f1) and lines[2] == str(f2)
+        assert "failed to open file 'missing_file.txt'" in got.err
+        xmls = sorted(p.name for p in out.iterdir())
+        assert any(x.startswith("a.txt") and x.endswith(".xml")
+                   for x in xmls)
+        assert any(x.startswith("b.txt") and x.endswith(".xml")
+                   for x in xmls)

@@ -217,7 +217,6 @@ def rolling_diversity_frame(df: pd.DataFrame, key: str, text_col: str,
     from tscan_ray.text.tokenize import is_punct, tokenize
 
     from collections import Counter, deque
-    from itertools import chain
 
     toks = [
         [t.lower() for t in tokenize(x or "") if not is_punct(t)]
@@ -228,31 +227,41 @@ def rolling_diversity_frame(df: pd.DataFrame, key: str, text_col: str,
     ttrs = np.empty(n, dtype=np.float64)
     mtlds = np.empty(n, dtype=np.float64)
     # incremental window state (reused across rows): TTR from counter
-    # deltas — O(row tokens) per step instead of O(window * tokens);
-    # MTLD alone is recomputed from the buffered lists (it is a
-    # position-dependent scan, not decomposable — SURVEY §7.4)
-    dq: deque[list[str]] = deque()
+    # deltas — O(row tokens) per step instead of O(window * tokens) —
+    # plus a FLAT compacting token buffer (one C-level slice per row
+    # instead of a python flatten loop).  MTLD itself is recomputed per
+    # row: it is a position-dependent scan, not decomposable (SURVEY
+    # §7.4), so its O(window * tokens) walk is the irreducible floor.
+    lens: deque[int] = deque()   # per-row token counts in the window
+    flat: list[str] = []         # window tokens, [off:] is live
+    off = 0
     cnt: Counter = Counter()
-    total = 0
     for i in range(n):
         if i > 0 and keys[i] != keys[i - 1]:
-            dq.clear()
+            lens.clear()
+            flat = []
+            off = 0
             cnt.clear()
-            total = 0
-        dq.append(toks[i])
-        cnt.update(toks[i])
-        total += len(toks[i])
-        if len(dq) > window:
-            old = dq.popleft()
-            total -= len(old)
-            for t in old:
+        row = toks[i]
+        lens.append(len(row))
+        flat.extend(row)
+        cnt.update(row)
+        if len(lens) > window:
+            drop = lens.popleft()
+            for t in flat[off:off + drop]:
                 c = cnt[t] - 1
                 if c:
                     cnt[t] = c
                 else:
                     del cnt[t]
+            off += drop
+            if off > 4096 and off * 2 > len(flat):
+                flat = flat[off:]
+                off = 0
+        total = len(flat) - off
+        live = flat[off:] if off else flat
         ttrs[i] = (len(cnt) / total) if total else ttr_fn([])
-        mtlds[i] = average_mtld(list(chain.from_iterable(dq)))
+        mtlds[i] = average_mtld(live)
     df[f"ttr_w{window}"] = ttrs
     df[f"mtld_w{window}"] = mtlds
     return df

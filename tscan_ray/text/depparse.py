@@ -357,7 +357,11 @@ def parse_sentence(anns: list) -> SentParse:
                     saw_noun = True
                     np_start[j] = i
                     if det_idx >= 0:
-                        _store(parse, "NOUN_DET", det_idx, j, puncts)
+                        # det edges pair with NOUN heads only; a name
+                        # head ("de VARA", "Willem de Tweede") stores no
+                        # NOUN_DET (reference tests/afk, npmod)
+                        if b.tag == "N":
+                            _store(parse, "NOUN_DET", det_idx, j, puncts)
                         det_idx = -1
                 elif b.tag in ("ADJ", "TW") and saw_noun:
                     # post-head modifier ("arbeidsbureau nieuwe stijl",
@@ -391,14 +395,30 @@ def parse_sentence(anns: list) -> SentParse:
             prev -= 1
         if prev < 0 or not _is_nounish(anns[prev]):
             continue
-        np_pp_attached.add(i)
         if _has_np_complement(anns, i, n, puncts):
             # a real NP-attached PP is rel=mod under the NP node
             # (Alpino mod_stats): np_modifier counts it ("sypmtomen van
-            # Pdd-Nos", tests/afk); a STRANDED preposition ("plaatjes
-            # bij ,", tests/depdist20 — half of a split pronominal
-            # adverb) is absorbed without an edge or a mod count
+            # Pdd-Nos", tests/afk)
+            np_pp_attached.add(i)
             parse.np_mod_cnt += 1
+        else:
+            # stranded preposition: clause-FINAL = half of a split
+            # pronominal adverb, absorbed without an edge ("plaatjes
+            # bij ,", tests/depdist20); NON-final = the verb's
+            # prepositional complement, verb-edged ("besteedt daar
+            # aandacht AAN bij de VARA", tests/afk: verb_pp covers it)
+            nxt = next((x for x in range(i + 1, n)
+                        if x not in puncts), -1)
+            if nxt < 0 or anns[nxt].tag == "VG":
+                np_pp_attached.add(i)  # clause-final: absorbed
+            else:
+                # the R-pronoun earlier in the clause is the stranded
+                # preposition's object ("DAAR ... AAN": obj1 daar->aan)
+                rp = next((x for x in range(i - 1, -1, -1)
+                           if anns[x].lword in ("er", "daar", "hier",
+                                                "waar")), -1)
+                if rp >= 0:
+                    _store(parse, "PREP_OBJ1", i, rp, puncts)
         k = i + 1
         while k < n and anns[k].tag not in ("VZ", "WW", "VG"):
             if k not in puncts and (_is_nounish(anns[k]) or anns[k].tag == "VNW"):
@@ -815,6 +835,14 @@ def parse_sentence(anns: list) -> SentParse:
                 if pv >= 0 and pv != verb and anns[pv].tag == "BW":
                     continue  # advp-internal ("niet MEER", "niet THUIS":
                     # only the advp head keeps the verb edge)
+                if (b.tag == "VNW" and any(
+                        anns[x].tag == "VZ" and x not in np_pp_attached
+                        and not _has_np_complement(anns, x, cl.end,
+                                                   puncts)
+                        for x in range(j + 1, cl.end))):
+                    continue  # half of a split pronominal adverb
+                    # ("besteedt DAAR aandacht aan": daar+aan = eraan,
+                    # no separate adverb edge — reference tests/afk)
                 _store(parse, "VERB_MOD_BW", content, j, puncts)
                 parse.vc_mod_cnt += 1
                 if b.adverb_type == "GENERAL":

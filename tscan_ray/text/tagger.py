@@ -725,6 +725,15 @@ def _guess_open(lword: str, lex: Lexicons) -> PosInfo | None:
     if lword in lex.verb_sem and lword.endswith("n"):
         stem = _verb_stem(lword)
         return _pi("WW", lword, (stem, "en"), wvorm="inf")
+
+    # particle + closed-paradigm verb compound ("terugzien", "meedoen")
+    if lword.endswith("n") and len(lword) > 5:
+        for part in _PARTICLES + ("terug", "weer", "tegemoet"):
+            rest = lword[len(part):]
+            if (lword.startswith(part) and len(rest) >= 3
+                    and rest in _CLOSED and _CLOSED[rest].tag == "WW"
+                    and _CLOSED[rest].lemma == rest):
+                return _pi("WW", lword, (part, rest), wvorm="inf")
     if lword in lex.adj_sem:
         return _pi("ADJ", lword)
     if lword in lex.noun_sem:
@@ -1334,6 +1343,10 @@ def _context_passes(tokens, ds, lex, n):
                 and d.info.morphemes
                 and d.info.morphemes[0] in ("ver", "be", "ont", "her")
                 and lw == "".join(d.info.morphemes)
+                # a clause-initial standalone die/dat is a SUBJECT, not
+                # a determiner ("Die bederft niet zo snel")
+                and not (prev_lw in ("die", "dat")
+                         and (i <= 1 or ds[i - 2].punct))
                 and (_np_prev(ds, lowers, i)
                      # raw possessive forms (they may still be tagged
                      # pers at this point: "haar verdriet") — but not
@@ -1444,9 +1457,10 @@ def _context_passes(tokens, ds, lex, n):
                or (next_lw in ("ik", "jij", "je", "u", "wij", "we"))
                or (next_lw in _3SG_PRONOUNS and lw.endswith("t")))
         if not next_name and (verl_inv or (
-                nbr and not lw.endswith(("e", "en")))) and (
-                pv not in ("LID", "TW", "VZ")
-                and not (pv == "ADJ" and _np_prev(ds, lowers, i))):
+                nbr and not (lw.endswith("e")
+                             or (lw.endswith("en") and len(lw) > 4)))) \
+                and (pv not in ("LID", "TW", "VZ")
+                     and not (pv == "ADJ" and _np_prev(ds, lowers, i))):
             g = _finite_guess(lw)
             if g is not None:
                 d.info = g
@@ -1513,7 +1527,12 @@ def _context_passes(tokens, ds, lex, n):
                               (",", ";", ":", "(", ")", "-", "—")) \
             or (i > s0 and ds[i].info is not None
                 and ds[i].info.tag == "VG"
-                and ds[i].info.feat("conjtype") == "neven")
+                and ds[i].info.feat("conjtype") == "neven") \
+            or (i > s0 and ds[i].info is not None
+                and ds[i].info.tag == "BW"
+                and lowers[i] in ("dus", "daarom", "vervolgens",
+                                  "bovendien", "daarna", "toch")
+                and any(_is_fin(ds[j]) for j in range(s0, i)))
         # a mid-span subordinator/relative opens its own clause span
         # ("... groep waartoe de herten behoren")
         sub_start = i < n and i > s0 and not ds[i].punct \
@@ -1645,7 +1664,10 @@ def _context_passes(tokens, ds, lex, n):
                         and _vwtype(d) in ("pers", "aanw", "onbep",
                                            "vb")))):
                 seen_subject = True
-            if d.is_name or d.info is not None:
+            auto_n = (d.info is not None
+                      and d.info.feat("auto") == "1"
+                      and d.info.tag == "N")
+            if d.is_name or (d.info is not None and not auto_n):
                 continue
             lw = lowers[i]
             pv = _prev_tag(ds, i)
@@ -1654,6 +1676,21 @@ def _context_passes(tokens, ds, lex, n):
                 continue
             if pv == "ADJ" and _np_prev(ds, lowers, i):
                 continue  # inside an NP ("de grote X") — not the V2 slot
+            if auto_n:
+                # noun-homographs only fill the IMPERATIVE slot here
+                # ("dus stuur zo snel mogelijk ..."); the inflectional
+                # V2 branches need a truly unknown token
+                nx3 = _next_idx(ds, i)
+                if (not seen_subject and (i == head or pv in ("BW", "VG"))
+                        and not lw.endswith(("e", "en", "s", "t"))
+                        and _vowel_groups(lw) <= 2
+                        and 0 <= nx3 < b
+                        and not _np_prev(ds, lowers, i)):
+                    g = _finite_guess(lw)
+                    if g is not None:
+                        d.info = g
+                        break
+                continue
             # V2 slot: a subject before the candidate, or right after
             # it (inversion after a fronted adverbial: "Gelukkig
             # besteedt de PvdA ...")

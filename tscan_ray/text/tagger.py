@@ -182,6 +182,8 @@ def _closed_entries() -> dict[str, PosInfo]:
     e["best"] = _pi("ADJ", "goed", ("goed", "st"), graad="sup")
     e["beste"] = _pi("ADJ", "goed", ("goed", "st", "e"), graad="sup")
     e.setdefault("allerlei", _pi("ADJ", "allerlei"))
+    e["dichterbij"] = _pi("ADJ", "dichtbij", ("dichtbij", "er"),
+                          graad="comp")
 
     # --- numerals ---------------------------------------------------------
     add("één twee drie vier vijf zes zeven acht negen tien elf twaalf "
@@ -1830,18 +1832,34 @@ def _context_passes(tokens, ds, lex, n):
             prev_lw = lowers[i - 1] if i else ""
             # 4. prenominal inflected -e before an NP head (runs even
             #    inside a determined NP: "deze vroege boeren", "Een
-            #    glas rode wijn", "met blonde haren")
+            #    glas rode wijn", "met blonde haren"); a determined
+            #    undecided -e token counts even when the head resolved
+            #    non-nominal ("het slechte weer": weer = BW homograph)
             if lw.endswith("e") and not lw.endswith(
                     ("ie", "oe", "ee", "je", "ue", "ye")) \
                     and len(lw) > 3:
                 nx2 = _next_idx(ds, i)
-                if nx2 >= 0 and nx2 < b and _nounish_ahead(
-                        tokens, ds, nx2, lex) and (
-                        d.info is None or d.info.lemma == lw
-                        or d.info.lemma in lex.adj_sem):
+                ok4 = (nx2 >= 0 and _nounish_ahead(tokens, ds, nx2, lex)
+                       and (d.info is None or d.info.lemma == lw
+                            or d.info.lemma in lex.adj_sem))
+                if not ok4 and nx2 >= 0 and not ds[nx2].punct \
+                        and d.info is None \
+                        and _np_prev(ds, lowers, i):
+                    ok4 = True
+                if ok4:
                     base = _deinflect_e(lw)
                     d.info = _pi("ADJ", base, (base, "e"))
                     continue
+            # 5. nominalized adjective plural after a determiner/TW
+            #    ("de aanwezigen", "duizend doden")
+            if (lw.endswith("en") and len(lw) > 5
+                    and pv in ("LID", "TW")):
+                nx2 = _next_idx(ds, i)
+                if nx2 < 0 or not _nounish_ahead(tokens, ds, nx2, lex):
+                    base = _deinflect_e(lw[:-1])
+                    if base in lex.adj_sem:
+                        d.info = _pi("ADJ", base, (lw[:-1], "en"))
+                        continue
             if _np_prev(ds, lowers, i):
                 continue
             # 1. comparative/superlative of a known adjective
@@ -1900,16 +1918,38 @@ def _context_passes(tokens, ds, lex, n):
                         tokens, ds, nx2, lex):
                     d.info = _pi("ADJ", lw)
                     continue
-            # 5. nominalized adjective plural after a determiner/TW
-            #    ("de aanwezigen", "duizend doden")
-            if (lw.endswith("en") and len(lw) > 5
-                    and pv in ("LID", "TW")):
-                nx2 = _next_idx(ds, i)
-                if nx2 < 0 or not _nounish_ahead(tokens, ds, nx2, lex):
-                    base = _deinflect_e(lw[:-1])
-                    if base in lex.adj_sem:
-                        d.info = _pi("ADJ", base, (lw[:-1], "en"))
+            # 6. adjective coordination: "ordinair en [laagbegaafd]",
+            #    "erg mooi en bijzonder [intelligent]" — undecided token
+            #    conjoined with a resolved adjective
+            if d.info is None and i >= 2:
+                pvj = next((j for j in range(i - 1, a - 1, -1)
+                            if not ds[j].punct), -1)
+                # an intensifier may sit between ("en bijzonder
+                # intelligent"): look left past one BW/known-ADJ degree
+                lft = pvj
+                if (lft > a and ds[lft].info is not None
+                        and ds[lft].info.tag in ("BW", "ADJ")
+                        and lowers[lft] in _DEGREE_WORDS | {
+                            "bijzonder", "ongelooflijk", "erg"}):
+                    lft = next((j for j in range(lft - 1, a - 1, -1)
+                                if not ds[j].punct), -1)
+                if (lft > a and ds[lft].info is not None
+                        and ds[lft].info.tag == "VG"):
+                    left = next((j for j in range(lft - 1, a - 1, -1)
+                                 if not ds[j].punct), -1)
+                    if (left >= 0 and ds[left].info is not None
+                            and ds[left].info.tag == "ADJ"):
+                        d.info = _pi("ADJ", lw)
                         continue
+            # 7. degree-word comparative: "nóg hipper" — doubled-stem
+            #    -er after a degree adverb is adjectival morphology
+            if (lw.endswith("er") and len(lw) > 4
+                    and prev_lw in ("nog", "nóg", "veel", "iets",
+                                    "steeds", "wat", "alsmaar")
+                    and lw[-3] == lw[-4] and lw[-3] not in "aeiou"):
+                base = lw[:-3]
+                d.info = _pi("ADJ", base, (base, "er"), graad="comp")
+                continue
 
     # -- die/dat: determiner / relative / demonstrative / complementizer
     # (runs AFTER verb recovery so embedded finite verbs are visible)

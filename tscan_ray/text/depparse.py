@@ -191,12 +191,13 @@ def _split_clauses(anns: list) -> list[Clause]:
                       for j in range(i + 1, len(anns)))):
             # connective adverb joining two finite clauses without a VG
             # ("... geen repen met punten meer DUS kocht ik 2 repen",
-            # reference tests/bug1: Alpino brackets a second smain) —
-            # the adverb stays in the new clause (V1 inversion follows)
+            # reference tests/bug1/bug2: Alpino brackets the clauses
+            # as CONJUNCTS with the adverb as coordinator (smain_cnj
+            # counts both, crd edges run from the adverb)
             clauses.append(Clause(start, i, kind, conj))
-            kind = "main"
-            conj = -1
-            start = i
+            kind = "coord"
+            conj = i
+            start = i + 1
             seen_finite = False
         elif _is_finite(a):
             if seen_finite and i > start + 1:
@@ -563,7 +564,19 @@ def parse_sentence(anns: list) -> SentParse:
                 prev_conj = (anns[clauses[ci - 1].conj_idx].lword
                              if ci > 0 and clauses[ci - 1].conj_idx >= 0
                              else "")
-                if (ci > 0 and clause_cls
+                # inverted subject right after the fronted-clause verb
+                # ("Toen ik de actie zag , dacht IK") -> smain
+                nxv = next((k for k in idxs if k > finites[0]), -1)
+                inv_su = (nxv >= 0 and _is_su_candidate(anns[nxv])
+                          and nxv not in poss_det)
+                if ci > 0 and clause_cls and clause_cls[ci - 1] == "ssub" \
+                        and inv_su:
+                    su = nxv
+                    parse.smain_cnt += 1
+                    cls = "smain"
+                    if main_verb_idx < 0:
+                        main_verb_idx = finites[0]
+                elif (ci > 0 and clause_cls
                         and clause_cls[ci - 1] == "ssub"
                         and prev_conj in ("dat", "of")):
                     # verb-first main clause directly after a fronted

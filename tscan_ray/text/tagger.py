@@ -140,7 +140,8 @@ def _closed_entries() -> dict[str, PosInfo]:
         e.setdefault(w, _pi("VG", w, conjtype="onder"))
 
     # --- interjections ----------------------------------------------------
-    add("ja nee nou oké ach oh o jawel hoor hé hè tja", "TSW")
+    add("ja nee nou oké ach oh o jawel hoor hé hè tja hallo hoi "
+        "hey jeetje tjonge", "TSW")
 
     # --- adverbs ----------------------------------------------------------
     add("wel nog reeds steeds vaak soms zelden weer opnieuw telkens "
@@ -2024,6 +2025,19 @@ def _context_passes(tokens, ds, lex, n):
                 break
         if not has_fin:
             d.info = _pi("VZ", "als")
+
+    # -- "maar" without a following finite verb is the particle adverb
+    # ("ik krijg het maar niet", "laat ze maar lekker woekeren"), not a
+    # coordinator --------------------------------------------------------
+    for (a, b) in spans:
+        for i in range(a, b):
+            d = ds[i]
+            if d.punct or d.is_name or d.info is None:
+                continue
+            lw = lowers[i]
+            if (lw == "maar" and d.info.tag == "VG" and i > a
+                    and not any(_is_fin(ds[j]) for j in range(i + 1, b))):
+                d.info = _pi("BW", "maar")
 
     # -- "het" re-resolution: the early pass ran before verb recovery,
     # so "Het regent" / "als het goed is" looked nounish; a finite verb

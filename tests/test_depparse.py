@@ -36,13 +36,15 @@ class TestDistances:
         assert p.d_level == 0
 
     def test_punctuation_correction(self):
-        # su at 1, clause verb (first finite) at 4; raw dist 2 minus the
-        # comma at 2 -> 1
+        # the relative clause is its own (ssub) span: su loopt->die 0;
+        # the matrix resumes after it: su ziet->man raw 4 minus the two
+        # commas -> 2 (punctuation excluded from every distance)
         p = _parse("De man , die loopt , ziet de kat .")
-        assert p.distances["SUB_VERB"] == [1]
-        # obj1: positions 4..8 raw 3, comma at 5 -> 2
-        assert p.distances["OBJ1_VERB"] == [2]
+        assert p.distances["SUB_VERB"] == [0, 2]
+        # obj1: positions 6..8 raw 1
+        assert p.distances["OBJ1_VERB"] == [1]
         assert p.betr_cnt == 1
+        assert p.ssub_cnt == 1 and p.smain_cnt == 1
         assert p.d_level == 6  # relative clause modifies the subject
 
     def test_indefinite_np(self):

@@ -94,6 +94,8 @@ def main():
     ap.add_argument("--metric", default=None,
                     help="print each mismatch for this metric")
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--by-sentence", action="store_true",
+                    help="rank (case, sentence) pairs by mismatch count")
     args = ap.parse_args()
     cases = args.cases.split(",") if args.cases else None
 
@@ -101,6 +103,7 @@ def main():
     miss_by_metric: Counter = Counter()
     tot_by_metric: Counter = Counter()
     miss_by_case: Counter = Counter()
+    miss_by_sent: Counter = Counter()
     examples = defaultdict(list)
     for ctx, mk, want, got in iter_checks(cases):
         tot += 1
@@ -110,6 +113,7 @@ def main():
         else:
             miss_by_metric[mk] += 1
             miss_by_case[ctx[0]] += 1
+            miss_by_sent[(ctx[0], ctx[1])] += 1
             if len(examples[mk]) < 4:
                 examples[mk].append((ctx, want, got))
             if args.metric == mk:
@@ -124,6 +128,10 @@ def main():
         print(f"{mk:34s} {n:5d} {tot_by_metric[mk]:6d}  "
               f"{ex[0][0]} s{ex[0][1]} want={ex[1]} got={ex[2]}")
     print("\nworst cases:", miss_by_case.most_common(15))
+    if args.by_sentence:
+        print("\nworst sentences:")
+        for (case, s), n in miss_by_sent.most_common(args.top):
+            print(f"  {case} s{s}: {n}")
 
 
 if __name__ == "__main__":

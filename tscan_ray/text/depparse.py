@@ -148,16 +148,69 @@ def _is_su_candidate(ann) -> bool:
 def _has_np_complement(anns: list, j: int, end: int, puncts: set[int]) -> bool:
     """True when the preposition at ``j`` is followed by nominal material
     (the start of its own object NP) before the next VZ/WW/VG — a bare
-    particle ("at ... op als toetje") has none."""
-    for k in range(j + 1, end):
+    particle ("at ... op als toetje") has none.  A VG directly followed
+    by another VZ is a coordinated preposition ("in EN ROND hunebedden",
+    reference tests/d6 s2) and is passed through."""
+    k = j + 1
+    while k < end:
         if k in puncts:
+            k += 1
             continue
         a = anns[k]
-        if a.tag in ("VZ", "WW", "VG"):
+        if a.tag == "VG":
+            nk = next((x for x in range(k + 1, end) if x not in puncts), -1)
+            if nk >= 0 and anns[nk].tag == "VZ":
+                k = nk + 1
+                continue
+            return False
+        if a.tag in ("VZ", "WW"):
             return False
         if _is_nounish(a) or a.tag in ("VNW", "LID", "ADJ", "TW"):
             return True
+        k += 1
     return False
+
+
+def _pp_object(anns: list, i: int, end: int, puncts: set[int]) -> int:
+    """Head of the object NP of the preposition at ``i``: the first
+    noun/name, nominal plural numeral ("na al die duizenden JAREN" →
+    duizenden, the TW head in the Alpino np) or non-determiner pronoun
+    scanning right; determiner-like pronouns with a nominal head ahead
+    are skipped; a VG+VZ pair (coordinated preposition) is passed
+    through.  -1 when the PP has no nominal object."""
+    k = i + 1
+    while k < end:
+        if k in puncts:
+            k += 1
+            continue
+        a = anns[k]
+        if a.tag == "VG":
+            nk = next((x for x in range(k + 1, end) if x not in puncts), -1)
+            if nk >= 0 and anns[nk].tag == "VZ":
+                k = nk + 1
+                continue
+            return -1
+        if a.tag in ("VZ", "WW"):
+            return -1
+        if _is_nounish(a):
+            return k
+        if a.tag == "TW" and a.lword.endswith("en"):
+            return k
+        if a.tag == "VNW":
+            head_ahead = False
+            for x in range(k + 1, end):
+                if x in puncts:
+                    continue
+                if anns[x].tag in ("VZ", "WW", "VG"):
+                    break
+                if _is_nounish(anns[x]) or (anns[x].tag == "TW"
+                                            and anns[x].lword.endswith("en")):
+                    head_ahead = True
+                    break
+            if not head_ahead:
+                return k
+        k += 1
+    return -1
 
 
 # connective adverbs that start a new (V1-inverted) main clause when a
@@ -270,6 +323,26 @@ def parse_sentence(anns: list) -> SentParse:
     n = len(anns)
     puncts = {i for i, a in enumerate(anns) if a.prop == "ISLET"}
 
+    # relative clauses (rel-pronoun directly after a noun) — detected
+    # up front so they can shape the clause spans below
+    rel_after_noun: list[tuple[int, int]] = []  # (noun_idx, pron_idx)
+    for i in range(1, n):
+        a = anns[i]
+        prev_idx = i - 1
+        if prev_idx in puncts and i >= 2:  # "de man , die ..."
+            prev_idx = i - 2
+        if (
+            a.tag == "VNW"
+            and a.lword in _REL_PRONOUNS
+            and (_is_nounish(anns[prev_idx])
+                 # substantivized adjective/quantifier head ("Het
+                 # weinige dat ...", reference tests/d6: rel clause
+                 # under the het-NP)
+                 or (anns[prev_idx].tag in ("ADJ", "VNW") and prev_idx >= 1
+                     and anns[prev_idx - 1].tag == "LID"))
+        ):
+            rel_after_noun.append((prev_idx, i))
+
     clauses, nominal_conjs = _merge_nominal_conj(anns, _split_clauses(anns))
 
     # Dutch ssub is verb-final: a subordinate clause ends at its finite
@@ -291,6 +364,37 @@ def parse_sentence(anns: list) -> SentParse:
                 continue
         expanded.append(cl)
     clauses = expanded
+
+    # embedded relative clauses are their own (verb-final) clause spans:
+    # the rel body runs from the pronoun to its finite verb, the matrix
+    # resumes after it ("zijn geen skeletten , die ... vergaan zijn ,
+    # gevonden", reference tests/d6 s2: ssub + the matrix smain) — only
+    # when the matrix keeps a finite verb of its own
+    expanded2: list[Clause] = []
+    work = list(reversed(clauses))
+    while work:
+        cl = work.pop()
+        pron = next((p for (_nn, p) in rel_after_noun
+                     if cl.start < p < cl.end and cl.kind != "rel"), -1)
+        if pron >= 0:
+            fin = next((i for i in range(pron, cl.end)
+                        if i not in puncts and _is_finite(anns[i])), -1)
+            outside_fin = fin >= 0 and any(
+                _is_finite(anns[i])
+                for i in range(cl.start, cl.end)
+                if i < pron or i > fin)
+            if outside_fin:
+                rel_end = fin + 1
+                if pron > cl.start:
+                    expanded2.append(Clause(cl.start, pron, cl.kind,
+                                            cl.conj_idx))
+                expanded2.append(Clause(pron, rel_end, "rel", pron))
+                if rel_end < cl.end:
+                    work.append(Clause(rel_end, cl.end, cl.kind, -1))
+                    cont_from[rel_end] = pron
+                continue
+        expanded2.append(cl)
+    clauses = expanded2
 
     # possessive pronouns acting as determiners ("mijn fiets" -> noun_det,
     # reference tests/depdist22); excluded from subject/object candidates
@@ -394,6 +498,26 @@ def parse_sentence(anns: list) -> SentParse:
         prev = i - 1
         while prev >= 0 and prev in puncts:
             prev -= 1
+        # EVERY preposition's object NP joins pp_objects so subject
+        # searches skip PP-internal nouns ("BIJ OPGRAVINGEN ... zijn
+        # geen skeletten gevonden": su = skeletten, not opgravingen)
+        obj = _pp_object(anns, i, n, puncts)
+        if obj >= 0:
+            pp_objects.add(obj)
+            k = obj + 1
+            while k < n and k not in puncts and _is_nounish(anns[k]):
+                pp_objects.add(k)  # rest of the object NP run
+                k += 1
+        # coordinated preposition ("in EN ROND hunebedden"): the right
+        # conjunct inherits the left one's attachment; the conj counts
+        # as ONE np modifier
+        if prev >= 1 and anns[prev].tag == "VG" \
+                and anns[prev - 1].tag == "VZ":
+            if prev - 1 in np_pp_attached:
+                np_pp_attached.add(i)
+                if obj >= 0:
+                    _store(parse, "PREP_OBJ1", i, obj, puncts)
+            continue
         if prev < 0 or not _is_nounish(anns[prev]):
             continue
         if _has_np_complement(anns, i, n, puncts):
@@ -420,18 +544,28 @@ def parse_sentence(anns: list) -> SentParse:
                                                 "waar")), -1)
                 if rp >= 0:
                     _store(parse, "PREP_OBJ1", i, rp, puncts)
-        k = i + 1
-        while k < n and anns[k].tag not in ("VZ", "WW", "VG"):
-            if k not in puncts and (_is_nounish(anns[k]) or anns[k].tag == "VNW"):
-                _store(parse, "PREP_OBJ1", i, k, puncts)
-                pp_objects.add(k)
-                break
-            k += 1
+        if obj >= 0 and i in np_pp_attached:
+            _store(parse, "PREP_OBJ1", i, obj, puncts)
 
     # ---- nominal coordination edges (conj -> each conjunct head,
     # reference tests/depdist3: crd_cnj [0, 0] for "Jan en Piet gaan") ------
     nominal_pairs: dict[int, tuple[int, bool]] = {}  # left -> (right, phrasal)
     for cj in nominal_conjs:
+        # same-category phrase coordination ("in EN rond", "gevonden ,
+        # maar wel ..."): the crd edges run to the adjacent phrase heads
+        # (reference tests/d6 s2: crd_cnj all 0)
+        lnb = next((i for i in range(cj - 1, -1, -1)
+                    if i not in puncts), -1)
+        rnb = next((i for i in range(cj + 1, n)
+                    if i not in puncts), -1)
+        if lnb >= 0 and rnb >= 0 \
+                and anns[lnb].tag in ("VZ", "WW", "BW") \
+                and anns[rnb].tag in ("VZ", "WW", "BW"):
+            _store(parse, "CRD_CNJ", cj, lnb, puncts)
+            _store(parse, "CRD_CNJ", cj, rnb, puncts)
+            parse.small_cnj_cnt += 2
+            parse.small_cnj_extra_cnt += 1
+            continue
         left = next((i for i in range(cj - 1, -1, -1)
                      if i not in puncts and _is_nounish(anns[i])), -1)
         right = next((i for i in range(cj + 1, n)
@@ -448,25 +582,8 @@ def parse_sentence(anns: list) -> SentParse:
         parse.small_cnj_cnt += 2
         parse.small_cnj_extra_cnt += 1
 
-    # ---- relative clauses: rel-pronoun directly after a noun --------------
-    # (reduced proxy for Alpino cat="rel"; drives betrCnt and D-level 6/3)
-    rel_after_noun: list[tuple[int, int]] = []  # (noun_idx, pron_idx)
-    for i in range(1, n):
-        a = anns[i]
-        prev_idx = i - 1
-        if prev_idx in puncts and i >= 2:  # "de man , die ..."
-            prev_idx = i - 2
-        if (
-            a.tag == "VNW"
-            and a.lword in _REL_PRONOUNS
-            and (_is_nounish(anns[prev_idx])
-                 # substantivized adjective/quantifier head ("Het
-                 # weinige dat ...", reference tests/d6: rel clause
-                 # under the het-NP)
-                 or (anns[prev_idx].tag in ("ADJ", "VNW") and prev_idx >= 1
-                     and anns[prev_idx - 1].tag == "LID"))
-        ):
-            rel_after_noun.append((prev_idx, i))
+    # ---- relative clauses (computed up front; drives betrCnt and
+    # D-level 6/3, reduced proxy for Alpino cat="rel") ----------------------
     parse.betr_cnt = len(rel_after_noun)
 
     # ---- free relatives (whrel, resolveRelativeClauses
@@ -507,6 +624,7 @@ def parse_sentence(anns: list) -> SentParse:
 
     # ---- per-clause verb frame ---------------------------------------------
     main_verb_idx = -1  # first main-clause finite verb (for d-level 6 vs 3)
+    main_su = -1          # first main clause's subject index (d-level 6)
     clause_cls: list[str | None] = []  # per clause: smain|ssub|sv1|None
     prev_su = -1          # subject of the previous clausal conjunct (VP coord)
     prev_clause_verb = -1  # matrix verb for VERB_COMP / left crd edges
@@ -526,6 +644,7 @@ def parse_sentence(anns: list) -> SentParse:
         su = -1
         if verb >= 0:
             su = next((i for i in idxs if i < verb and i not in poss_det
+                       and i not in pp_objects
                        and _is_su_candidate(anns[i])), -1)
         # matrix continuation after an embedded verb-final sub clause:
         # the subject sits BEFORE the subordinator ("De KANS dat hij Piet
@@ -535,6 +654,7 @@ def parse_sentence(anns: list) -> SentParse:
             conj = cont_from[cl.start]
             su = next((i for i in range(conj - 1, -1, -1)
                        if i not in puncts and i not in poss_det
+                       and i not in pp_objects
                        and _is_su_candidate(anns[i])), -1)
         # VP coordination: "Jan gaat naar huis en zet koffie" — the right
         # conjunct shares the left subject (su edges to both verbs,
@@ -544,11 +664,26 @@ def parse_sentence(anns: list) -> SentParse:
             su = prev_su
             shared_su = True
 
+        # relative clause: the pronoun fills the gap — subject when no
+        # other candidate precedes the verb, else object ("de man die ik
+        # zie": ik=su, die=obj1)
+        rel_obj_pron = -1
+        if cl.kind == "rel" and verb >= 0:
+            if su < 0:
+                su = cl.conj_idx
+            else:
+                rel_obj_pron = cl.conj_idx
+
         # clause-type counters (resolveFiniteVerbs, src/sentstats.cxx:684-691)
         cls = None
         if finites:
             verb_first = idxs[0] == finites[0]
-            if cl.kind == "sub":
+            if cl.kind == "rel":
+                # relative clause body = ssub; counted in betrCnt, not
+                # the bijw/compl families
+                parse.ssub_cnt += 1
+                cls = "ssub"
+            elif cl.kind == "sub":
                 parse.ssub_cnt += 1
                 cls = "ssub"
                 # clause-family split by the introducing conjunction
@@ -611,7 +746,11 @@ def parse_sentence(anns: list) -> SentParse:
         # not verb-initial (verb-initial + no su = sv1/imperative above)
         if su < 0 and finites and idxs[0] != finites[0] and cl.kind != "sub":
             su = next((i for i in idxs if i > verb and i not in poss_det
+                       and i not in pp_objects
                        and _is_su_candidate(anns[i])), -1)
+        if cls == "smain" and finites and main_verb_idx == finites[0] \
+                and main_su < 0:
+            main_su = su  # first main clause's subject (D-level 6)
 
         # aux + participle: su/obj/mod edges attach to the participle
         # (content verb), vc aux -> participle (reference tests/depdist17,
@@ -679,7 +818,10 @@ def parse_sentence(anns: list) -> SentParse:
         # conjunction edges: comp -> body plus matrix verb -> subordinator
         # (verb_comp, reference tests/depdist18); clausal crd edges run to
         # BOTH conjunct verbs (reference tests/depdist4)
-        if cl.conj_idx >= 0:
+        if cl.conj_idx >= 0 and cl.kind == "rel":
+            if rel_obj_pron >= 0:
+                _store(parse, "OBJ1_VERB", verb, rel_obj_pron, puncts)
+        elif cl.conj_idx >= 0:
             if cl.kind == "sub":
                 _store(parse, "COMP_BODY", cl.conj_idx, verb, puncts)
                 # complement clause under a NOUN ("de kans DAT hij Piet
@@ -708,7 +850,7 @@ def parse_sentence(anns: list) -> SentParse:
         # verb-final subordinate clauses ("omdat ie moe was", depdist18) —
         # verb-final includes a trailing verb CLUSTER ("het beter kon
         # zien", reference tests/depdist20: obj/mod sit before the modal)
-        if cl.kind == "sub" and all(
+        if cl.kind in ("sub", "rel") and all(
                 anns[i].tag == "WW" for i in idxs if i > verb):
             span = [i for i in idxs if (su < 0 or i > su) and i < verb]
         else:
@@ -721,7 +863,29 @@ def parse_sentence(anns: list) -> SentParse:
         # directly before the verb with the subject elsewhere ("Erg
         # GELOOFWAARDIG opereert hij": verb_adv_mod 0; copulas make it
         # the predicate instead)
-        if cl.kind != "sub":
+        # fronted PPs (main clauses): a pre-verb PP not attached to a
+        # noun modifies the clause verb ("BIJ OPGRAVINGEN ... zijn geen
+        # skeletten ... gevonden": verb_pp zijn->bij 5, prep_obj1
+        # bij->opgravingen 0 — reference tests/d6 s2)
+        if cl.kind not in ("sub", "rel"):
+            for p in idxs:
+                if p >= verb:
+                    break
+                if anns[p].tag != "VZ" or anns[p].lword in ("als", "dan") \
+                        or p in np_pp_attached:
+                    continue
+                pb = next((x for x in range(p - 1, cl.start - 1, -1)
+                           if x not in puncts), -1)
+                if pb >= 0 and anns[pb].tag == "VG":
+                    continue  # right conjunct of a coordinated PP
+                obj = _pp_object(anns, p, verb, puncts)
+                if obj < 0:
+                    continue  # bare particle / stranded preposition
+                _store(parse, "VERB_PP", content, p, puncts)
+                parse.vc_mod_cnt += 1
+                _store(parse, "PREP_OBJ1", p, obj, puncts)
+
+        if cl.kind not in ("sub", "rel"):
             for p in idxs:
                 if p >= verb:
                     break
@@ -772,15 +936,15 @@ def parse_sentence(anns: list) -> SentParse:
                     continue
                 _store(parse, "VERB_PP", content, j, puncts)
                 parse.vc_mod_cnt += 1  # adverbial PP (getAdverbialNodes)
-                # object of the preposition: next nounish token before the
-                # next VZ/WW
-                k = j + 1
-                while k < cl.end and anns[k].tag not in ("VZ", "WW"):
-                    if _is_nounish(anns[k]) or anns[k].tag == "VNW":
-                        _store(parse, "PREP_OBJ1", j, k, puncts)
-                        in_pp_until = k
-                        break
-                    k += 1
+                # object of the preposition (head NP; skip its run)
+                obj = _pp_object(anns, j, cl.end, puncts)
+                if obj >= 0:
+                    _store(parse, "PREP_OBJ1", j, obj, puncts)
+                    in_pp_until = obj
+                    while in_pp_until + 1 < cl.end \
+                            and in_pp_until + 1 not in puncts \
+                            and _is_nounish(anns[in_pp_until + 1]):
+                        in_pp_until += 1
             elif _is_nounish(b):
                 if (anns[verb].full_lemma
                         and anns[verb].full_lemma
@@ -973,7 +1137,8 @@ def parse_sentence(anns: list) -> SentParse:
                         "sv1": "sv1_cnj_cnt"}[clause_cls[ci - 1]]
                 setattr(parse, lkey, getattr(parse, lkey) + 1)
 
-    parse.d_level = _d_level(anns, clauses, rel_after_noun, main_verb_idx, puncts)
+    parse.d_level = _d_level(anns, clauses, rel_after_noun, main_verb_idx,
+                             puncts, main_su)
     parse.d_level_gt4 = 1 if parse.d_level > 4 else 0
     return parse
 
@@ -984,6 +1149,7 @@ def _d_level(
     rel_after_noun: list[tuple[int, int]],
     main_verb_idx: int,
     puncts: set[int],
+    main_su: int = -1,
 ) -> int:
     """D-level ladder (get_d_level, src/Alpino.cxx:728-954) — the decision
     ORDER and counters are the reference's; the tree probes are replaced by
@@ -998,7 +1164,8 @@ def _d_level(
     # level 6: relative clause modifying the SUBJECT (rel-pronoun after a
     # noun that precedes the main verb)
     for noun_idx, _pron in rel_after_noun:
-        if main_verb_idx >= 0 and noun_idx < main_verb_idx:
+        if main_verb_idx >= 0 and (noun_idx < main_verb_idx
+                                   or noun_idx == main_su):
             return 6
     # level 6 (2nd form): a clause as the SUBJECT (Alpino rel=su with
     # cat=cp/whsub/whrel, reference src/Alpino.cxx:781-789): sentence-

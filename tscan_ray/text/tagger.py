@@ -200,6 +200,13 @@ def _closed_entries() -> dict[str, PosInfo]:
                   ("honderdste", "honderd")):
         e.setdefault(w, _pi("TW", lm, (w,)))
     e["één"] = _pi("TW", "een", ("één",))
+    # plural "round number" numerals (Frog TW(hoofd,mv-n): "al die
+    # duizenden jaren", reference tests/d6 s2)
+    for w, lm in (("honderden", "honderd"), ("duizenden", "duizend"),
+                  ("miljoenen", "miljoen"), ("miljarden", "miljard"),
+                  ("tientallen", "tiental"), ("honderdtallen",
+                                              "honderdtal")):
+        e[w] = _pi("TW", lm, (w,))
 
     # --- irregular / high-frequency verb paradigms -----------------------
     # (textbook Dutch strong/irregular verbs; CGN wvorm/pvtijd)
@@ -437,7 +444,7 @@ _CLOSED = _closed_entries()
 # words whose tag is context-dependent (resolved in the repair passes) —
 # the plain closed/lexicon entry is only the default reading
 _AMBIG = frozenset({"het", "dat", "die", "zijn", "haar", "toen", "een",
-                    "of"})
+                    "of", "al"})
 
 # month / weekday names: Frog tags these SPEC(deeleigen) (name-like)
 _SPEC_WORDS = frozenset({
@@ -1269,6 +1276,14 @@ def _context_passes(tokens, ds, lex, n):
                 d.info = _CLOSED["haar\x00bez"]
             else:
                 d.info = _pi("VNW", "haar", vwtype="pers", persoon="3")
+        elif lw == "al":
+            # determiner-like quantifier before a demonstrative or
+            # article ("al die duizenden jaren", "al het geld"):
+            # VNW(onbep); elsewhere the adverb ("nu al") stands
+            if nx >= 0 and lowers[nx] in ("die", "deze", "dat", "dit",
+                                          "de", "het", "z'n", "zijn",
+                                          "haar", "hun", "mijn", "je"):
+                d.info = _pi("VNW", "al", vwtype="onbep")
         elif lw == "of":
             # sentence/clause-initial "of" = complementizer ("Of ik
             # morgen zal slagen is mij niet bekend"); elsewhere the
@@ -1808,6 +1823,42 @@ def _context_passes(tokens, ds, lex, n):
                 g = _guess_participle(lw, lex, min_len=6)
                 if g is not None:
                     d.info = g
+
+    # -- verb-final subordinate clusters: "die ... vergaan zijn" — a
+    # clause-final zijn after another verb is the finite auxiliary (the
+    # preceding verb is its participle) when the span has no other
+    # finite verb (reference tests/d6 s2: relative clause "die na al
+    # die duizenden jaren helemaal vergaan zijn")
+    for (a, b) in spans:
+        if any(_is_fin(ds[j]) for j in range(a, b)):
+            continue
+        last = next((j for j in range(b - 1, a - 1, -1)
+                     if not ds[j].punct), -1)
+        if last <= a:
+            continue
+        d = ds[last]
+        if d.info is None or d.info.tag != "WW" \
+                or d.info.feat("wvorm") != "inf" \
+                or d.info.lemma not in ("zijn", "hebben", "worden"):
+            continue
+        prevj = next((j for j in range(last - 1, a - 1, -1)
+                      if not ds[j].punct), -1)
+        if prevj < 0 or ds[prevj].info is None \
+                or ds[prevj].info.tag != "WW":
+            continue
+        d.info = _pi("WW", d.info.lemma,
+                     _ww_morphemes(lowers[last], d.info.lemma),
+                     wvorm="pv", pvtijd="tgw")
+        pd = ds[prevj].info
+        if pd.feat("wvorm") == "inf" and lowers[prevj] == pd.lemma:
+            # inseparable-prefix verbs whose participle equals the
+            # infinitive (vergaan, ontstaan, bekomen): VD reading
+            m = pd.morphemes
+            for p in ("ver", "be", "ont", "her", "ge", "er"):
+                if pd.lemma.startswith(p) and len(pd.lemma) > len(p) + 2:
+                    m = (p, pd.lemma[len(p):])
+                    break
+            ds[prevj].info = _pi("WW", pd.lemma, m, wvorm="vd")
 
     # -- adjective context pass (after verb recovery: copulas are now
     # visible) -----------------------------------------------------------

@@ -252,6 +252,18 @@ def _split_clauses(anns: list) -> list[Clause]:
             conj = i
             start = i + 1
             seen_finite = False
+        elif (seen_finite and i > start and a.tag == "VNW"
+              and a.prop in ("ISPPRON1", "ISPPRON2", "ISPPRON3")
+              and a.word[:1].isupper()
+              and any(_is_finite(anns[j]) for j in range(i + 1, len(anns)))):
+            # run-on text: a CAPITALIZED subject pronoun after a finite
+            # clause opens a fresh main clause ("Hij is bakker Hij IS
+            # ...", reference tests/predc-n)
+            clauses.append(Clause(start, i, kind, conj))
+            kind = "main"
+            conj = -1
+            start = i
+            seen_finite = False
         elif _is_finite(a):
             if seen_finite and i > start + 1:
                 # run-on second main clause without conjunction: a
@@ -904,6 +916,8 @@ def parse_sentence(anns: list) -> SentParse:
         for j in span:
             b = anns[j]
             if b.tag == "VZ":
+                if b.lword == "te":
+                    continue  # infinitive marker, not a preposition
                 if b.lword in ("als", "dan"):
                     # comparative complement (Alpino cmp role): after an
                     # ADJ it's obcomp — NO distance edges at all ("groter
@@ -1045,6 +1059,19 @@ def parse_sentence(anns: list) -> SentParse:
         # object assignment: single candidate -> obj1; pronoun + NP in a
         # ditransitive frame -> first = obj2 (indirect), last = obj1
         # ("Ik geef hem een boek", depdist10/11)
+        # controlled copular infinitive ("probeert ... de beste SKIER
+        # ... te ZIJN", reference tests/predc-n): the nominal is the
+        # INFINITIVE's predicate and the matrix subject doubles as its
+        # (coindexed) subject
+        cop_inf = next((w for w in verbs
+                        if w != verb and anns[w].prop == "ISINF"
+                        and anns[w].wwform == "COPULA"), -1)
+        if cop_inf >= 0 and obj_cands and su >= 0 \
+                and all(c < cop_inf for c in obj_cands):
+            _store(parse, "VERB_PREDC_N", cop_inf, obj_cands[0], puncts)
+            _store(parse, "SUB_VERB", cop_inf, su, puncts)
+            obj_cands = []
+
         obj1_tgt = -1
         if obj_cands:
             if aci_pron >= 0:

@@ -950,6 +950,14 @@ def analyze_sentence(
             # not cut the verb cluster off from its auxiliary
             end = len(anns)
             for j in range(k + 1, len(anns)):
+                if (anns[j].tag == "VNW"
+                        and anns[j].prop in ("ISPPRON1", "ISPPRON2",
+                                             "ISPPRON3")
+                        and anns[j].word[:1].isupper()):
+                    # run-on clause boundary ("... bakker Hij IS ...",
+                    # reference tests/predc-n)
+                    end = j
+                    break
                 if anns[j].tag != "VG":
                     continue
                 if anns[j].conjtype == "onder" or any(
@@ -974,23 +982,46 @@ def analyze_sentence(
             has_vc = any(b.tag == "WW" and b.prop in ("ISVD", "ISINF")
                          for b in cluster)
             predc = False
-            for b in later:
+            skip_past = -1  # consumed PP object ("IS sinds JAREN de
+            # beste skier": the predicate follows the PP — tests/predc-n)
+            for bi, b in enumerate(later):
+                if bi <= skip_past:
+                    continue
                 if b.prop == "ISLET" or b.tag in ("BW", "LID", "TW",
                                                   "VNW"):
                     continue
-                if b.tag == "WW" or b.tag == "VZ":
+                if b.tag == "WW":
                     break
+                if b.tag == "VZ":
+                    if a.lemma not in KOPPELS:
+                        break
+                    # copula: skip the PP (through its object noun)
+                    for bj in range(bi + 1, len(later)):
+                        if later[bj].tag in ("VZ", "WW"):
+                            skip_past = bj - 1
+                            break
+                        if later[bj].tag == "N" \
+                                or later[bj].prop == "ISNAME":
+                            skip_past = bj
+                            break
+                    else:
+                        skip_past = len(later)
+                    if skip_past < bi:
+                        break
+                    continue
                 if b.tag in ("ADJ", "N") or b.prop == "ISNAME":
                     predc = True
                 break
             if not predc:
                 # verb-final subordinate clause: the predicate PRECEDES
-                # the copula ("omdat ie moe was")
+                # the copula ("omdat ie moe was", "de beste SKIER van
+                # Nederland te ZIJN" — the te marker is skipped)
                 for j in range(k - 1, -1, -1):
                     b = anns[j]
-                    if b.prop == "ISLET" or b.tag == "BW":
+                    if b.prop == "ISLET" or b.tag == "BW" \
+                            or b.lword == "te":
                         continue
-                    if b.tag == "ADJ":
+                    if b.tag in ("ADJ", "N") or b.prop == "ISNAME":
                         predc = True
                     break
             lemma = a.lemma

@@ -720,7 +720,12 @@ def _guess_participle(lword: str, lex: Lexicons,
                 and len(lword) > len(pre) + 3):
             lemma, _m = _finite_lemma(lword[:-1], 0) if lword[-1] == "d" \
                 else _finite_lemma(lword, 1)
-            return _pi("WW", lemma, (pre, lword[len(pre):]), wvorm="vd")
+            # only with a KNOWN verb lemma: "verwend" -> verwennen is a
+            # participle, but "verwoed" (no verb *verwoeden) stays an
+            # adjective (reference tests/predc-n)
+            if lemma in lex.verb_sem:
+                return _pi("WW", lemma, (pre, lword[len(pre):]),
+                           wvorm="vd")
     return None
 
 
@@ -832,9 +837,30 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
         # punctuation (colon/quote/comma) — capitalization there is not
         # name evidence for known words
         initial = i == 0 or ds[i - 1].punct
-        # all-caps emphasis of a known word is not a name either
-        shouty = tok.isupper() and len(tok) > 1 and info is not None
-        is_name = (tok[0].isupper() and not shouty
+        # all-caps emphasis of a known word is not a name; an UNKNOWN
+        # all-caps token reads as a noun (not an acronym-name) in
+        # noun-slot contexts: after an adjective ("de beste SKIER",
+        # reference tests/predc-n) or a copula ("Wat is HOT", bug5) —
+        # elsewhere ("de VARA") the acronym stays a name
+        caps = tok.isupper() and len(tok) > 1
+        prev_info = ds[i - 1].info if i > 0 and not ds[i - 1].punct \
+            else None
+        noun_slot = prev_info is not None and (
+            prev_info.tag == "ADJ"
+            or (prev_info.tag == "WW"
+                and prev_info.lemma in _COPULA_LEMMAS))
+        shouty = caps and (info is not None or noun_slot)
+        if caps and noun_slot and info is not None \
+                and info.feat("auto") == "1" and info.tag == "ADJ" \
+                and prev_info.tag == "WW":
+            # emphasized predicate caps read as a nominal mention
+            # ("Wat is HOT": Frog N, ner ORG — reference tests/bug5)
+            info = _pi("N", lword)
+        # capitalized CLOSED-class word mid-sentence ("... bakker Hij
+        # IS ...", run-on text): the function-word reading stands
+        closed_cap = (info is not None and lword in _CLOSED
+                      and info.feat("auto") != "1")
+        is_name = (tok[0].isupper() and not shouty and not closed_cap
                    and (not initial or info is None)
                    and lword not in _SPEC_WORDS)
         if is_name:
@@ -1314,8 +1340,12 @@ def _context_passes(tokens, ds, lex, n):
                         and ds[i - 1].info.lemma in _COPULA_LEMMAS)
             if (prev_cop or prev_lw in _DEGREE_WORDS) \
                     and not lw.endswith(("en", "s")):
-                if lw in lex.adj_sem or not _nounish_ahead(
-                        tokens, ds, _next_idx(ds, i), lex):
+                # a noun-lexicon word stays the PREDICATE NOUN unless
+                # the adjective lexicon also claims it ("Hij is bakker"
+                # keeps N, reference tests/predc-n; "is gek" -> ADJ)
+                if lw in lex.adj_sem or (lw not in lex.noun_sem
+                                         and not _nounish_ahead(
+                        tokens, ds, _next_idx(ds, i), lex)):
                     d.info = _pi("ADJ", lw)
                     continue
             # noun-lemma homograph adjacent to a personal subject
@@ -1560,7 +1590,14 @@ def _context_passes(tokens, ds, lex, n):
                 or (ds[i].info.tag == "VNW"
                     and _vwtype(ds[i]) == "betr")
                 or (ds[i].info.tag == "BW"
-                    and lowers[i].startswith("waar")))
+                    and lowers[i].startswith("waar"))
+                # run-on text: a CAPITALIZED subject pronoun after a
+                # finite clause starts a fresh main clause ("Hij is
+                # bakker Hij IS ...", reference tests/predc-n)
+                or (tokens[i][0].isupper()
+                    and lowers[i] in _NOM_PRONOUNS
+                    and ds[i].info.tag == "VNW"
+                    and any(_is_fin(ds[j]) for j in range(s0, i))))
         if at_bound:
             if i > s0:
                 spans.append((s0, i))
@@ -1964,7 +2001,10 @@ def _context_passes(tokens, ds, lex, n):
                             for k in range(a, i))):
                     near_cop = j
                     break
-            if near_cop is not None and not lw.endswith(("en", "s")):
+            if near_cop is not None and not lw.endswith(("en", "s")) \
+                    and (lw in lex.adj_sem or lw not in lex.noun_sem):
+                # noun-lexicon words stay the predicate NOUN ("Hij is
+                # bakker", reference tests/predc-n)
                 nx2 = _next_idx(ds, i)
                 if lw in lex.adj_sem or nx2 < 0 or not _nounish_ahead(
                         tokens, ds, nx2, lex):

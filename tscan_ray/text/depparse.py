@@ -213,6 +213,35 @@ def _pp_object(anns: list, i: int, end: int, puncts: set[int]) -> int:
     return -1
 
 
+# measure/container nouns heading a partitive N-N pair ("een GLAS
+# melk", "drie LITER water": the measure is the np head)
+_MEASURE_NOUNS = frozenset({
+    "glas", "kop", "fles", "liter", "kilo", "gram", "pond", "stuk",
+    "paar", "aantal", "soort", "groep", "reeks", "rij", "massa",
+    "hoop", "boel", "beetje", "plak", "snee", "zak", "doos", "blik",
+    "pak", "krat", "emmer", "schaal", "bord", "lepel", "mok", "beker",
+    "kan", "pot", "bak", "mand", "kist", "ton", "meter", "centimeter",
+    "kilometer", "hectare", "procent", "miljoen", "miljard"})
+
+# unaccusative / change-of-state verbs: their zijn-perfect keeps the
+# subject edge ("is gegaan"), unlike the zijn/worden passive of a
+# transitive verb ("is aangetroffen" -> obj1)
+_UNACCUSATIVES = frozenset({
+    "gaan", "komen", "blijven", "worden", "geworden", "vallen",
+    "gebeuren", "lukken", "mislukken", "beginnen", "sterven",
+    "overlijden", "ontstaan", "blijken", "zijn", "verdwijnen",
+    "arriveren", "vertrekken", "groeien", "veranderen", "eindigen",
+    "starten", "stoppen", "slagen", "verschijnen", "stijgen", "dalen",
+    "vergaan", "belanden", "geraken", "raken", "opgroeien", "uitgroeien",
+    "terechtkomen", "aankomen", "binnenkomen", "opstaan", "ontsnappen",
+    "vluchten", "genezen", "smelten", "bevriezen", "exploderen",
+    "verongelukken", "verhuizen", "emigreren", "zinken", "vollopen",
+    "aflopen", "verlopen", "doorgaan", "uitgaan", "ingaan", "opgaan",
+    "afgaan", "meegaan", "weggaan", "terugkeren", "terugkomen",
+    "thuiskomen", "vrijkomen", "overblijven", "achterblijven",
+    "wegblijven", "omvallen", "uitvallen", "opvallen", "tegenvallen",
+    "meevallen", "invallen", "toenemen", "afnemen"})
+
 # connective adverbs that start a new (V1-inverted) main clause when a
 # finite clause precedes and another finite verb follows
 _CONN_ADVERBS = frozenset({"dus", "daarom", "daardoor", "daarna",
@@ -344,8 +373,12 @@ def parse_sentence(anns: list) -> SentParse:
         if prev_idx in puncts and i >= 2:  # "de man , die ..."
             prev_idx = i - 2
         if (
-            a.tag == "VNW"
-            and a.lword in _REL_PRONOUNS
+            ((a.tag == "VNW" and a.lword in _REL_PRONOUNS)
+             # locative/pronominal-adverb relatives ("het plaats delict
+             # WAAR de jongen ... is aangetroffen", "de groep WAARTOE de
+             # herten behoren")
+             or (a.lword.startswith("waar") and a.tag in ("VNW", "BW")
+                 and a.lword not in ("waarom", "waarschijnlijk")))
             and (_is_nounish(anns[prev_idx])
                  # substantivized adjective/quantifier head ("Het
                  # weinige dat ...", reference tests/d6: rel clause
@@ -387,23 +420,41 @@ def parse_sentence(anns: list) -> SentParse:
     while work:
         cl = work.pop()
         pron = next((p for (_nn, p) in rel_after_noun
-                     if cl.start < p < cl.end and cl.kind != "rel"), -1)
+                     if cl.start < p < cl.end), -1)
         if pron >= 0:
             fin = next((i for i in range(pron, cl.end)
                         if i not in puncts and _is_finite(anns[i])), -1)
+            # a NESTED relative between this pronoun and the finite owns
+            # that finite (verb-final order); the outer clause's verb is
+            # the next one ("waar de jongen , die ... WAS , ... IS
+            # aangetroffen", reference tests/dlevel4)
+            for p2 in sorted(p2 for (_n2, p2) in rel_after_noun
+                             if pron < p2 < cl.end):
+                if fin < 0 or p2 > fin:
+                    break
+                fin = next((i for i in range(fin + 1, cl.end)
+                            if i not in puncts and _is_finite(anns[i])),
+                           -1)
             outside_fin = fin >= 0 and any(
                 _is_finite(anns[i])
                 for i in range(cl.start, cl.end)
                 if i < pron or i > fin)
             if outside_fin:
                 rel_end = fin + 1
+                # trailing verb cluster stays with its finite ("dood IS
+                # AANGETROFFEN"): extend over non-finite verbs
+                while rel_end < cl.end and rel_end not in puncts \
+                        and anns[rel_end].tag == "WW" \
+                        and not _is_finite(anns[rel_end]):
+                    rel_end += 1
                 if pron > cl.start:
                     expanded2.append(Clause(cl.start, pron, cl.kind,
                                             cl.conj_idx))
-                expanded2.append(Clause(pron, rel_end, "rel", pron))
                 if rel_end < cl.end:
                     work.append(Clause(rel_end, cl.end, cl.kind, -1))
                     cont_from[rel_end] = pron
+                # the rel body may hold a NESTED relative: re-examine it
+                work.append(Clause(pron, rel_end, "rel", pron))
                 continue
         expanded2.append(cl)
     clauses = expanded2
@@ -476,8 +527,23 @@ def parse_sentence(anns: list) -> SentParse:
                     if det_idx >= 0:
                         # det edges pair with NOUN heads only; a name
                         # head ("de VARA", "Willem de Tweede") stores no
-                        # NOUN_DET (reference tests/afk, npmod)
+                        # NOUN_DET (reference tests/afk, npmod).  In a
+                        # split compound ("Het plaats delict") the LAST
+                        # common noun is the head (reference tests/
+                        # dlevel4: det->delict); an apposition name
+                        # ("de stad Antwerpen") keeps the first.
                         if b.tag == "N":
+                            # split compound ("Het plaats delict"): the
+                            # LAST noun is the head — but a measure/
+                            # container first noun keeps it ("een bakje
+                            # koffie": partitive, head = bakje)
+                            if (j + 1 < n and anns[j + 1].tag == "N"
+                                    and not b.lword.endswith("je")
+                                    and b.lemma.lower() not in
+                                    _MEASURE_NOUNS):
+                                size += 1
+                                j += 1
+                                continue
                             _store(parse, "NOUN_DET", det_idx, j, puncts)
                         det_idx = -1
                 elif b.tag in ("ADJ", "TW") and saw_noun:
@@ -680,8 +746,10 @@ def parse_sentence(anns: list) -> SentParse:
         # other candidate precedes the verb, else object ("de man die ik
         # zie": ik=su, die=obj1)
         rel_obj_pron = -1
-        if cl.kind == "rel" and verb >= 0:
-            if su < 0:
+        if cl.kind == "rel" and verb >= 0 and cl.conj_idx >= 0:
+            if anns[cl.conj_idx].lword.startswith("waar"):
+                pass  # locative relativizer = modifier, not an argument
+            elif su < 0:
                 su = cl.conj_idx
             else:
                 rel_obj_pron = cl.conj_idx
@@ -789,6 +857,11 @@ def parse_sentence(anns: list) -> SentParse:
                 content = parts[-1]
         aux_construction = content != verb
         is_copula = anns[verb].wwform == "COPULA" and not aux_construction
+        # passive cluster: a free adjective is a depictive PREDICATE
+        # ("dood is aangetroffen" -> predc, reference tests/dlevel4)
+        is_passive = (aux_construction and anns[content].prop == "ISVD"
+                      and anns[verb].lemma in ("zijn", "worden")
+                      and anns[content].lemma not in _UNACCUSATIVES)
 
         # AcI: bare-infinitive complement of a non-aux finite ("Ik zie hem
         # daar staan", reference tests/depdist7) — the object pronoun is
@@ -809,7 +882,18 @@ def parse_sentence(anns: list) -> SentParse:
         if su >= 0:
             _store(parse, "SUB_VERB", verb, su_tgt, puncts)
             if aux_construction:
-                _store(parse, "SUB_VERB", content, su_tgt, puncts)
+                # zijn/worden + transitive participle = PASSIVE: the
+                # surface subject is the participle's OBJ1, coindexed at
+                # the np START ("is ... aangetroffen" -> obj1 to "de",
+                # reference tests/dlevel4); unaccusative participles
+                # ("is gegaan") keep the su edge
+                if (anns[content].prop == "ISVD"
+                        and anns[verb].lemma in ("zijn", "worden")
+                        and anns[content].lemma not in _UNACCUSATIVES):
+                    _store(parse, "OBJ1_VERB", content,
+                           np_start.get(su, su), puncts)
+                else:
+                    _store(parse, "SUB_VERB", content, su_tgt, puncts)
             # coordinated subject with a PHRASAL right conjunct: its head
             # gets its own su edge ("Jan en de MAN met de pet LIEPEN",
             # reference tests/depdist19: sub_verb [6, 3] -> mean 4.5;
@@ -907,7 +991,7 @@ def parse_sentence(anns: list) -> SentParse:
                             if x not in puncts), -1)
                 if nxt == verb:
                     _store(parse,
-                           "VERB_PREDC_A" if is_copula else "VERB_MOD_A",
+                           "VERB_PREDC_A" if (is_copula or is_passive) else "VERB_MOD_A",
                            content, p, puncts)
 
         obj_cands: list[int] = []
@@ -1044,7 +1128,7 @@ def parse_sentence(anns: list) -> SentParse:
                     _is_nounish(anns[nxt]) or anns[nxt].tag == "ADJ"
                 )
                 if not prenominal:
-                    _store(parse, "VERB_PREDC_A" if is_copula else "VERB_MOD_A",
+                    _store(parse, "VERB_PREDC_A" if (is_copula or is_passive) else "VERB_MOD_A",
                            content, j, puncts)
 
         # nominal coordination in the object field is ONE argument: the

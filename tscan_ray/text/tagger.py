@@ -200,6 +200,8 @@ def _closed_entries() -> dict[str, PosInfo]:
                   ("honderdste", "honderd")):
         e.setdefault(w, _pi("TW", lm, (w,)))
     e["één"] = _pi("TW", "een", ("één",))
+    # Frog lemmatizes the noun "jongen" (boy) to "jong" (young one)
+    e["jongen"] = _pi("N", "jong", ("jongen",))
     # plural "round number" numerals (Frog TW(hoofd,mv-n): "al die
     # duizenden jaren", reference tests/d6 s2)
     for w, lm in (("honderden", "honderd"), ("duizenden", "duizend"),
@@ -341,7 +343,10 @@ def _closed_entries() -> dict[str, PosInfo]:
                  and part.endswith("en") and len(part) > 5
                  else ("ge", part[2:-1], part[-1]) if part.startswith("ge")
                  else (part,))
-            e.setdefault(part, _pi("WW", lemma, m, wvorm="vd"))
+            # Frog's lemmatizer keeps "geworden" as its own lemma
+            # (observed in every golden occurrence)
+            plm = part if part == "geworden" else lemma
+            e.setdefault(part, _pi("WW", plm, m, wvorm="vd"))
 
     return e
 
@@ -463,8 +468,50 @@ _DEGREE_WORDS = frozenset({"heel", "erg", "zo", "te", "zeer", "vrij",
 _PARTICLES = ("af", "aan", "bij", "binnen", "door", "in", "klaar",
               "langs", "mee", "na", "neer", "om", "onder", "op", "open",
               "over", "rond", "samen", "terug", "toe", "uit", "vast",
-              "voor", "weg")
+              "voor", "weg", "vrij", "kwijt", "thuis", "dood", "vol",
+              "goed")
 
+# strong (ablaut) participle bodies the spelling-rule inverter cannot
+# derive: ge-<body> -> infinitive ("getroffen" -> treffen)
+_ABLAUT_VD = {
+    "troffen": "treffen", "vonden": "vinden", "nomen": "nemen",
+    "zongen": "zingen", "dronken": "drinken", "bonden": "binden",
+    "sprongen": "springen", "klommen": "klimmen", "zonken": "zinken",
+    "holpen": "helpen", "storven": "sterven", "schoten": "schieten",
+    "vlogen": "vliegen", "bogen": "buigen", "kozen": "kiezen",
+    "goten": "gieten", "sloten": "sluiten", "kropen": "kruipen",
+    "doken": "duiken", "floten": "fluiten", "roken": "ruiken",
+    "zogen": "zuigen", "wonnen": "winnen", "zwommen": "zwemmen",
+    "borgen": "bergen", "wierpen": "werpen",
+    "worpen": "werpen", "zochten": "zoeken", "brachten": "brengen",
+    "dachten": "denken", "vochten": "vechten", "molken": "melken",
+    "scholden": "schelden", "zwollen": "zwellen", "trokken": "trekken",
+    "staken": "steken", "braken": "breken", "spraken": "spreken",
+    "zeten": "zitten", "laten": "laten", "geten": "eten",
+    "legen": "liggen", "geven": "geven", "lezen": "lezen",
+    "meten": "meten", "treden": "treden", "komen": "komen",
+    "vallen": "vallen", "roepen": "roepen",
+    "lopen": "lopen", "slapen": "slapen", "dragen": "dragen",
+    "graven": "graven", "varen": "varen", "slagen": "slaan",
+    "dwongen": "dwingen", "hangen": "hangen", "vangen": "vangen",
+    "vroren": "vriezen", "verloren": "verliezen", "wezen": "wijzen",
+    "reden": "rijden", "leden": "lijden", "sneden": "snijden",
+    "streden": "strijden", "gleden": "glijden", "bleven": "blijven",
+    "dreven": "drijven", "schreven": "schrijven", "keken": "kijken",
+    "leken": "lijken", "streken": "strijken", "weken": "wijken",
+    "grepen": "grijpen", "knepen": "knijpen", "slopen": "sluipen",
+    "schenen": "schijnen", "verdwenen": "verdwijnen",
+    "bewezen": "bewijzen", "prezen": "prijzen", "rezen": "rijzen",
+    "smeten": "smijten", "spleten": "splijten", "beten": "bijten"}
+
+
+# common SINGULAR nouns ending in -en (not plurals/nominalizations:
+# "de jongen" is a boy, not nominalized "jong" — reference tests/dlevel4)
+_EN_SINGULAR_NOUNS = frozenset({
+    "jongen", "wagen", "molen", "keuken", "deken", "haven", "toren",
+    "leugen", "morgen", "regen", "wapen", "teken", "laken", "varken",
+    "keten", "oven", "bodem", "adem", "bezem", "doventolk", "degen",
+    "zegen", "gulden", "heiden", "keuken"})
 
 # quantifier forms Frog always tags VNW(onbep) even though adjective
 # lexicon entries exist for them
@@ -682,6 +729,11 @@ def _guess_participle(lword: str, lex: Lexicons,
             if ge_lemma in lex.verb_sem:
                 return _pi("WW", ge_lemma, ge_m, wvorm="vd")
         if lword.endswith("en"):
+            full = lword[2:]
+            if full in _ABLAUT_VD:  # strong participle ("getroffen")
+                lemma = _ABLAUT_VD[full]
+                return _pi("WW", lemma, ("ge", lemma[:-2], "en"),
+                           wvorm="vd")
             stem = lword[2:-2]
             lemma, _m = _finite_lemma(stem, 0)
             return _pi("WW", lemma, ("ge", stem, "en"), wvorm="vd")
@@ -1942,6 +1994,7 @@ def _context_passes(tokens, ds, lex, n):
             # 5. nominalized adjective plural after a determiner/TW
             #    ("de aanwezigen", "duizend doden")
             if (lw.endswith("en") and len(lw) > 5
+                    and lw not in _EN_SINGULAR_NOUNS
                     and pv in ("LID", "TW")):
                 nx2 = _next_idx(ds, i)
                 if nx2 < 0 or not _nounish_ahead(tokens, ds, nx2, lex):
@@ -2001,6 +2054,17 @@ def _context_passes(tokens, ds, lex, n):
                             for k in range(a, i))):
                     near_cop = j
                     break
+                # depictive before a passive cluster ("DOOD is
+                # aangetroffen", reference tests/dlevel4): span-initial
+                # is fine when the adjective lexicon claims the word
+                # and a participle follows the copula
+                if j == _next_idx(ds, i) and lw in lex.adj_sem:
+                    k2 = _next_idx(ds, j)
+                    if (k2 >= 0 and ds[k2].info is not None
+                            and ds[k2].info.tag == "WW"
+                            and ds[k2].info.feat("wvorm") == "vd"):
+                        near_cop = j
+                        break
             if near_cop is not None and not lw.endswith(("en", "s")) \
                     and (lw in lex.adj_sem or lw not in lex.noun_sem):
                 # noun-lexicon words stay the predicate NOUN ("Hij is

@@ -887,8 +887,9 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
             info = _pi("WW", info.lemma, info.morphemes, wvorm=wv)
         # clause-initial-like position: sentence start or right after
         # punctuation (colon/quote/comma) — capitalization there is not
-        # name evidence for known words
-        initial = i == 0 or ds[i - 1].punct
+        # name evidence for known words.  An abbreviation's trailing
+        # dot counts too ("... a.u.b. Alvast hartelijk dank", bug3)
+        initial = i == 0 or ds[i - 1].punct or tokens[i - 1].endswith(".")
         # all-caps emphasis of a known word is not a name; an UNKNOWN
         # all-caps token reads as a noun (not an acronym-name) in
         # noun-slot contexts: after an adjective ("de beste SKIER",
@@ -1649,7 +1650,11 @@ def _context_passes(tokens, ds, lex, n):
                 or (tokens[i][0].isupper()
                     and lowers[i] in _NOM_PRONOUNS
                     and ds[i].info.tag == "VNW"
-                    and any(_is_fin(ds[j]) for j in range(s0, i))))
+                    and any(_is_fin(ds[j]) for j in range(s0, i)))
+                # a capitalized word after an abbreviation's dot opens
+                # a fresh span ("... a.u.b. Alvast hartelijk dank")
+                or (tokens[i][0].isupper()
+                    and tokens[i - 1].endswith(".")))
         if at_bound:
             if i > s0:
                 spans.append((s0, i))
@@ -1765,6 +1770,7 @@ def _context_passes(tokens, ds, lex, n):
             d = ds[i]
             if d.punct:
                 continue
+            prior_subject = seen_subject  # excludes the token itself
             if d.is_name or (d.info is not None and (
                     d.info.tag in ("N", "SPEC")
                     or (d.info.tag == "VNW"
@@ -1788,7 +1794,7 @@ def _context_passes(tokens, ds, lex, n):
                 # ("dus stuur zo snel mogelijk ..."); the inflectional
                 # V2 branches need a truly unknown token
                 nx3 = _next_idx(ds, i)
-                if (not seen_subject and (i == head or pv in ("BW", "VG"))
+                if (not prior_subject and (i == head or pv in ("BW", "VG"))
                         and not lw.endswith(("e", "en", "s", "t"))
                         and _vowel_groups(lw) <= 2
                         and 0 <= nx3 < b

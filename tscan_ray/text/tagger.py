@@ -1017,6 +1017,29 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
                 new = (stem_parts or (info.lemma,)) + (sfx,)
             elif stem_parts is not None:
                 new = stem_parts
+            elif lw.endswith(("ingen", "heden")) and len(lw) > 7 \
+                    and lw == info.lemma:
+                # derivational plural listed under its own (plural)
+                # lemma in the semtype lexicon ("verkiezingen"): Frog
+                # lemmatizes the singular and splits the derivation
+                # ([ver][kiez][ing][en], reference tests/dlevel4)
+                if lw.endswith("ingen"):
+                    lemma2, sfx2 = lw[:-2], "ing"
+                else:
+                    lemma2, sfx2 = lw[:-5] + "heid", "heid"
+                stem = lemma2[: -len(sfx2)]
+                if len(stem) >= 2 and stem[-1] == stem[-2] \
+                        and stem[-1] not in "aeiou":
+                    stem = stem[:-1]
+                pre = next((p for p in ("ver", "be", "ont", "her")
+                            if stem.startswith(p)
+                            and len(stem) > len(p) + 2
+                            and _finite_lemma(stem[len(p):], 0)[0]
+                            in lex.verb_sem), None)
+                parts = ((pre, stem[len(pre):], sfx2) if pre
+                         else (stem, sfx2)) + ("en",)
+                d.info = info = _pi("N", lemma2, parts)
+                continue
             elif (lw.endswith("en") and len(lw) > 4
                   and lw not in lex.noun_sem
                   and _noun_lemma(lw)[0] in lex.noun_sem):
@@ -1377,6 +1400,26 @@ def _context_passes(tokens, ds, lex, n):
                 d.info = _pi("BW", "toen")
             else:
                 d.info = _pi("VG", "toen", conjtype="onder")
+
+    # -- lemma-shaped present-plural verbs directly after another verb
+    # or "te" are bare infinitives ("had HANGEN", "te zetten"): the
+    # verb-cluster reading (reference tests/dlevel4 s6) ------------------
+    for i in range(1, n):
+        d = ds[i]
+        if d.punct or d.is_name or d.info is None \
+                or d.info.tag != "WW" or d.info.feat("wvorm") != "pv" \
+                or d.info.feat("pvtijd") != "tgw" \
+                or lowers[i] != d.info.lemma:
+            continue
+        pj = i - 1  # cluster mates are ADJACENT (a comma breaks it:
+        # "kom, houden ze" keeps the finite reading)
+        if ds[pj].punct:
+            continue
+        if (ds[pj].info is not None and ds[pj].info.tag == "WW") \
+                or lowers[pj] == "te":
+            d.info = _pi("WW", d.info.lemma,
+                         _ww_morphemes(lowers[i], d.info.lemma),
+                         wvorm="inf")
 
     # -- auto-lexicon overrides: the semtype-derived POS entries are
     # lemma lists, not taggers — strong local context beats them --------

@@ -464,7 +464,13 @@ def parse_sentence(anns: list) -> SentParse:
     poss_det: set[int] = set()
     for i in range(n - 1):
         a = anns[i]
-        if a.tag == "VNW" and a.lword in _POSS_PRONOUNS:
+        if a.tag == "VNW" and (a.lword in _POSS_PRONOUNS
+                               # demonstrative determiners ("DIE
+                               # wenkbrauwen": det edge, np start —
+                               # reference tests/bug5 s17)
+                               or (a.prop == "ISAANW"
+                                   and a.lword in ("die", "deze", "dit",
+                                                   "dat"))):
             j = i + 1
             while j < n and anns[j].tag == "ADJ":
                 j += 1
@@ -818,6 +824,19 @@ def parse_sentence(anns: list) -> SentParse:
                     main_verb_idx = finites[0]
         clause_cls.append(cls)
         if verb < 0:
+            # verbless comparative cp ("net ALS HNTM-winnares Tamara",
+            # reference tests/bug5 s17): comp edge from the matrix verb,
+            # body edge to the nominal head
+            if cl.kind == "sub" and cl.conj_idx >= 0 \
+                    and anns[cl.conj_idx].lword in ("als", "dan"):
+                body = next((k for k in idxs if _is_nounish(anns[k])
+                             or anns[k].prop == "ISNAME"), -1)
+                if body >= 0:
+                    _store(parse, "COMP_BODY", cl.conj_idx, body, puncts)
+                if prev_clause_verb >= 0 \
+                        and cl.conj_idx - 1 not in puncts:
+                    _store(parse, "VERB_COMP", prev_clause_verb,
+                           cl.conj_idx, puncts)
             continue
 
         # topicalized/inverted main clause ("Erg geloofwaardig OPEREERT

@@ -964,7 +964,29 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
     for i, d in enumerate(ds):
         if d.info is None and not d.punct and not d.is_name:
             lword = tokens[i].lower()
-            if lword.endswith(("en", "s")) and len(lword) > 4 \
+            # AcI / cluster context: an -en unknown after an UNinflected
+            # adverb-like adjective, with a causative/perception finite
+            # earlier, is a bare infinitive ("Laat die wenkbrauwen maar
+            # lekker WOEKEREN", reference tests/bug5)
+            prev_i = i - 1
+            aci = (lword.endswith("en") and len(lword) > 4
+                   and prev_i >= 0 and not ds[prev_i].punct
+                   and ds[prev_i].info is not None
+                   and ((ds[prev_i].info.tag == "ADJ"
+                         and not tokens[prev_i].lower().endswith("e"))
+                        or ds[prev_i].info.tag == "BW")
+                   and any(not x.punct and x.info is not None
+                           and x.info.tag == "WW"
+                           and x.info.feat("wvorm") == "pv"
+                           and x.info.lemma in (
+                               "laten", "zien", "horen", "voelen",
+                               "doen", "gaan", "komen", "leren",
+                               "helpen", "durven")
+                           for x in ds[:i]))
+            if aci:
+                stem = _verb_stem(lword)
+                d.info = _pi("WW", lword, (stem, "en"), wvorm="inf")
+            elif lword.endswith(("en", "s")) and len(lword) > 4 \
                     and _prev_tag(ds, i) in ("LID", "VNW", "ADJ", "TW"):
                 lemma, morphs = _noun_lemma(lword)
                 d.info = _pi("N", lemma, morphs)
@@ -1823,6 +1845,20 @@ def _context_passes(tokens, ds, lex, n):
             auto_n = (d.info is not None
                       and d.info.feat("auto") == "1"
                       and d.info.tag == "N")
+            if (i == head and d.info is not None and d.info.tag == "ADJ"
+                    and not d.is_name
+                    and lowers[i] in _CLOSED
+                    and _CLOSED[lowers[i]].tag == "WW"
+                    and _CLOSED[lowers[i]].feat("wvorm") == "pv"):
+                # span-initial verb/adjective homograph before an NP is
+                # the imperative ("LAAT die wenkbrauwen maar lekker
+                # woekeren", reference tests/bug5)
+                nxh = _next_idx(ds, i)
+                if nxh >= 0 and (ds[nxh].is_name or (
+                        ds[nxh].info is not None
+                        and ds[nxh].info.tag in ("LID", "VNW", "N"))):
+                    d.info = _CLOSED[lowers[i]]
+                    break
             if d.is_name or (d.info is not None and not auto_n):
                 continue
             lw = lowers[i]
@@ -2214,6 +2250,8 @@ def _context_passes(tokens, ds, lex, n):
             continue
         if d.info is None or d.info.tag != "VG":
             continue
+        if i > 0 and lowers[i - 1] in ("net", "zo", "evenals", "even"):
+            continue  # comparative "net als X" keeps Frog's VG(onder)
         has_fin = False
         for j in range(i + 1, n):
             dj = ds[j]
@@ -2233,15 +2271,24 @@ def _context_passes(tokens, ds, lex, n):
     # -- "maar" without a following finite verb is the particle adverb
     # ("ik krijg het maar niet", "laat ze maar lekker woekeren"), not a
     # coordinator --------------------------------------------------------
-    for (a, b) in spans:
-        for i in range(a, b):
-            d = ds[i]
-            if d.punct or d.is_name or d.info is None:
-                continue
-            lw = lowers[i]
-            if (lw == "maar" and d.info.tag == "VG" and i > a
-                    and not any(_is_fin(ds[j]) for j in range(i + 1, b))):
-                d.info = _pi("BW", "maar")
+    for i, d in enumerate(ds):
+        if d.punct or d.is_name or d.info is None:
+            continue
+        if lowers[i] != "maar" or d.info.tag != "VG":
+            continue
+        if i == 0 or ds[i - 1].punct:
+            continue  # clause-initial "maar" coordinates
+        fin_after = False
+        for j in range(i + 1, n):
+            if ds[j].punct and lowers[j] in (",", ";", ":"):
+                break
+            if ds[j].info is not None and ds[j].info.tag == "VG":
+                break
+            if _is_fin(ds[j]):
+                fin_after = True
+                break
+        if not fin_after:
+            d.info = _pi("BW", "maar")
 
     # -- "het" re-resolution: the early pass ran before verb recovery,
     # so "Het regent" / "als het goed is" looked nounish; a finite verb

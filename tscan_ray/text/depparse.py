@@ -953,7 +953,10 @@ def parse_sentence(anns: list) -> SentParse:
                     # ("... bij , zodat Ko ...", reference tests/depdist20)
                     _store(parse, "VERB_COMP", prev_clause_verb, cl.conj_idx,
                            puncts)
-            else:
+            elif any(i not in puncts and i < cl.conj_idx
+                     for i in range(0, cl.conj_idx)):
+                # a SENTENCE-INITIAL coordinator ("En dat wordt ...")
+                # has no left conjunct: no crd edges (tests/bug5 s22)
                 _store(parse, "CRD_CNJ", cl.conj_idx, verb, puncts)
                 if prev_clause_verb >= 0:
                     _store(parse, "CRD_CNJ", cl.conj_idx, prev_clause_verb,
@@ -1256,6 +1259,8 @@ def parse_sentence(anns: list) -> SentParse:
             continue
         if cl.kind != "coord" or cl.conj_idx < 0:
             continue
+        if not any(i not in puncts for i in range(0, cl.conj_idx)):
+            continue  # sentence-initial coordinator: no left conjunct
         if clause_cls[ci] is not None:
             key = {"smain": "smain_cnj_cnt", "ssub": "ssub_cnj_cnt",
                    "sv1": "sv1_cnj_cnt"}[clause_cls[ci]]

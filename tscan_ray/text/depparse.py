@@ -534,8 +534,12 @@ def parse_sentence(anns: list) -> SentParse:
                     if saw_noun:
                         # apposition / partitive second head ("De stad
                         # Antwerpen", "Drie liter melk": rel=mod/app
-                        # under the NP — reference tests/npmod)
-                        post_mods += 1
+                        # under the NP — reference tests/npmod), but a
+                        # multiword proper name ("Willem de Tweede") is
+                        # ONE head: in-span name words add no mods
+                        if not (b.prop == "ISNAME" and j > 0
+                                and anns[j - 1].prop == "ISNAME"):
+                            post_mods += 1
                     saw_noun = True
                     np_start[j] = i
                     if det_idx >= 0:

@@ -866,6 +866,22 @@ def analyze_sentence(
         decisions = tag_sentence(tokens, lex)
         anns = [analyze_word_decided(t, d, lex)
                 for t, d in zip(tokens, decisions)]
+        # multiword-name entity grouping (Frog NER spans B/I tags,
+        # src/ner.cxx:8-41): a run of adjacent ISNAME words is ONE
+        # entity — only the first word counts toward nerCnt, and the
+        # span class (taken from the begin word) covers every word's
+        # NER->SEM fallback ("Willem de Tweede": nerCnt 1, humanCnt 3)
+        for k, a in enumerate(anns):
+            if (a.prop == "ISNAME" and k > 0
+                    and anns[k - 1].prop == "ISNAME"):
+                a.ner_begin = False
+                first = anns[k - 1]
+                a.ner = first.ner
+                span_sem = _NER_TO_SEM.get(a.ner)
+                if span_sem and a.sem_type != span_sem \
+                        and lex.noun_sem.get(a.word) is None:
+                    a.sem_type = span_sem
+                    _finish_word(a, lex)
     f.words = anns
 
     # checkAls (resolveConnectives, src/sentstats.cxx:366-424): "als" is

@@ -1436,6 +1436,19 @@ def _context_passes(tokens, ds, lex, n):
                 d.is_name = False
         return
 
+    # -- royal-title names: "Willem de Tweede", "Karel de Grote" ---------
+    # a capitalized token right after <name> + de/den/der/van/ten is part
+    # of a multiword proper name (Frog SPEC(deeleigen)), including the
+    # particle, even when the token is a closed-class homograph
+    for i in range(2, n):
+        if (tokens[i][:1].isupper() and not ds[i].punct
+                and lowers[i - 1] in ("de", "den", "der", "van", "ten")
+                and ds[i - 2].is_name):
+            ds[i - 1].info = None
+            ds[i - 1].is_name = True
+            ds[i].info = None
+            ds[i].is_name = True
+
     # -- ambiguous function words ---------------------------------------
     for i, d in enumerate(ds):
         lw = lowers[i]
@@ -1530,6 +1543,16 @@ def _context_passes(tokens, ds, lex, n):
             continue
         if (ds[pj].info is not None and ds[pj].info.tag == "WW") \
                 or lowers[pj] == "te":
+            if (lowers[pj] != "te" and ds[pj].info is not None
+                    and ds[pj].info.feat("wvorm") == "inf"
+                    and pj >= 2 and lowers[pj - 1] == "te"
+                    and ds[pj - 2].info is not None
+                    and ds[pj - 2].info.tag == "LID"):
+                # gerundive NP "de te nemen maatregelen": the -en token
+                # after the modifier infinitive is the NP head noun
+                lemma, morphs = _noun_lemma(lowers[i])
+                d.info = _pi("N", lemma, morphs)
+                continue
             d.info = _pi("WW", d.info.lemma,
                          _ww_morphemes(lowers[i], d.info.lemma),
                          wvorm="inf")
@@ -1749,6 +1772,17 @@ def _context_passes(tokens, ds, lex, n):
             not dj.punct and dj.info is not None and dj.info.tag == "WW"
             and dj.info.feat("wvorm") == "pv" for dj in ds[:i])
         te_before = prev_lw == "te" or (i >= 2 and lowers[i - 2] == "te")
+        if (te_before and prev_lw != "te" and i >= 3
+                and ds[i - 3].info is not None
+                and ds[i - 3].info.tag == "LID"):
+            # gerundive NP "de te nemen maatregelen": the word after
+            # the modifier infinitive is the determined head noun
+            if lw.endswith(("en", "s")) and len(lw) > 4:
+                lemma, morphs = _noun_lemma(lw)
+                d.info = _pi("N", lemma, morphs)
+            else:
+                d.info = _pi("N", lw)
+            continue
         at_clause_end = _next_idx(ds, i) < 0 or all(
             ds[j].punct or (ds[j].info is not None
                             and ds[j].info.tag in ("VZ", "BW", "LET"))

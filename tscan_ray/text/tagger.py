@@ -1062,7 +1062,11 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
                     continue
             comp = lex.compounds.get(info.lemma)
             stem_parts = None
-            if comp is not None and comp[2] >= 2 and comp[1]:
+            # kinship schoon- nouns are lexicalized single morphemes in
+            # Frog's MBMA ("schoonzoon") even though the semtype table
+            # lists them as compounds
+            if comp is not None and comp[2] >= 2 and comp[1] \
+                    and comp[1] != "schoon":
                 head, sat = comp[0], comp[1]
                 # Frog's MBMA works on the surface, so a deverbal
                 # satellite listed as an infinitive ("begraven" in
@@ -1370,6 +1374,16 @@ def _finite_guess(lw: str):
     return None
 
 
+def _participle_shaped(lw: str, lex: Lexicons) -> bool:
+    """Prefix + t/d form Frog reads as WW(vd) rather than a predicative
+    adjective ("is verongelukt" vs the lexicalized "is bekend")."""
+    return (lw not in lex.adj_sem
+            and lw not in ("bekend", "verwoed")
+            and lw.startswith(("ge", "ver", "be", "ont", "her"))
+            and lw.endswith(("t", "d"))
+            and not lw.endswith("end"))
+
+
 def _grade_morphs(lw: str, lemma: str) -> tuple[str, ...] | None:
     """Morphemes of a comparative/superlative whose base ``lemma`` is
     already known: Frog's MBMA keeps the lemma as the stem morpheme
@@ -1481,7 +1495,21 @@ def _context_passes(tokens, ds, lex, n):
         elif lw == "zijn":
             pv = _prev_tag(ds, i)
             prev_lw = lowers[i - 1] if i else ""
-            if nx >= 0 and _nounish_ahead(tokens, ds, nx, lex):
+            # aux "zijn" + clause-final participle ("... zijn
+            # verongelukt ."): the participle shape beats the
+            # possessive reading of the nounish-ahead scan
+            nx_last = (nx >= 0 and all(
+                ds[j].punct for j in range(nx + 1, n)))
+            vd_next = (nx >= 0 and nx_last and ds[nx].info is None
+                       and not ds[nx].punct and not ds[nx].is_name
+                       and (lowers[nx].startswith(
+                           ("ge", "ver", "be", "ont", "her"))
+                           and lowers[nx].endswith(("t", "d", "en"))
+                           or lowers[nx] in _ABLAUT_VD))
+            if vd_next:
+                d.info = _pi("WW", "zijn", ("ben", "en"), wvorm="pv",
+                             pvtijd="tgw")
+            elif nx >= 0 and _nounish_ahead(tokens, ds, nx, lex):
                 d.info = _CLOSED["zijn\x00bez"]
             elif prev_lw == "te" or (pv == "WW"):
                 d.info = _pi("WW", "zijn", ("zijn",), wvorm="inf")
@@ -1715,7 +1743,8 @@ def _context_passes(tokens, ds, lex, n):
         # ("is gek", "heel gauw", "te laat")
         prev_cop = (pv == "WW" and i and ds[i - 1].info is not None
                     and ds[i - 1].info.lemma in _COPULA_LEMMAS)
-        if (prev_cop or prev_lw in _DEGREE_WORDS) and not lw.endswith("en"):
+        if (prev_cop or prev_lw in _DEGREE_WORDS) and not lw.endswith("en") \
+                and not _participle_shaped(lw, lex):
             d.info = _pi("ADJ", lw)
             continue
         # prenominal inflected adjective: -e between determiner and noun
@@ -1747,6 +1776,23 @@ def _context_passes(tokens, ds, lex, n):
                 continue
 
     # -- -en unknowns: infinitive vs plural noun -------------------------
+    # undecided weak prefix participle after an auxiliary ("is
+    # verongelukt", "wordt verhinderd"): WW(vd), infinitive lemma
+    for i, d in enumerate(ds):
+        if d.punct or d.is_name or d.info is not None:
+            continue
+        lw = lowers[i]
+        if len(lw) < 6 or not _participle_shaped(lw, lex):
+            continue
+        aux_before = any(
+            not dj.punct and dj.info is not None and dj.info.tag == "WW"
+            and dj.info.feat("wvorm") == "pv" for dj in ds[:i])
+        if aux_before and _prev_tag(ds, i) != "VZ":
+            pre = next(p for p in ("ge", "ver", "be", "ont", "her")
+                       if lw.startswith(p))
+            d.info = _pi("WW", _finite_lemma(lw, 1)[0],
+                         (pre, lw[len(pre):]), wvorm="vd")
+
     for i, d in enumerate(ds):
         if d.punct or d.is_name or d.info is not None:
             continue
@@ -1790,9 +1836,13 @@ def _context_passes(tokens, ds, lex, n):
         pre = next((p for p in ("ver", "be", "ont", "her")
                     if lw.startswith(p)), None)
         if pre and aux_before and pv != "VZ":
-            # strong prefix participle after an auxiliary ("ligt ...
-            # verscholen", "zijn ... vergaan")
-            d.info = _pi("WW", lw, (pre, lw[len(pre):]), wvorm="vd")
+            # prefix participle after an auxiliary ("ligt ...
+            # verscholen", "zijn ... vergaan"); weak t/d forms
+            # lemmatize to the infinitive ("verongelukt" ->
+            # verongelukken), strong forms keep the surface
+            lemma = (_finite_lemma(lw, 1)[0]
+                     if lw.endswith(("t", "d")) else lw)
+            d.info = _pi("WW", lemma, (pre, lw[len(pre):]), wvorm="vd")
         elif te_before or (aux_before and at_clause_end):
             stem = _verb_stem(lw)
             d.info = _pi("WW", lw, (stem, "en"), wvorm="inf")
@@ -2275,6 +2325,11 @@ def _context_passes(tokens, ds, lex, n):
                             and ds[k2].info.feat("wvorm") == "vd"):
                         near_cop = j
                         break
+            # participle-shaped predicates after a copula read WW(vd)
+            # in Frog ("is verongelukt", "wordt verwend") — lexicalized
+            # participial adjectives are the exception ("is bekend")
+            if near_cop is not None and _participle_shaped(lw, lex):
+                near_cop = None
             if near_cop is not None and not lw.endswith(("en", "s")) \
                     and (lw in lex.adj_sem or lw not in lex.noun_sem):
                 # noun-lexicon words stay the predicate NOUN ("Hij is

@@ -646,6 +646,7 @@ def parse_sentence(anns: list) -> SentParse:
     # ---- nominal coordination edges (conj -> each conjunct head,
     # reference tests/depdist3: crd_cnj [0, 0] for "Jan en Piet gaan") ------
     nominal_pairs: dict[int, tuple[int, bool]] = {}  # left -> (right, phrasal)
+    conj_group: dict[int, list[int]] = {}  # member head -> full head list
     for cj in nominal_conjs:
         # same-category phrase coordination ("in EN rond", "gevonden ,
         # maar wel ..."): the crd edges run to the adjacent phrase heads
@@ -666,8 +667,19 @@ def parse_sentence(anns: list) -> SentParse:
                      if i not in puncts and _is_nounish(anns[i])), -1)
         right = next((i for i in range(cj + 1, n)
                       if i not in puncts and _is_nounish(anns[i])), -1)
-        if left >= 0:
-            _store(parse, "CRD_CNJ", cj, left, puncts)
+        # comma-chained earlier conjuncts ("zijn zoon , zijn dochter en
+        # zijn schoonzoon": the vg coordinates ALL list members — crd
+        # edges run to every cnj head, reference tests/smallconjuncts)
+        heads = [left] if left >= 0 else []
+        while heads:
+            k = np_start.get(heads[0], heads[0])
+            if (k >= 2 and anns[k - 1].word == ","
+                    and _is_nounish(anns[k - 2])):
+                heads.insert(0, k - 2)
+            else:
+                break
+        for h in heads:
+            _store(parse, "CRD_CNJ", cj, h, puncts)
         if right >= 0:
             _store(parse, "CRD_CNJ", cj, right, puncts)
         if left >= 0 and right >= 0:
@@ -675,8 +687,11 @@ def parse_sentence(anns: list) -> SentParse:
             # conjunction ("Jan en DE MAN met de pet", depdist19) — its
             # hd gets an extra su edge (getDependencyDist geval 6)
             nominal_pairs[left] = (right, right > cj + 1)
-        parse.small_cnj_cnt += 2
-        parse.small_cnj_extra_cnt += 1
+            group = heads + [right]
+            for h in group:
+                conj_group[h] = group
+        parse.small_cnj_cnt += max(len(heads), 1) + 1
+        parse.small_cnj_extra_cnt += max(len(heads), 1)
 
     # ---- relative clauses (computed up front; drives betrCnt and
     # D-level 6/3, reduced proxy for Alpino cat="rel") ----------------------
@@ -910,7 +925,29 @@ def parse_sentence(anns: list) -> SentParse:
         # measures to the NP START ("De man , met de pet op , gaat ... en
         # zet ...": zet -> De, reference tests/depdist5 max_deplen 9)
         su_tgt = np_start.get(su, su) if shared_su else su
-        if su >= 0:
+        group = (conj_group.get(su)
+                 if su >= 0 and not shared_su else None)
+        if group is not None and group[0] == su:
+            # coordinated subject: the reference stores the hd of the
+            # first PHRASAL conjunct (node_search "hd" recurses into
+            # the first non-leaf cnj) plus the first cnj node's begin
+            # (node_search "cnj"); the aux/passive coindexed su ref
+            # carries the conj node's begin (tests/smallconjuncts s6:
+            # sub_verb [5,6,7]; tests/depdist19: [6,3])
+            first_np = np_start.get(su, su)
+            phrasal = next((h for h in group
+                            if np_start.get(h, h) != h), -1)
+            if phrasal >= 0:
+                _store(parse, "SUB_VERB", verb, phrasal, puncts)
+            _store(parse, "SUB_VERB", verb, first_np, puncts)
+            if aux_construction:
+                if (anns[content].prop == "ISVD"
+                        and anns[verb].lemma in ("zijn", "worden")
+                        and anns[content].lemma not in _UNACCUSATIVES):
+                    _store(parse, "OBJ1_VERB", content, first_np, puncts)
+                else:
+                    _store(parse, "SUB_VERB", content, first_np, puncts)
+        elif su >= 0:
             _store(parse, "SUB_VERB", verb, su_tgt, puncts)
             if aux_construction:
                 # zijn/worden + transitive participle = PASSIVE: the
@@ -1177,10 +1214,14 @@ def parse_sentence(anns: list) -> SentParse:
         # nominal coordination in the object field is ONE argument: the
         # reference resolves the conj node to its first cnj ("Ik zie Jan
         # en Piet daar staan", tests/depdist9: one obj1 edge, to Jan)
-        for a_i in range(len(obj_cands) - 1):
-            pair = nominal_pairs.get(obj_cands[a_i])
-            if pair is not None and obj_cands[a_i + 1] == pair[0]:
-                del obj_cands[a_i + 1]
+        obj_group = None
+        for a_i in range(len(obj_cands)):
+            g = conj_group.get(obj_cands[a_i])
+            if g is not None and g[0] == obj_cands[a_i]:
+                obj_group = g
+                obj_cands = (obj_cands[: a_i + 1]
+                             + [c for c in obj_cands[a_i + 1:]
+                                if c not in g])
                 break
 
         # object assignment: single candidate -> obj1; pronoun + NP in a
@@ -1216,7 +1257,19 @@ def parse_sentence(anns: list) -> SentParse:
                 _store(parse, "VERB_PREDC_N", content, obj_cands[0], puncts)
             elif len(obj_cands) == 1:
                 obj1_tgt = obj_cands[0]
-                _store(parse, "OBJ1_VERB", content, obj1_tgt, puncts)
+                if obj_group is not None and obj_group[0] == obj1_tgt:
+                    # coordinated object: hd of the first phrasal cnj
+                    # plus the first cnj node's begin (tests/
+                    # smallconjuncts s5: obj1_verb [5,6])
+                    first_np = np_start.get(obj1_tgt, obj1_tgt)
+                    phrasal = next((h for h in obj_group
+                                    if np_start.get(h, h) != h), -1)
+                    if phrasal >= 0:
+                        _store(parse, "OBJ1_VERB", content, phrasal,
+                               puncts)
+                    _store(parse, "OBJ1_VERB", content, first_np, puncts)
+                else:
+                    _store(parse, "OBJ1_VERB", content, obj1_tgt, puncts)
             else:
                 _store(parse, "OBJ2_VERB", content, obj_cands[0], puncts)
                 obj1_tgt = obj_cands[-1]

@@ -924,6 +924,12 @@ def parse_sentence(anns: list) -> SentParse:
         # coindexed ref whose begin = the NP's first token, so that edge
         # measures to the NP START ("De man , met de pet op , gaat ... en
         # zet ...": zet -> De, reference tests/depdist5 max_deplen 9)
+        vd_parts = [w for w in verbs if w != verb
+                    and anns[w].prop == "ISVD"]
+        aux_inf = next((w for w in verbs if w != verb
+                        and anns[w].prop == "ISINF"
+                        and anns[w].lemma in ("worden", "zijn", "hebben")),
+                       -1)
         su_tgt = np_start.get(su, su) if shared_su else su
         group = (conj_group.get(su)
                  if su >= 0 and not shared_su else None)
@@ -960,7 +966,7 @@ def parse_sentence(anns: list) -> SentParse:
                         and anns[content].lemma not in _UNACCUSATIVES):
                     _store(parse, "OBJ1_VERB", content,
                            np_start.get(su, su), puncts)
-                else:
+                elif not (content == aux_inf and vd_parts):
                     _store(parse, "SUB_VERB", content, su_tgt, puncts)
             # coordinated subject with a PHRASAL right conjunct: its head
             # gets its own su edge ("Jan en de MAN met de pet LIEPEN",
@@ -974,10 +980,26 @@ def parse_sentence(anns: list) -> SentParse:
         if su >= 0 and not shared_su:
             prev_su = su
 
-        # verb cluster: later verbs in the clause hang under the first
-        for w in verbs:
-            if w != verb and anns[w].prop in _NONFINITE_PROPS:
-                _store(parse, "VERB_VC", verb, w, puncts)
+        # verb cluster: later verbs in the clause hang under the first.
+        # A modal + participle(s) + passive/perfect aux INFINITIVE
+        # chains instead ("moet opgenomen en geholpen worden": moet ->
+        # worden -> first participle; the aux's coindexed su and the
+        # participles' obj1 refs carry the subject NP's begin —
+        # reference tests/smallconjuncts s14/s15)
+        if aux_inf >= 0 and vd_parts:
+            _store(parse, "VERB_VC", verb, aux_inf, puncts)
+            _store(parse, "VERB_VC", aux_inf, vd_parts[0], puncts)
+            if su >= 0:
+                _store(parse, "SUB_VERB", aux_inf,
+                       np_start.get(su, su), puncts)
+                if anns[aux_inf].lemma == "worden":
+                    for w in vd_parts:
+                        _store(parse, "OBJ1_VERB", w,
+                               np_start.get(su, su), puncts)
+        else:
+            for w in verbs:
+                if w != verb and anns[w].prop in _NONFINITE_PROPS:
+                    _store(parse, "VERB_VC", verb, w, puncts)
 
         # conjunction edges: comp -> body plus matrix verb -> subordinator
         # (verb_comp, reference tests/depdist18); clausal crd edges run to

@@ -2195,6 +2195,17 @@ def _context_passes(tokens, ds, lex, n):
         if prevj < 0 or ds[prevj].info is None \
                 or ds[prevj].info.tag != "WW":
             continue
+        # a verbs-only span after a coordinator is VP coordination
+        # under the previous span's finite ("moet opgenomen en GEHOLPEN
+        # WORDEN"): worden stays the cluster infinitive
+        if not any(not ds[j].punct and (ds[j].is_name or (
+                ds[j].info is not None and (
+                    ds[j].info.tag == "N"
+                    or (ds[j].info.tag == "VNW"
+                        and _vwtype(ds[j]) in ("pers", "aanw", "onbep",
+                                               "betr", "vb")))))
+                   for j in range(a, last)):
+            continue
         d.info = _pi("WW", d.info.lemma,
                      _ww_morphemes(lowers[last], d.info.lemma),
                      wvorm="pv", pvtijd="tgw")

@@ -347,6 +347,18 @@ def _merge_nominal_conj(anns: list, clauses: list[Clause]) -> tuple[list[Clause]
         if cl.kind == "coord" and out and not v_initial and (
             not has_finite(cl) or not has_finite(out[-1])
         ):
+            # gapping: a comma + coordinator after a COMPLETE clause,
+            # followed by verbless nominal material ("..., en Arie en
+            # Truus ook."): a du conjunct in Alpino, not NP coordination
+            if (has_finite(out[-1]) and not has_finite(cl)
+                    and cl.conj_idx >= 1
+                    and anns[cl.conj_idx - 1].word == ","
+                    and not any(anns[i].tag == "WW"
+                                for i in range(cl.start, cl.end))
+                    and any(_is_nounish(anns[i])
+                            for i in range(cl.start, cl.end))):
+                out.append(Clause(cl.start, cl.end, "gap", cl.conj_idx))
+                continue
             prev = out[-1]
             out[-1] = Clause(prev.start, cl.end, prev.kind, prev.conj_idx)
             nominal.append(cl.conj_idx)
@@ -742,6 +754,20 @@ def parse_sentence(anns: list) -> SentParse:
     for ci, cl in enumerate(clauses):
         idxs = [i for i in range(cl.start, cl.end) if i not in puncts]
         if not idxs:
+            clause_cls.append(None)
+            continue
+        if cl.kind == "gap":
+            # gapped clausal conjunct ("..., en Arie en Truus ook."):
+            # a du node in Alpino — its material attaches to no verb;
+            # the coordinator's single crd edge runs to the left
+            # clause's verb (reference tests/smallconjuncts s2)
+            if cl.conj_idx >= 0 and prev_clause_verb >= 0:
+                _store(parse, "CRD_CNJ", cl.conj_idx, prev_clause_verb,
+                       puncts)
+            # the du conjunct itself counts as a small (non-clausal)
+            # conjunct (golden smallCnjCnt 5 on s2: 2+2 nominal + 1)
+            parse.small_cnj_cnt += 1
+            parse.small_cnj_extra_cnt += 1
             clause_cls.append(None)
             continue
         finites = [i for i in idxs if _is_finite(anns[i])]
@@ -1342,6 +1368,13 @@ def parse_sentence(anns: list) -> SentParse:
     # phrase-level (nominal) conjunctions were merged out of the clause
     # list above and counted in small_cnj_cnt there
     for ci, cl in enumerate(clauses):
+        # gapped conjunct: the LEFT clause is the (single) smain
+        # conjunct in the tree ("Peter en Thea zijn gekomen, en Arie en
+        # Truus ook.": smainCnt 1, smainCnjCnt 1)
+        if cl.kind == "gap":
+            if ci > 0 and clause_cls[ci - 1] == "smain":
+                parse.smain_cnj_cnt += 1
+            continue
         # coordinated SUBORDINATE clauses: "omdat ... en omdat ..." —
         # the neven VG directly precedes the second subordinator, so
         # the sub clause (and its left peer) are ssub conjuncts

@@ -1230,6 +1230,12 @@ def parse_sentence(anns: list) -> SentParse:
                         and anns[nx].tag in ("ADJ", "BW")):
                     continue  # intensifier below the AP ("erg vlug",
                     # reference tests/mod_bw: only vlug gets an edge)
+                if (nx >= 0 and anns[nx].tag in ("ADJ", "BW")
+                        and b.lword in ("zo", "heel", "te", "zeer",
+                                        "erg", "vrij", "nogal",
+                                        "bijzonder", "ongelooflijk")):
+                    continue  # degree adverb below the AP ("zo snel
+                    # groot": only the AP reaches the verb)
                 if nx >= 0 and _is_nounish(anns[nx]) and b.tag == "BW":
                     continue  # NP-internal mod ("al jaren", reference
                     # tests/mod_adv s3: al has no verb edge); SPEC
@@ -1251,11 +1257,24 @@ def parse_sentence(anns: list) -> SentParse:
                 if b.adverb_type == "GENERAL":
                     parse.vc_mod_single_cnt += 1
             elif b.tag == "ADJ":
-                nxt = j + 1
-                prenominal = nxt < cl.end and (
-                    _is_nounish(anns[nxt]) or anns[nxt].tag == "ADJ"
-                )
-                if not prenominal:
+                k = j
+                while k + 1 < cl.end and anns[k + 1].tag == "ADJ":
+                    k += 1
+                nxt2 = next((x for x in range(k + 1, cl.end)
+                             if x not in puncts), -1)
+                if nxt2 >= 0 and _is_nounish(anns[nxt2]):
+                    pass  # prenominal ADJ chain before a noun head
+                elif k > j:
+                    # ADJ directly before another ADJ: an intensifier
+                    # stays inside the AP ("erg VLUG", "vrij klein" —
+                    # no verb edge), while a real adjective heads its
+                    # own mod-AP ("zo SNEL groot": VERB_MOD_A edge,
+                    # the chain-final ADJ is the predc)
+                    if (b.intensify_type != "BVBW"
+                            and b.lword not in ("vrij", "erg", "heel",
+                                                "zeer", "nogal")):
+                        _store(parse, "VERB_MOD_A", content, j, puncts)
+                else:
                     _store(parse, "VERB_PREDC_A" if (is_copula or is_passive) else "VERB_MOD_A",
                            content, j, puncts)
 

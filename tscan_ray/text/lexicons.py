@@ -301,7 +301,7 @@ def _dutch_entries() -> dict[str, PosInfo]:
              ("weerstand", ["weerstand"]),
              ("wedstrijden", ["wedstrijd", "en"]), ("deel", ["deel"])]
     for w, m in nouns:
-        lem = m[0] if len(m) > 1 and m[1] in ("en", "s", "n") else w
+        lem = m[0] if len(m) > 1 and m[1] in ("en", "s", "n", "eren") else w
         add(w, "N", lem, m)
 
     # adjectives

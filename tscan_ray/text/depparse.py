@@ -367,6 +367,12 @@ def _merge_nominal_conj(anns: list, clauses: list[Clause]) -> tuple[list[Clause]
     return out, nominal
 
 
+_FUNC_MWUS = frozenset({
+    ("af", "en", "toe"), ("nu", "en", "dan"), ("her", "en", "der"),
+    ("heen", "en", "weer"), ("op", "en", "neer"), ("min", "of", "meer"),
+})
+
+
 def parse_sentence(anns: list) -> SentParse:
     """Run the reduced parser over one sentence of ``WordAnn`` records.
 
@@ -383,6 +389,15 @@ def parse_sentence(anns: list) -> SentParse:
     parse = SentParse()
     n = len(anns)
     puncts = {i for i, a in enumerate(anns) if a.prop == "ISLET"}
+
+    # lexicalized function-word MWUs ("af en toe"): one mwu node in
+    # Alpino — the tokens join no PP/conjunction/modifier scan (they do
+    # count in distances, unlike punctuation)
+    mwu: set[int] = set()
+    for i in range(n - 2):
+        if (anns[i].lword, anns[i + 1].lword,
+                anns[i + 2].lword) in _FUNC_MWUS:
+            mwu.update((i, i + 1, i + 2))
 
     # relative clauses (rel-pronoun directly after a noun) — detected
     # up front so they can shape the clause spans below
@@ -601,7 +616,8 @@ def parse_sentence(anns: list) -> SentParse:
     np_pp_attached: set[int] = set()
     pp_objects: set[int] = set()
     for i in range(n):
-        if anns[i].tag != "VZ" or anns[i].lword in ("als", "dan"):
+        if anns[i].tag != "VZ" or anns[i].lword in ("als", "dan") \
+                or i in mwu:
             continue  # als/dan = comparative cmp, handled in the verb scan
         prev = i - 1
         while prev >= 0 and prev in puncts:
@@ -660,6 +676,8 @@ def parse_sentence(anns: list) -> SentParse:
     nominal_pairs: dict[int, tuple[int, bool]] = {}  # left -> (right, phrasal)
     conj_group: dict[int, list[int]] = {}  # member head -> full head list
     for cj in nominal_conjs:
+        if cj in mwu:
+            continue
         # same-category phrase coordination ("in EN rond", "gevonden ,
         # maar wel ..."): the crd edges run to the adjacent phrase heads
         # (reference tests/d6 s2: crd_cnj all 0)
@@ -1118,6 +1136,8 @@ def parse_sentence(anns: list) -> SentParse:
         aci_pron = -1
         for j in span:
             b = anns[j]
+            if j in mwu:
+                continue  # inside a lexicalized MWU ("af en toe")
             if b.tag == "VZ":
                 if b.lword == "te":
                     continue  # infinitive marker, not a preposition

@@ -142,6 +142,12 @@ def _is_nounish(ann) -> bool:
 def _is_su_candidate(ann) -> bool:
     return _is_nounish(ann) or (
         ann.tag == "VNW" and ann.prop in ("ISPPRON1", "ISPPRON2", "ISPPRON3")
+    ) or (
+        # expletive/neuter "het" reads VNW only when no NP head follows
+        # (tagger), so as a VNW it IS the clause subject ("omdat het
+        # heel hard regent", reference tests/dlevel5) — CGN gives the
+        # reduced pronoun no ISPPRON prop
+        ann.tag == "VNW" and ann.lword == "het"
     )
 
 

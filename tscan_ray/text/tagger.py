@@ -375,6 +375,8 @@ _WW_MORPH_EXC = {
     # zijn-paradigm past forms carry the lemma
     "gaan": ("ga",), "staan": ("sta",), "slaan": ("sla",),
     "waren": ("zijn", "en"), "was": ("zijn",),
+    # MBMA reads "regent" from regeren (reference tests/dlevel5)
+    "regent": ("regeer", "en", "t"),
 }
 
 
@@ -971,7 +973,13 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
             ds.append(Decision(None, is_name=True))
             continue
         if info is None:
-            if (lword in lex.afkos or lword.rstrip(".") in lex.afkos
+            digits = lword.rstrip("-.,").replace(".", "") \
+                .replace(",", "").replace(":", "")
+            if digits and digits.isdigit():
+                # dotted/comma'd numerals ("20.000", "1,5") are TW,
+                # not dotted abbreviations
+                info = _pi("TW", lword)
+            elif (lword in lex.afkos or lword.rstrip(".") in lex.afkos
                     # unknown dotted token mid-sentence = abbreviation
                     # (Frog tags these SPEC(afk))
                     or ("." in lword.rstrip(".") or
@@ -1712,6 +1720,18 @@ def _context_passes(tokens, ds, lex, n):
             lemma, morphs = _noun_lemma(lw)
             d.info = _pi("N", lemma, morphs)
             continue
+        # material/auto -en adjective directly before a te-infinitive
+        # is that infinitive's object NP head ("machines STENEN te
+        # vervoeren", reference tests/d6 s4): plural-noun reading
+        if (d.info.tag == "ADJ" and d.info.feat("auto") == "1"
+                and lw.endswith("en") and len(lw) > 4):
+            nx2 = _next_idx(ds, i)
+            if (nx2 >= 0 and lowers[nx2] == "te" and nx2 + 1 < n
+                    and ds[nx2 + 1].info is not None
+                    and ds[nx2 + 1].info.tag == "WW"):
+                lemma, morphs = _noun_lemma(lw)
+                d.info = _pi("N", lemma, morphs)
+                continue
         # bare auto-ADJ right after a determiner with no NP head ahead:
         # substantivized/plural noun reading ("de stenen waren ...")
         if (d.info.tag == "ADJ" and d.info.feat("auto") == "1"
@@ -1937,7 +1957,12 @@ def _context_passes(tokens, ds, lex, n):
                     ds[j].info.tag == "N"
                     or (ds[j].info.tag == "VNW"
                         and _vwtype(ds[j]) in ("pers", "aanw", "onbep",
-                                               "vb")))))
+                                               "vb"))
+                    # "omdat het ...": het reads LID this early (its
+                    # re-resolution runs after recovery) but after the
+                    # subordinator it is the clause subject
+                    or (ds[j].info.tag == "LID" and lowers[j] == "het"
+                        and j == head + 1))))
             for j in range(a, b))
         if not (sub_head and subj):
             # main-clause coordination after a comma: ", hanteerden
@@ -1965,7 +1990,12 @@ def _context_passes(tokens, ds, lex, n):
                     ds[j].info.tag == "N"
                     or (ds[j].info.tag == "VNW"
                         and _vwtype(ds[j]) in ("pers", "aanw", "onbep",
-                                               "vb")))))
+                                               "vb"))
+                    # "omdat het ...": het still reads LID this early
+                    # (the re-resolution pass runs after recovery), but
+                    # directly after the subordinator it IS the subject
+                    or (ds[j].info.tag == "LID" and lowers[j] == "het"
+                        and j == head + 1))))
 
         for j in range(b - 1, head, -1):
             d = ds[j]
@@ -1974,12 +2004,39 @@ def _context_passes(tokens, ds, lex, n):
             if d.info is not None and d.info.tag in (
                     "VZ", "BW", "LET", "TSW"):
                 continue  # look left past trailing modifiers
+            lw = lowers[j]
+            # span-final noun-reading verb homograph ("die ... kilo
+            # WEGEN"): the hard N lexicon entry competes with the verb,
+            # so Frog resolves to the low-confidence bare infinitive
+            # (reference tests/d6 s4: WW(inf,vrij,zonder) conf 0.5) —
+            # unlike an unambiguous "behoren", which gets pv
+            if (d.info is not None and d.info.tag == "N"
+                    and d.info.feat("auto") != "1"
+                    and lw.endswith("en") and lw in lex.verb_sem
+                    and any(_subj_at(k) for k in range(head + 1, j))
+                    and not _np_prev(ds, lowers, j)):
+                d.info = _pi("WW", lw, _ww_morphemes(lw, lw),
+                             wvorm="inf")
+                break
             cand_ok = (d.info is None
                        or (d.info.feat("auto") == "1"
                            and d.info.tag in ("N", "ADJ"))
                        or (d.info.tag == "WW"
                            and d.info.feat("wvorm") == "inf"
-                           and d.info.feat("auto") == "1"))
+                           and d.info.feat("auto") == "1")
+                       # a verbless subordinate span MUST end in its
+                       # finite verb: a span-final hard-N homograph
+                       # flips ("omdat het heel hard REGENT",
+                       # reference tests/dlevel5)
+                       or (d.info.tag == "N"
+                           and j == next(
+                               (k for k in range(b - 1, a - 1, -1)
+                                if not ds[k].punct), -1)
+                           and not any(
+                               not ds[k].punct
+                               and ds[k].info is not None
+                               and ds[k].info.tag == "WW"
+                               for k in range(a, b))))
             if cand_ok and not _np_prev(ds, lowers, j) \
                     and any(_subj_at(k) for k in range(head + 1, j)):
                 lw = lowers[j]

@@ -428,6 +428,24 @@ def parse_sentence(anns: list) -> SentParse:
                      and anns[prev_idx - 1].tag == "LID"))
         ):
             rel_after_noun.append((prev_idx, i))
+        elif (a.tag == "VNW" and a.lword in _REL_PRONOUNS
+                and prev_idx >= 0 and anns[prev_idx].tag == "WW"
+                and anns[prev_idx].prop in ("ISINF", "ISVD")):
+            # EXTRAPOSED relative: the rel clause follows the verb
+            # cluster, its antecedent noun sits before it ("stenen te
+            # vervoeren DIE soms wel 20.000 kilo wegen", reference
+            # tests/d6 s4) — only when verbal material follows the
+            # pronoun (else "die" is a demonstrative argument)
+            noun = next((k for k in range(prev_idx - 1, -1, -1)
+                         if k not in puncts and _is_nounish(anns[k])),
+                        -1)
+            body_end = next((k for k in range(i + 1, n)
+                             if anns[k].lword == ","), n)
+            has_verb_after = any(
+                anns[k].tag == "WW" for k in range(i + 1, body_end)
+                if k not in puncts)
+            if noun >= 0 and has_verb_after:
+                rel_after_noun.append((noun, i))
 
     clauses, nominal_conjs = _merge_nominal_conj(anns, _split_clauses(anns))
 
@@ -465,6 +483,18 @@ def parse_sentence(anns: list) -> SentParse:
         if pron >= 0:
             fin = next((i for i in range(pron, cl.end)
                         if i not in puncts and _is_finite(anns[i])), -1)
+            # extraposed rel body headed by a bare infinitive ("die
+            # soms wel 20.000 kilo WEGEN , is ..."): the body ends at
+            # the comma; its last WW is the clause verb (Alpino wraps
+            # it in ssub, reference tests/d6 s4)
+            comma = next((k for k in range(pron + 1, cl.end)
+                          if anns[k].lword == ","), -1)
+            if comma >= 0 and (fin < 0 or fin > comma):
+                last_ww = next((k for k in range(comma - 1, pron, -1)
+                                if k not in puncts
+                                and anns[k].tag == "WW"), -1)
+                if last_ww >= 0:
+                    fin = last_ww
             # a NESTED relative between this pronoun and the finite owns
             # that finite (verb-final order); the outer clause's verb is
             # the next one ("waar de jongen , die ... WAS , ... IS
@@ -499,6 +529,44 @@ def parse_sentence(anns: list) -> SentParse:
                 continue
         expanded2.append(cl)
     clauses = expanded2
+
+    # fronted wh SUBJECT clause: "HOE het deze mensen gelukt is ... ,
+    # IS ook nog steeds niet helemaal duidelijk" (reference tests/d6
+    # s4, dlevel6 s8) — a sentence-initial interrogative heading
+    # verb-final material whose matrix finite follows a comma with no
+    # subject of its own; Alpino: whsub with rel=su, the matrix su
+    # edge runs to the whsub's hd verb
+    whsub_su: dict[int, int] = {}  # matrix clause start -> embedded hd
+    first_tok = next((i for i in range(n) if i not in puncts), -1)
+    if (first_tok >= 0 and clauses
+            and clauses[0].start <= first_tok
+            and clauses[0].kind == "main"
+            and anns[first_tok].tag in ("BW", "VNW")
+            and anns[first_tok].lword in ("hoe", "waarom", "wanneer",
+                                          "wat", "wie")
+            # direct V2 question excluded ("Hoe gaat het?")
+            and not _is_finite(anns[next((k for k in
+                                          range(first_tok + 1, n)
+                                          if k not in puncts), n - 1)])):
+        emb_fin = next((i for i in range(first_tok + 1, clauses[0].end)
+                        if i not in puncts and _is_finite(anns[i])), -1)
+        # the matrix clause: first later clause starting right after a
+        # comma with a finite verb as its first token
+        for mi in range(1, len(clauses)):
+            mcl = clauses[mi]
+            if mcl.kind != "main":
+                continue
+            mfirst = next((k for k in range(mcl.start, mcl.end)
+                           if k not in puncts), -1)
+            if (mfirst >= 0 and _is_finite(anns[mfirst])
+                    and any(anns[k].lword == ","
+                            for k in range(max(0, mcl.start - 1),
+                                           mfirst))
+                    and emb_fin >= 0):
+                clauses[0] = Clause(clauses[0].start, clauses[0].end,
+                                    "sub", first_tok)
+                whsub_su[mcl.start] = emb_fin
+            break
 
     # possessive pronouns acting as determiners ("mijn fiets" -> noun_det,
     # reference tests/depdist22); excluded from subject/object candidates
@@ -811,7 +879,12 @@ def parse_sentence(anns: list) -> SentParse:
         # the subject sits BEFORE the subordinator ("De KANS dat hij Piet
         # ziet IS vrij klein", reference tests/depdist21: su edge
         # is -> kans spans the whole cp)
-        if su < 0 and cl.start in cont_from and verb >= 0:
+        if su < 0 and cl.start in whsub_su and verb >= 0:
+            # fronted wh subject clause: the matrix su edge targets the
+            # embedded clause's hd verb (reference tests/d6 s4:
+            # "is" -> the whsub's "is", dist 12)
+            su = whsub_su[cl.start]
+        elif su < 0 and cl.start in cont_from and verb >= 0:
             conj = cont_from[cl.start]
             su = next((i for i in range(conj - 1, -1, -1)
                        if i not in puncts and i not in poss_det
@@ -834,6 +907,13 @@ def parse_sentence(anns: list) -> SentParse:
                 pass  # locative relativizer = modifier, not an argument
             elif su < 0:
                 su = cl.conj_idx
+            elif (anns[su].lword in _MEASURE_NOUNS and su >= 1
+                    and anns[su - 1].tag == "TW"):
+                # TW-quantified measure NP is the measure complement,
+                # not the subject ("die soms wel 20.000 KILO wegen",
+                # reference tests/d6 s4: su = die); no obj edge — the
+                # tree hangs the measure as a detached np
+                su = cl.conj_idx
             else:
                 rel_obj_pron = cl.conj_idx
 
@@ -854,7 +934,11 @@ def parse_sentence(anns: list) -> SentParse:
                 # clause, other subordinators an adverbial clause)
                 conj_lemma = (anns[cl.conj_idx].lword
                               if cl.conj_idx >= 0 else "")
-                if conj_lemma in ("dat", "of"):
+                if conj_lemma in ("dat", "of") or (
+                        # wh-headed clause = whsub: the reference
+                        # counts its ssub among the complements
+                        cl.conj_idx >= 0
+                        and anns[cl.conj_idx].tag != "VG"):
                     parse.compl_cnt += 1
                 else:
                     parse.bijw_cnt += 1
@@ -899,6 +983,12 @@ def parse_sentence(anns: list) -> SentParse:
                 cls = "smain"
                 if main_verb_idx < 0:
                     main_verb_idx = finites[0]
+        elif cl.kind == "rel" and verb >= 0:
+            # bare-infinitive rel body ("die soms wel 20.000 kilo
+            # WEGEN", reference tests/d6 s4): Alpino still brackets an
+            # ssub under the rel node
+            parse.ssub_cnt += 1
+            cls = "ssub"
         clause_cls.append(cls)
         if verb < 0:
             # verbless comparative cp ("net ALS HNTM-winnares Tamara",
@@ -1058,7 +1148,9 @@ def parse_sentence(anns: list) -> SentParse:
             if rel_obj_pron >= 0:
                 _store(parse, "OBJ1_VERB", verb, rel_obj_pron, puncts)
         elif cl.conj_idx >= 0:
-            if cl.kind == "sub":
+            if cl.kind == "sub" and anns[cl.conj_idx].tag != "VG":
+                pass  # wh-headed whsub: whd rel, no cmp/body edges
+            elif cl.kind == "sub":
                 _store(parse, "COMP_BODY", cl.conj_idx, verb, puncts)
                 # complement clause under a NOUN ("de kans DAT hij Piet
                 # ziet", reference tests/depdist21): vc edge noun -> body
@@ -1490,7 +1582,11 @@ def _d_level(
         if (len(fins) >= 2 and not v2
                 and ((a0.tag == "VG" and a0.conjtype == "onder"
                       and a0.lword in ("dat", "of"))
-                     or (a0.tag == "VNW" and a0.lword in ("wie", "wat")))):
+                     or (a0.tag == "VNW" and a0.lword in ("wie", "wat"))
+                     # wh-adverb heading a fronted whsub subject clause
+                     # ("HOE het deze mensen gelukt is ... , is ...")
+                     or (a0.tag == "BW" and a0.lword in (
+                         "hoe", "waarom", "wanneer")))):
             return 6
 
     # level 5: subordinating conjunction other than "dat"

@@ -2461,6 +2461,12 @@ def _context_passes(tokens, ds, lex, n):
             # initial "Dat je ..." -> complementizer
             d.info = _pi("VG", "dat", conjtype="onder")
             continue
+        if lw == "die" and pv == "WW" and nx >= 0:
+            # extraposed relative after the verb cluster ("stenen te
+            # vervoeren DIE soms wel 20.000 kilo wegen", reference
+            # tests/d6 s4: Frog VNW(betr) conf 0.84)
+            d.info = _pi("VNW", lw, vwtype="betr")
+            continue
         if pv in ("N", "SPEC"):
             if lw == "dat":
                 # saturated embedded clause -> complementizer; else the
@@ -2489,6 +2495,30 @@ def _context_passes(tokens, ds, lex, n):
                 d.info = _pi("VNW", lw, vwtype="betr")
         elif d.info is None or d.info.tag != "VG":
             d.info = _pi("VNW", lw, vwtype="aanw")
+
+    # -- extraposed betr-"die" span ("die soms wel 20.000 kilo WEGEN ,
+    # is ..."): the relative body is verb-final; when it holds no verb,
+    # a span-final noun/verb homograph takes Frog's low-confidence bare
+    # infinitive (runs after die/dat resolution) -------------------------
+    for i, d in enumerate(ds):
+        if d.punct or d.info is None or d.info.tag != "VNW" \
+                or d.info.feat("vwtype") != "betr":
+            continue
+        end = next((j for j in range(i + 1, n)
+                    if ds[j].punct and lowers[j] in (",", ";", ":")), n)
+        if any(not ds[j].punct and ds[j].info is not None
+               and ds[j].info.tag == "WW" for j in range(i + 1, end)):
+            continue
+        last = next((j for j in range(end - 1, i, -1)
+                     if not ds[j].punct), -1)
+        if last <= i:
+            continue
+        dl, lwl = ds[last], lowers[last]
+        if dl.info is not None and dl.info.tag == "N" \
+                and dl.info.feat("auto") != "1" \
+                and lwl.endswith("en") and lwl in lex.verb_sem:
+            dl.info = _pi("WW", lwl, _ww_morphemes(lwl, lwl),
+                          wvorm="inf")
 
     # -- "als": prepositional when no finite clause follows it (runs
     # AFTER verb recovery so recovered finite verbs count: "als we

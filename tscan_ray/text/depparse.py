@@ -140,6 +140,9 @@ def _is_nounish(ann) -> bool:
 
 
 def _is_su_candidate(ann) -> bool:
+    if ann.tag == "VNW" and ann.lword in ("mij", "jou", "hem", "hen",
+                                          "hun", "me"):
+        return False  # oblique (object-form) personal pronouns
     return _is_nounish(ann) or (
         ann.tag == "VNW" and ann.prop in ("ISPPRON1", "ISPPRON2", "ISPPRON3")
     ) or (
@@ -510,6 +513,17 @@ def parse_sentence(anns: list) -> SentParse:
                 _is_finite(anns[i])
                 for i in range(cl.start, cl.end)
                 if i < pron or i > fin)
+            # rel body closing its clause, matrix verb in a LATER span
+            # ("De man die mij sloeg | en die mij bespuugde is
+            # opgepakt": the left rel ends at the coordinator, the
+            # matrix finite follows the second conjunct)
+            if (not outside_fin and fin >= 0 and pron > cl.start
+                    and fin == next((k for k in range(cl.end - 1,
+                                                      cl.start - 1, -1)
+                                     if k not in puncts), -1)
+                    and any(_is_finite(anns[k])
+                            for k in range(cl.end, n))):
+                outside_fin = True
             if outside_fin:
                 rel_end = fin + 1
                 # trailing verb cluster stays with its finite ("dood IS
@@ -567,6 +581,45 @@ def parse_sentence(anns: list) -> SentParse:
                                     "sub", first_tok)
                 whsub_su[mcl.start] = emb_fin
             break
+
+    # coordinated relative clauses: "die mij sloeg EN DIE mij
+    # bespuugde is opgepakt" — a betr pronoun directly after the
+    # coordinator opens a second rel conjunct; Alpino hangs both rel
+    # bodies under a conj node inside the NP (reference
+    # tests/smallconjuncts s27: ssubCnj 2, betrCnt 2, dLevel 2 — the
+    # conj node between np and rel blocks the D-level-6 su-rel probe)
+    relconj_crd: dict[int, int] = {}   # rel-conjunct start -> VG idx
+    conj_rel_prons: set[int] = set()
+    rebuilt: list[Clause] = []
+    for cl2 in clauses:
+        prev_cl = rebuilt[-1] if rebuilt else None
+        h2 = next((k for k in range(cl2.start, cl2.end)
+                   if k not in puncts), -1)
+        if (cl2.kind == "coord" and cl2.conj_idx >= 0 and h2 >= 0
+                and anns[h2].tag == "VNW"
+                and anns[h2].lword in _REL_PRONOUNS
+                and prev_cl is not None and prev_cl.kind == "rel"):
+            fin2 = next((k for k in range(h2 + 1, cl2.end)
+                         if k not in puncts and _is_finite(anns[k])),
+                        -1)
+            if fin2 >= 0:
+                rebuilt.append(Clause(cl2.start, fin2 + 1, "rel", h2))
+                relconj_crd[cl2.start] = cl2.conj_idx
+                conj_rel_prons.add(h2)
+                conj_rel_prons.add(prev_cl.conj_idx)
+                # the left rel's antecedent doubles for the conjunct
+                noun2 = next((nn for (nn, pp) in rel_after_noun
+                              if pp == prev_cl.conj_idx), -1)
+                rel_after_noun.append((noun2, h2))
+                rest2 = next((k for k in range(fin2 + 1, cl2.end)
+                              if k not in puncts), -1)
+                if rest2 >= 0:
+                    rebuilt.append(Clause(fin2 + 1, cl2.end,
+                                          "main", -1))
+                    cont_from[fin2 + 1] = prev_cl.conj_idx
+                continue
+        rebuilt.append(cl2)
+    clauses = rebuilt
 
     # possessive pronouns acting as determiners ("mijn fiets" -> noun_det,
     # reference tests/depdist22); excluded from subject/object candidates
@@ -1095,6 +1148,13 @@ def parse_sentence(anns: list) -> SentParse:
                     _store(parse, "SUB_VERB", content, first_np, puncts)
         elif su >= 0:
             _store(parse, "SUB_VERB", verb, su_tgt, puncts)
+            if (cl.start in cont_from
+                    and cont_from[cl.start] in conj_rel_prons):
+                # antecedent NP carries a rel-clause conj: the su ref
+                # also reaches the conj node, whose begin = the first
+                # rel pronoun (reference smallconjuncts s27: [7, 6])
+                _store(parse, "SUB_VERB", verb, cont_from[cl.start],
+                       puncts)
             if aux_construction:
                 # zijn/worden + transitive participle = PASSIVE: the
                 # surface subject is the participle's OBJ1, coindexed at
@@ -1147,6 +1207,14 @@ def parse_sentence(anns: list) -> SentParse:
         if cl.conj_idx >= 0 and cl.kind == "rel":
             if rel_obj_pron >= 0:
                 _store(parse, "OBJ1_VERB", verb, rel_obj_pron, puncts)
+            if cl.start in relconj_crd:
+                # coordinated rel conjunct: crd edges from the VG to
+                # both rel-body verbs (reference smallconjuncts s27)
+                vg = relconj_crd[cl.start]
+                if prev_clause_verb >= 0:
+                    _store(parse, "CRD_CNJ", vg, prev_clause_verb,
+                           puncts)
+                _store(parse, "CRD_CNJ", vg, verb, puncts)
         elif cl.conj_idx >= 0:
             if cl.kind == "sub" and anns[cl.conj_idx].tag != "VG":
                 pass  # wh-headed whsub: whd rel, no cmp/body edges
@@ -1538,7 +1606,12 @@ def parse_sentence(anns: list) -> SentParse:
                         "sv1": "sv1_cnj_cnt"}[clause_cls[ci - 1]]
                 setattr(parse, lkey, getattr(parse, lkey) + 1)
 
-    parse.d_level = _d_level(anns, clauses, rel_after_noun, main_verb_idx,
+    # coordinated rel conjuncts: both bodies count as ssub conjuncts;
+    # the conj node between np and rel blocks the D-level-6 su-rel probe
+    parse.ssub_cnj_cnt += 2 * len(relconj_crd)
+    ladder_rels = [(nn, pp) for (nn, pp) in rel_after_noun
+                   if pp not in conj_rel_prons]
+    parse.d_level = _d_level(anns, clauses, ladder_rels, main_verb_idx,
                              puncts, main_su)
     parse.d_level_gt4 = 1 if parse.d_level > 4 else 0
     return parse

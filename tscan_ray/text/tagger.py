@@ -1001,6 +1001,7 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
 
     # anything still undecided -> noun; plural-shaped unknowns get the
     # plural lemma/morphemes (Frog's N(soort,mv) reading)
+    lowers = [t.lower() for t in tokens]
     for i, d in enumerate(ds):
         if d.info is None and not d.punct and not d.is_name:
             lword = tokens[i].lower()
@@ -1026,6 +1027,20 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
             if aci:
                 stem = _verb_stem(lword)
                 d.info = _pi("WW", lword, (stem, "en"), wvorm="inf")
+            elif (lword.endswith(("de", "te")) and len(lword) > 6
+                    and next((p for p in ("be", "ver", "ont", "her")
+                              if lword.startswith(p)
+                              and len(lword) > len(p) + 4), None)
+                    and not _np_prev(ds, lowers, i)
+                    and _prev_tag(ds, i) not in ("LID", "ADJ")):
+                # unknown inseparable-prefix -de/-te form after a non-NP
+                # context is a past finite ("die mij BESPUUGDE",
+                # reference tests/smallconjuncts s27)
+                g = _finite_guess(lword)
+                if g is not None:
+                    d.info = g
+                else:
+                    d.info = _pi("N", lword)
             elif lword.endswith(("en", "s")) and len(lword) > 4 \
                     and _prev_tag(ds, i) in ("LID", "VNW", "ADJ", "TW"):
                 lemma, morphs = _noun_lemma(lword)
@@ -2465,6 +2480,15 @@ def _context_passes(tokens, ds, lex, n):
             # extraposed relative after the verb cluster ("stenen te
             # vervoeren DIE soms wel 20.000 kilo wegen", reference
             # tests/d6 s4: Frog VNW(betr) conf 0.84)
+            d.info = _pi("VNW", lw, vwtype="betr")
+            continue
+        if (lw == "die" and pv == "VG" and nx >= 0
+                and any(lowers[j] == "die" and ds[j].info is not None
+                        and ds[j].info.tag == "VNW"
+                        and ds[j].info.feat("vwtype") == "betr"
+                        for j in range(i))):
+            # coordinated relative: "die mij sloeg en DIE mij
+            # bespuugde" (reference tests/smallconjuncts s27)
             d.info = _pi("VNW", lw, vwtype="betr")
             continue
         if pv in ("N", "SPEC"):

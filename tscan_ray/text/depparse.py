@@ -820,6 +820,21 @@ def parse_sentence(anns: list) -> SentParse:
             parse.small_cnj_cnt += 2
             parse.small_cnj_extra_cnt += 1
             continue
+        if lnb >= 0 and anns[lnb].tag == "WW" \
+                and anns[lnb].prop in ("ISVD", "ISINF"):
+            # VP coordination under a shared aux ("... gewandeld EN
+            # het stadje verkend", smallconjuncts s16): the crd edges
+            # run to the two VP-head participles
+            rww = next((k for k in range(cj + 1, n)
+                        if k not in puncts and anns[k].tag == "WW"
+                        and anns[k].prop in ("ISVD", "ISINF")), -1)
+            if rww >= 0 and not any(
+                    _is_finite(anns[k]) for k in range(cj + 1, rww)):
+                _store(parse, "CRD_CNJ", cj, lnb, puncts)
+                _store(parse, "CRD_CNJ", cj, rww, puncts)
+                parse.small_cnj_cnt += 2
+                parse.small_cnj_extra_cnt += 1
+                continue
         left = next((i for i in range(cj - 1, -1, -1)
                      if i not in puncts and _is_nounish(anns[i])), -1)
         right = next((i for i in range(cj + 1, n)
@@ -1075,6 +1090,8 @@ def parse_sentence(anns: list) -> SentParse:
         # (content verb), vc aux -> participle (reference tests/depdist17,
         # 22: "heeft ... gezien", "is ... gegaan")
         content = verb
+        vp_conj_bound = -1   # VG joining coordinated VP conjuncts
+        vp_conj_verb = -1    # head participle of the right conjunct
         if finites and anns[verb].wwform in _AUX_WWFORMS:
             parts = [w for w in verbs if w > verb and anns[w].prop == "ISVD"]
             if not parts:
@@ -1082,7 +1099,19 @@ def parse_sentence(anns: list) -> SentParse:
                 # BEFORE the finite aux ("omdat ik hem gevraagd had")
                 parts = [w for w in verbs if w < verb
                          and anns[w].prop == "ISVD"]
-            if parts:
+            if len(parts) >= 2:
+                # VP coordination under one aux ("hebben ... GEWANDELD
+                # en het stadje VERKEND", reference smallconjuncts
+                # s16): the first participle is the shared cluster's
+                # content; the right one heads its own VP conjunct
+                pvg = next((k for k in range(parts[0] + 1, parts[-1])
+                            if anns[k].tag == "VG"), -1)
+                if pvg >= 0:
+                    content = parts[0]
+                    vp_conj_bound, vp_conj_verb = pvg, parts[-1]
+                else:
+                    content = parts[-1]
+            elif parts:
                 content = parts[-1]
         elif finites and anns[verb].wwform == "MODAL_VERB":
             # modal + infinitive cluster: arguments/modifiers hang under
@@ -1199,6 +1228,16 @@ def parse_sentence(anns: list) -> SentParse:
         else:
             for w in verbs:
                 if w != verb and anns[w].prop in _NONFINITE_PROPS:
+                    if w == vp_conj_verb:
+                        # coordinated VP conjunct: its head hangs under
+                        # the conj node, not the aux's vc (the crd edges
+                        # come from the conj scan); its coindexed su ref
+                        # still fires (reference smallconjuncts s16:
+                        # su we->verkend 9, vc hebben->gewandeld only)
+                        if su >= 0:
+                            _store(parse, "SUB_VERB", w,
+                                   np_start.get(su, su), puncts)
+                        continue
                     _store(parse, "VERB_VC", verb, w, puncts)
 
         # conjunction edges: comp -> body plus matrix verb -> subordinator
@@ -1304,6 +1343,12 @@ def parse_sentence(anns: list) -> SentParse:
             b = anns[j]
             if j in mwu:
                 continue  # inside a lexicalized MWU ("af en toe")
+            # VP coordination: material after the coordinator hangs
+            # under the right conjunct's participle, not the shared
+            # cluster ("en het stadje VERKEND", smallconjuncts s16)
+            sc_tgt = (vp_conj_verb
+                      if vp_conj_bound >= 0 and j > vp_conj_bound
+                      else content)
             if b.tag == "VZ":
                 if b.lword == "te":
                     continue  # infinitive marker, not a preposition
@@ -1319,7 +1364,7 @@ def parse_sentence(anns: list) -> SentParse:
                         pj -= 1
                     after_part = pj >= 0 and anns[pj].tag == "VZ"
                     if pj < 0 or anns[pj].tag != "ADJ":
-                        _store(parse, "VERB_COMP", content, j, puncts)
+                        _store(parse, "VERB_COMP", sc_tgt, j, puncts)
                     k = j + 1
                     while k < cl.end and anns[k].tag not in ("VZ", "WW"):
                         if _is_nounish(anns[k]) or anns[k].tag == "VNW" \
@@ -1342,11 +1387,11 @@ def parse_sentence(anns: list) -> SentParse:
                     # separable particle (Alpino rel=svp): the clause
                     # verb's own particle with no complement of its own
                     # ("at ... op", reference tests/depdist15: verb_svp 3)
-                    _store(parse, "VERB_SVP", content, j, puncts)
+                    _store(parse, "VERB_SVP", sc_tgt, j, puncts)
                     continue
                 if j in np_pp_attached:
                     continue
-                _store(parse, "VERB_PP", content, j, puncts)
+                _store(parse, "VERB_PP", sc_tgt, j, puncts)
                 parse.vc_mod_cnt += 1  # adverbial PP (getAdverbialNodes)
                 # object of the preposition (head NP; skip its run)
                 obj = _pp_object(anns, j, cl.end, puncts)
@@ -1363,7 +1408,7 @@ def parse_sentence(anns: list) -> SentParse:
                         == b.lword + anns[verb].lemma):
                     # noun-shaped separable particle ("Ik NEEM ... DEEL",
                     # deelnemen — reference tests/svp: verb_svp 3)
-                    _store(parse, "VERB_SVP", content, j, puncts)
+                    _store(parse, "VERB_SVP", sc_tgt, j, puncts)
                     continue
                 if j <= in_pp_until or j in pp_objects:
                     continue
@@ -1372,7 +1417,7 @@ def parse_sentence(anns: list) -> SentParse:
                     # bare temporal-noun adjunct, not an object ("Hij
                     # LEEST al jaren niet meer": verb_noun 1, obj NA —
                     # reference tests/mod_adv s3 / noun-adv)
-                    _store(parse, "VERB_NOUN", content, j, puncts)
+                    _store(parse, "VERB_NOUN", sc_tgt, j, puncts)
                     continue
                 # a noun directly continuing an NP run is not a new object
                 # head ("een bakje koffie" -> one object, depdist4)
@@ -1438,7 +1483,7 @@ def parse_sentence(anns: list) -> SentParse:
                     continue  # half of a split pronominal adverb
                     # ("besteedt DAAR aandacht aan": daar+aan = eraan,
                     # no separate adverb edge — reference tests/afk)
-                _store(parse, "VERB_MOD_BW", content, j, puncts)
+                _store(parse, "VERB_MOD_BW", sc_tgt, j, puncts)
                 parse.vc_mod_cnt += 1
                 if b.adverb_type == "GENERAL":
                     parse.vc_mod_single_cnt += 1
@@ -1459,10 +1504,10 @@ def parse_sentence(anns: list) -> SentParse:
                     if (b.intensify_type != "BVBW"
                             and b.lword not in ("vrij", "erg", "heel",
                                                 "zeer", "nogal")):
-                        _store(parse, "VERB_MOD_A", content, j, puncts)
+                        _store(parse, "VERB_MOD_A", sc_tgt, j, puncts)
                 else:
                     _store(parse, "VERB_PREDC_A" if (is_copula or is_passive) else "VERB_MOD_A",
-                           content, j, puncts)
+                           sc_tgt, j, puncts)
 
         # nominal coordination in the object field is ONE argument: the
         # reference resolves the conj node to its first cnj ("Ik zie Jan
@@ -1510,7 +1555,12 @@ def parse_sentence(anns: list) -> SentParse:
                 _store(parse, "VERB_PREDC_N", content, obj_cands[0], puncts)
             elif len(obj_cands) == 1:
                 obj1_tgt = obj_cands[0]
-                if obj_group is not None and obj_group[0] == obj1_tgt:
+                if vp_conj_bound >= 0 and obj1_tgt > vp_conj_bound:
+                    # object inside the right VP conjunct ("het stadje
+                    # VERKEND": obj1 verkend->stadje, s16)
+                    _store(parse, "OBJ1_VERB", vp_conj_verb, obj1_tgt,
+                           puncts)
+                elif obj_group is not None and obj_group[0] == obj1_tgt:
                     # coordinated object: hd of the first phrasal cnj
                     # plus the first cnj node's begin (tests/
                     # smallconjuncts s5: obj1_verb [5,6])

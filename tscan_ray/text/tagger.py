@@ -850,6 +850,18 @@ def _guess_open(lword: str, lex: Lexicons) -> PosInfo | None:
         return _pi("WW", lword[:-2], (lword[:-1], "e"), wvorm="od",
                    positie="prenom")
     if lword.endswith("end") and len(lword) > 5:
+        # inseparable-prefix vd that merely LOOKS like an -end present
+        # participle: "verkend" = vd of verkennen, not od of *verken —
+        # a vowelless remainder between prefix and "end" rules od out
+        # (Frog: WW(vd,vrij), lemma verkennen, MBMA [verk][end])
+        pre = next((p for p in ("ver", "be", "ont", "her", "ge")
+                    if lword.startswith(p)), None)
+        if pre and lword[len(pre):-3] \
+                and not any(v in lword[len(pre):-3] for v in "aeiouy"):
+            stem = lword[len(pre):-1]
+            lemma = pre + _finite_lemma(stem, 0)[0]
+            return _pi("WW", lemma, (lword[:-3], "end"), wvorm="vd",
+                       positie="vrij")
         return _pi("WW", lword[:-1], (lword,), wvorm="od", positie="vrij")
 
     # noun derivational suffixes
@@ -1563,9 +1575,20 @@ def _context_passes(tokens, ds, lex, n):
             if (nxt is not None and nxt.info is not None
                     and nxt.info.tag == "WW"
                     and nxt.info.feat("wvorm") == "pv"):
-                d.info = _pi("BW", "toen")
-            else:
+                d.info = _pi("BW", "toen")  # inversion: "Toen zei hij"
+            elif any(not ds[j].punct and ds[j].info is not None
+                     and ds[j].info.tag == "WW"
+                     and ds[j].info.feat("wvorm") == "pv"
+                     for j in range(i + 1, next(
+                         (k for k in range(i + 1, n)
+                          if ds[k].punct and lowers[k] in (",", ";")),
+                         n))):
+                # verb-final subordinate: "toen het 18 april was"
                 d.info = _pi("VG", "toen", conjtype="onder")
+            else:
+                # temporal adverb mid-clause: "We hebben TOEN langs
+                # het strand gewandeld" (reference smallconjuncts s16)
+                d.info = _pi("BW", "toen")
 
     # -- nominalized infinitives after a determiner: Frog's lexicon
     # keeps these verbal ("het BESTAAN als jager", "de DODEN", "het

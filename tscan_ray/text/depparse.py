@@ -201,6 +201,9 @@ def _pp_object(anns: list, i: int, end: int, puncts: set[int]) -> int:
             return -1
         if a.tag in ("VZ", "WW"):
             return -1
+        if a.tag == "BW" and a.lword in ("hoe", "waarom", "wanneer"):
+            return -1  # prepositional WH-clause ("over hoe hij won"):
+            # the complement is a clause, not a nominal object
         if _is_nounish(a):
             return k
         if a.tag == "TW" and a.lword.endswith("en"):
@@ -273,6 +276,19 @@ def _split_clauses(anns: list) -> list[Clause]:
             if i > start:
                 clauses.append(Clause(start, i, kind, conj))
             kind = "sub" if a.conjtype == "onder" else "coord"
+            conj = i
+            start = i + 1
+            seen_finite = False
+        elif (a.tag in ("BW", "VNW") and i > start
+              and a.lword in ("hoe", "waarom", "wanneer")
+              and anns[i - 1].tag == "VZ"
+              and any(_is_finite(anns[j])
+                      for j in range(i + 1, len(anns)))):
+            # prepositional WH-clause complement ("verhalen over HOE
+            # hij won"): the wh word heads an embedded whsub
+            # (reference tests/relativeclauses s16: ssub + compl)
+            clauses.append(Clause(start, i, kind, conj))
+            kind = "sub"
             conj = i
             start = i + 1
             seen_finite = False
@@ -664,8 +680,11 @@ def parse_sentence(anns: list) -> SentParse:
             while j < n:
                 b = anns[j]
                 if (b.tag == "LID" or j in poss_det
-                        or (b.tag == "VNW" and b.lword in _DET_PRONOUNS)) \
+                        or (b.tag == "VNW" and b.lword in _DET_PRONOUNS)
+                        or (b.tag == "ADJ" and b.lword == "allerlei")) \
                         and not saw_noun and det_idx < 0 and size == 0:
+                    # "allerlei" is rel=det in Alpino ("ALLERLEI
+                    # verhalen", reference tests/relativeclauses s16)
                     det_idx = j
                 elif (b.tag == "ADJ" or (
                         b.tag == "WW" and b.prop in ("ISVD", "ISOD")
@@ -770,6 +789,19 @@ def parse_sentence(anns: list) -> SentParse:
                     _store(parse, "PREP_OBJ1", i, obj, puncts)
             continue
         if prev < 0 or not _is_nounish(anns[prev]):
+            continue
+        wh_next = next((x for x in range(i + 1, n)
+                        if x not in puncts), -1)
+        if (wh_next >= 0 and anns[wh_next].tag in ("BW", "VNW")
+                and anns[wh_next].lword in ("hoe", "waarom", "wanneer",
+                                            "wie", "wat")
+                and any(_is_finite(anns[k])
+                        for k in range(wh_next + 1, n))):
+            # prepositional WH-clause complement modifying the noun
+            # ("verhalen OVER hoe hij won", reference
+            # tests/relativeclauses s16: np_mod, no prep_obj1 edge)
+            np_pp_attached.add(i)
+            parse.np_mod_cnt += 1
             continue
         if _has_np_complement(anns, i, n, puncts):
             # a real NP-attached PP is rel=mod under the NP node
@@ -1099,6 +1131,15 @@ def parse_sentence(anns: list) -> SentParse:
                 # BEFORE the finite aux ("omdat ik hem gevraagd had")
                 parts = [w for w in verbs if w < verb
                          and anns[w].prop == "ISVD"]
+            if not parts and anns[verb].lemma == "zullen":
+                # zullen's complement is an infinitive cluster: the
+                # bare infinitive is the content verb ("er een einde
+                # aan ZOU KOMEN", reference tests/relativeclauses s15:
+                # verb_pp aan->komen, coindexed su at the np start)
+                parts = [w for w in verbs if w != verb
+                         and anns[w].prop == "ISINF"
+                         and anns[w].lemma not in ("worden", "zijn",
+                                                   "hebben")]
             if len(parts) >= 2:
                 # VP coordination under one aux ("hebben ... GEWANDELD
                 # en het stadje VERKEND", reference smallconjuncts
@@ -1323,6 +1364,16 @@ def parse_sentence(anns: list) -> SentParse:
                 parse.vc_mod_cnt += 1
                 _store(parse, "PREP_OBJ1", p, obj, puncts)
 
+        if (cl.kind not in ("sub", "rel") and idxs and verb >= 0
+                and idxs[0] != su and anns[idxs[0]].lword in (
+                    "er", "daar", "hier")
+                and anns[idxs[0]].tag in ("VNW", "BW")
+                and next((k for k in idxs if k > idxs[0]), -1) == verb):
+            # existential/locative R-pronoun topic ("ER zijn allerlei
+            # verhalen", reference tests/relativeclauses s16:
+            # verb_bw_mod 0) — attaches like an adverb
+            _store(parse, "VERB_MOD_BW", content, idxs[0], puncts)
+            parse.vc_mod_cnt += 1
         if cl.kind not in ("sub", "rel"):
             for p in idxs:
                 if p >= verb:
@@ -1732,6 +1783,14 @@ def _d_level(
             return 3
     for a in anns:
         if a.tag == "VG" and a.conjtype == "onder" and a.lword == "dat":
+            return 3
+    # embedded WH-clause complement = rel=vc cat=whsub in the tree
+    # ("verhalen over HOE hij won", reference src/Alpino.cxx:482)
+    for i, a in enumerate(anns):
+        if (a.tag == "BW" and a.lword in ("hoe", "waarom", "wanneer")
+                and i >= 1 and anns[i - 1].tag == "VZ"
+                and any(_is_finite(anns[j])
+                        for j in range(i + 1, len(anns)))):
             return 3
 
     # level 2: coordination

@@ -1750,6 +1750,9 @@ def _context_passes(tokens, ds, lex, n):
                      # ("de houten punten"); a bare adverbial adjective
                      # does not ("gezellig zitten", "hardnekkig geloven")
                      or (pv == "ADJ" and _np_prev(ds, lowers, i))
+                     # invariant quantifier = determiner ("er zijn
+                     # ALLERLEI verhalen", tests/relativeclauses s16)
+                     or prev_lw in ("allerlei", "genoeg", "voldoende")
                      or pv == "TW"
                      # bare "met/zonder punten": nominal, infinitives
                      # under a preposition need "te"
@@ -2542,6 +2545,42 @@ def _context_passes(tokens, ds, lex, n):
                 d.info = _pi("VNW", lw, vwtype="betr")
         elif d.info is None or d.info.tag != "VG":
             d.info = _pi("VNW", lw, vwtype="aanw")
+
+    # -- passive "worden" demands a participle: "werd niet BEWAARHEID"
+    # — a span-final noun-read token ending -d/-t after a worden-finite
+    # with only adverbs between flips to WW(vd) (Frog: lemma = surface
+    # + en, reference tests/relativeclauses s15) -------------------------
+    for i, d in enumerate(ds):
+        if d.punct or d.info is None or d.info.tag != "WW" \
+                or d.info.feat("wvorm") != "pv" \
+                or d.info.lemma != "worden":
+            continue
+        cand = -1
+        ok_run = True
+        for j in range(i + 1, n):
+            dj = ds[j]
+            if dj.punct:
+                if lowers[j] in (",", ";", ":", ".", "!", "?"):
+                    break
+                continue
+            if dj.is_name or dj.info is None:
+                ok_run = False
+                break
+            if dj.info.tag == "BW":
+                continue
+            if dj.info.tag == "N" and lowers[j][-1] in "dt" \
+                    and len(lowers[j]) > 5:
+                if cand >= 0:
+                    ok_run = False
+                    break
+                cand = j
+                continue
+            ok_run = False
+            break
+        if ok_run and cand >= 0:
+            lwc = lowers[cand]
+            ds[cand].info = _pi("WW", lwc + "en",
+                                ds[cand].info.morphemes, wvorm="vd")
 
     # -- extraposed betr-"die" span ("die soms wel 20.000 kilo WEGEN ,
     # is ..."): the relative body is verb-final; when it holds no verb,

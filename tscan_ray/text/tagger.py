@@ -383,10 +383,18 @@ _WW_MORPH_EXC = {
 def _split_stem(stem: str) -> tuple[str, ...]:
     """Derivational-prefix split inside the stem (Frog: "betekent" ->
     (be, teken, t), "verspillen" -> (ver, spil, en)); ge- initial
-    lemmas stay whole ("gebruikt" -> (gebruik, t))."""
+    lemmas stay whole ("gebruikt" -> (gebruik, t)).  Particle prefixes
+    split too — MBMA is purely morphological and divides separable AND
+    inseparable compositions alike ("opknapt" -> op+knap+t,
+    "onderzoekers" -> onder+zoek+er+s, reference tests/npmod s44)."""
     for pre in ("ver", "be", "ont", "her"):
         if stem.startswith(pre) and len(stem) > len(pre) + 2:
             return (pre, stem[len(pre):])
+    for pre in sorted(_PARTICLES, key=len, reverse=True):
+        rest = stem[len(pre):]
+        if stem.startswith(pre) and len(rest) >= 3 \
+                and any(v in rest for v in "aeiouy"):
+            return (pre,) + _split_stem(rest)
     return (stem,)
 
 
@@ -2519,6 +2527,22 @@ def _context_passes(tokens, ds, lex, n):
             continue
         if pv in ("N", "SPEC"):
             if lw == "dat":
+                # a DE-word or plural antecedent takes "die" as its
+                # relative, so "dat" after it can only be the
+                # complementizer ("De verwachting DAT hij ... opknapt",
+                # reference tests/npmod s44)
+                pn = next((j for j in range(i - 1, -1, -1)
+                           if not ds[j].punct), -1)
+                det = next((j for j in range(pn - 1, max(-1, pn - 4),
+                                             -1)
+                            if not ds[j].punct and ds[j].info is not None
+                            and ds[j].info.tag == "LID"), -1)
+                if (det >= 0 and lowers[det] == "de") or (
+                        pn >= 0 and lowers[pn].endswith(("en", "s"))
+                        and ds[pn].info is not None
+                        and ds[pn].info.lemma != lowers[pn]):
+                    d.info = _pi("VG", "dat", conjtype="onder")
+                    continue
                 # saturated embedded clause -> complementizer; else the
                 # reference's Frog run keeps aanw,pron (cp vs rel is the
                 # parser's job — see features dat-pass provenance)

@@ -855,8 +855,16 @@ def _guess_open(lword: str, lex: Lexicons) -> PosInfo | None:
     # present participle -end(e): CGN tags these WW(od); the lemma is
     # simply the form minus d(e) — "lopende" -> lopen, no stem rebuild
     if lword.endswith("ende") and len(lword) > 6:
-        return _pi("WW", lword[:-2], (lword[:-1], "e"), wvorm="od",
-                   positie="prenom")
+        # MBMA: stem + end + e ("schitterende" -> schitter+end+e,
+        # "toenemende" -> toe+neem+end+e, reference tests/npmod, bug4)
+        stem = lword[:-4]
+        if len(stem) >= 2 and stem[-1] == stem[-2] \
+                and stem[-1] not in "aeiou":
+            stem = stem[:-1]  # vallende -> val (short vowel)
+        else:
+            stem = _redouble(stem)  # toenemende -> toeneem
+        return _pi("WW", lword[:-2], _split_stem(stem) + ("end", "e"),
+                   wvorm="od", positie="prenom")
     if lword.endswith("end") and len(lword) > 5:
         # inseparable-prefix vd that merely LOOKS like an -end present
         # participle: "verkend" = vd of verkennen, not od of *verken —
@@ -1082,8 +1090,20 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
             wv = info.feat("wvorm")
             lwi = tokens[i].lower()
             if wv == "od":
-                # present participle: (infinitive-d[, e])
-                new = (lwi[:-1], "e") if lwi.endswith("e") else (lwi,)
+                # present participle, MBMA: stem + end(+e)
+                # ("schitterende" -> schitter+end+e, tests/npmod s28)
+                if lwi.endswith("ende") and len(lwi) > 6:
+                    st = lwi[:-4]
+                    if len(st) >= 2 and st[-1] == st[-2] \
+                            and st[-1] not in "aeiou":
+                        st = st[:-1]
+                    else:
+                        st = _redouble(st)
+                    new = _split_stem(st) + ("end", "e")
+                elif lwi.endswith("e"):
+                    new = (lwi[:-1], "e")
+                else:
+                    new = (lwi,)
             elif wv == "vd" and lwi.startswith("ge") \
                     and lwi.endswith(("de", "te")):
                 new = ("ge", lwi[2:-2], lwi[-2:])  # geasfalteer-de
@@ -1386,6 +1406,10 @@ def _np_prev(ds, lowers, i) -> bool:
                     and lowers[j] not in ("er", "hier", "daar", "waar"))
         if t == "ADJ" and lowers[j].endswith(("e", "en")):
             continue  # look through prenominal adjectives
+        if t == "WW" and d.info.feat("wvorm") in ("od", "vd") \
+                and lowers[j].endswith("e"):
+            continue  # prenominal participle ("deze SCHITTERENDE
+            # sonate", reference tests/npmod s28)
         return False
     return False
 
@@ -2173,7 +2197,8 @@ def _context_passes(tokens, ds, lex, n):
                 or (ds[nx2].info is not None
                     and ds[nx2].info.tag in ("N", "LID")))
             v2_ok = seen_subject or subj_after
-            if lw.endswith(("de", "te")) and len(lw) > 4 and v2_ok:
+            if lw.endswith(("de", "te")) and len(lw) > 4 and v2_ok \
+                    and not _np_prev(ds, lowers, i):
                 lemma, morphs = _finite_lemma(lw, 2)
                 d.info = _pi("WW", lemma, morphs, wvorm="pv",
                              pvtijd="verl")

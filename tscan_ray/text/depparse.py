@@ -279,6 +279,16 @@ def _split_clauses(anns: list) -> list[Clause]:
             conj = i
             start = i + 1
             seen_finite = False
+        elif a.word in ("(", ")"):
+            # parentheticals are their own clause spans ("een ( hoe
+            # kan het ook anders ) zwart mutsje", reference
+            # tests/flair1 s20: the aside is an sv1 clause)
+            if i > start:
+                clauses.append(Clause(start, i, kind, conj))
+            kind = "main"
+            conj = -1
+            start = i + 1
+            seen_finite = False
         elif (a.tag in ("BW", "VNW") and i > start
               and a.lword in ("hoe", "waarom", "wanneer")
               and anns[i - 1].tag == "VZ"
@@ -679,6 +689,16 @@ def parse_sentence(anns: list) -> SentParse:
             det_idx = -1
             while j < n:
                 b = anns[j]
+                if b.word == "(" and not saw_noun and det_idx >= 0:
+                    # parenthetical aside inside an NP ("een ( hoe kan
+                    # het ook anders ) zwart mutsje", flair1 s20): skip
+                    # to the closing bracket, the NP continues
+                    close = next((k for k in range(j + 1, n)
+                                  if anns[k].word == ")"), -1)
+                    if close < 0:
+                        break
+                    j = close + 1
+                    continue
                 if (b.tag == "LID" or j in poss_det
                         or (b.tag == "VNW" and b.lword in _DET_PRONOUNS)
                         or (b.tag == "ADJ" and b.lword == "allerlei")) \
@@ -1078,6 +1098,15 @@ def parse_sentence(anns: list) -> SentParse:
                     cls = "sv1"
                     if ci == 0:
                         parse.imperative_idx = finites[0]
+            elif (anns[idxs[0]].tag == "BW"
+                    and anns[idxs[0]].lword in ("hoe", "waarom",
+                                                "wanneer")
+                    and next((k for k in idxs if k > idxs[0]), -1)
+                    == finites[0]):
+                # wh-V2 direct question ("hoe KAN het ook anders"):
+                # Alpino whq brackets an sv1 body (flair1 s20)
+                parse.sv1_cnt += 1
+                cls = "sv1"
             else:
                 parse.smain_cnt += 1
                 cls = "smain"

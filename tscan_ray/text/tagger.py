@@ -970,14 +970,31 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
                       and info.feat("auto") != "1")
         # acronym-prefixed hyphen compound right after an article ("dé
         # HBO-hit"): a determined common noun, not a name (tests/bug5)
+        hyph_prev = i - 1
+        while hyph_prev >= 0 and ds[hyph_prev].info is not None \
+                and ds[hyph_prev].info.tag == "ADJ":
+            hyph_prev -= 1  # "een zwart T-SHIRT": look through ADJs
         hyph_noun = ("-" in tok and tok.split("-", 1)[1][:1].islower()
                      and tok.split("-", 1)[0].isupper()
-                     and i > 0 and ds[i - 1].info is not None
-                     and ds[i - 1].info.tag == "LID")
+                     and hyph_prev >= 0
+                     and ds[hyph_prev].info is not None
+                     and ds[hyph_prev].info.tag == "LID")
         is_name = (tok[0].isupper() and not shouty and not closed_cap
                    and not hyph_noun
                    and (not initial or info is None)
                    and lword not in _SPEC_WORDS)
+        if is_name and initial and info is None and i + 1 < n:
+            # sentence-initial inflected adjective heading an NP is no
+            # name ("LAGE zwarte broek", reference tests/flair1 s20):
+            # the guesser derives an ADJ and an ADJ/N follows
+            g0 = _guess_open(lword, lex)
+            nt = _CLOSED.get(tokens[i + 1].lower())
+            if (g0 is not None and g0.tag == "ADJ"
+                    and lword.endswith("e")
+                    and (nt is None or nt.tag in ("ADJ", "N"))
+                    and tokens[i + 1][:1].islower()):
+                info = g0
+                is_name = False
         if is_name:
             ds.append(Decision(None, is_name=True))
             continue
@@ -1073,6 +1090,10 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
                     and _prev_tag(ds, i) in ("LID", "VNW", "ADJ", "TW"):
                 lemma, morphs = _noun_lemma(lword)
                 d.info = _pi("N", lemma, morphs)
+            elif lword.endswith(("ic", "ish", "ique")):
+                # non-Dutch orthography = foreign word, Frog SPEC(vreemd)
+                # ("cartoon GOTHIC kop", reference tests/flair1 s20)
+                d.info = _pi("SPEC", lword)
             else:
                 d.info = _pi("N", lword)
 
@@ -1109,6 +1130,14 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
                 new = ("ge", lwi[2:-2], lwi[-2:])  # geasfalteer-de
             else:
                 new = _ww_morphemes(lwi, info.lemma)
+        elif info.tag == "N" and len(m) == 2 and info.lemma == m[0] + m[1] \
+                and m[1] in ("je", "tje", "pje", "kje", "etje") \
+                and info.lemma not in ("meisje", "beetje"):
+            # guessed diminutive kept its own lemma ("mutsje" with
+            # morphemes muts+je): Frog lemmatizes to the base noun
+            # (reference tests/flair1 s20)
+            d.info = info = _pi("N", m[0], m)
+            continue
         elif info.tag == "N" and len(m) == 1:
             lw = tokens[i].lower()
             # diminutive lemma recovery (Frog lemmatizes -je forms to
@@ -2513,6 +2542,20 @@ def _context_passes(tokens, ds, lex, n):
                 base = lw[:-3]
                 d.info = _pi("ADJ", base, (base, "er"), graad="comp")
                 continue
+
+    # -- sentence-initial "name" heading an adjective run is itself an
+    # inflected adjective ("LAGE zwarte broek", reference tests/flair1
+    # s20): names don't stack before lowercase prenominal ADJs ----------
+    if n >= 3 and ds[0].is_name and len(tokens[0]) > 3 \
+            and tokens[0][1:].islower() and lowers[0].endswith("e"):
+        nx0 = _next_idx(ds, 0)
+        if (nx0 >= 0 and not ds[nx0].punct and not ds[nx0].is_name
+                and ds[nx0].info is not None
+                and ds[nx0].info.tag == "ADJ"
+                and tokens[nx0][:1].islower()
+                and _nounish_ahead(tokens, ds, nx0, lex)):
+            base = _deinflect_e(lowers[0])
+            ds[0] = Decision(_pi("ADJ", base, (base, "e")))
 
     # -- die/dat: determiner / relative / demonstrative / complementizer
     # (runs AFTER verb recovery so embedded finite verbs are visible)

@@ -1627,10 +1627,26 @@ def _context_passes(tokens, ds, lex, n):
                 d.info = _pi("VNW", "al", vwtype="onbep")
         elif lw == "of":
             # sentence/clause-initial "of" = complementizer ("Of ik
-            # morgen zal slagen is mij niet bekend"); elsewhere the
-            # coordinating reading stands
+            # morgen zal slagen is mij niet bekend") — but V2 order
+            # right after ("OF misschien heeft ze ...", reference
+            # tests/bug4 s19) keeps the coordinating reading; elsewhere
+            # the coordinating reading stands
             if i == 0 or ds[i - 1].punct:
-                d.info = _pi("VG", "of", conjtype="onder")
+                v2 = False
+                seen_tok = 0
+                for j in range(i + 1, n):
+                    if ds[j].punct:
+                        break
+                    dj = ds[j].info
+                    if dj is not None and dj.tag == "WW" \
+                            and dj.feat("wvorm") == "pv":
+                        v2 = seen_tok <= 1
+                        break
+                    seen_tok += 1
+                    if seen_tok > 2:
+                        break
+                if not v2:
+                    d.info = _pi("VG", "of", conjtype="onder")
         elif lw == "toen":
             nxt = ds[nx] if nx >= 0 else None
             if (nxt is not None and nxt.info is not None
@@ -1909,6 +1925,28 @@ def _context_passes(tokens, ds, lex, n):
         aux_before = any(
             not dj.punct and dj.info is not None and dj.info.tag == "WW"
             and dj.info.feat("wvorm") == "pv" for dj in ds[:i])
+        # V1 inversion after a coordinator whose left conjunct already
+        # consumed the aux ("heeft ... gemaakt en BETEKENT die
+        # wintersport dat ...", reference tests/bug4 s19): the -t form
+        # is the right conjunct's inverted finite, not a participle
+        vg = next((j for j in range(i - 1, -1, -1)
+                   if ds[j].info is not None and ds[j].info.tag == "VG"
+                   and ds[j].info.feat("conjtype") == "neven"), -1)
+        if vg >= 0 and lw.endswith("t"):
+            vd_before = any(
+                not ds[j].punct and ds[j].info is not None
+                and ds[j].info.tag == "WW"
+                and ds[j].info.feat("wvorm") == "vd"
+                for j in range(vg))
+            nx1 = _next_idx(ds, i)
+            subj_next = nx1 >= 0 and (ds[nx1].is_name or (
+                ds[nx1].info is not None
+                and ds[nx1].info.tag in ("N", "LID", "VNW")))
+            if vd_before and subj_next:
+                g = _finite_guess(lw)
+                if g is not None:
+                    d.info = g
+                    continue
         if aux_before and _prev_tag(ds, i) != "VZ":
             pre = next(p for p in ("ge", "ver", "be", "ont", "her")
                        if lw.startswith(p))

@@ -2231,6 +2231,24 @@ def _context_passes(tokens, ds, lex, n):
                         and ds[nxh].info.tag in ("LID", "VNW", "N"))):
                     d.info = _CLOSED[lowers[i]]
                     break
+            if (d.info is not None and d.info.tag == "WW"
+                    and d.info.feat("wvorm") == "inf"
+                    and lowers[i].endswith("en")
+                    and (i == 0 or lowers[i - 1] != "te")
+                    and all(ds[j].punct or (ds[j].info is not None
+                                            and ds[j].info.tag == "BW")
+                            for j in range(head, i))):
+                # fronted adverbial + -en verb + plural nominative
+                # subject = V2 inversion, finite present plural ("Dus
+                # ontwikkelen ze ...", reference tests/bug5 s14) — the
+                # bare-infinitive lexicon reading loses to inversion
+                nxv = _next_idx(ds, i)
+                if i > head and nxv >= 0 and lowers[nxv] in (
+                        "we", "wij", "ze", "zij", "jullie"):
+                    stem = _verb_stem(lowers[i])
+                    d.info = _pi("WW", lowers[i], (stem, "en"),
+                                 wvorm="pv", pvtijd="tgw")
+                    break
             if d.is_name or (d.info is not None and not auto_n):
                 continue
             lw = lowers[i]

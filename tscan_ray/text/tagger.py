@@ -516,7 +516,10 @@ _ABLAUT_VD = {
     "grepen": "grijpen", "knepen": "knijpen", "slopen": "sluipen",
     "schenen": "schijnen", "verdwenen": "verdwijnen",
     "bewezen": "bewijzen", "prezen": "prijzen", "rezen": "rijzen",
-    "smeten": "smijten", "spleten": "splijten", "beten": "bijten"}
+    "smeten": "smijten", "spleten": "splijten", "beten": "bijten",
+    # prefixed strong participle listed verbatim (matched full-word,
+    # not via the ge- circumfix): "ligt verscholen" (tests/d6, dlevel6)
+    "verscholen": "verschuilen"}
 
 
 # common SINGULAR nouns ending in -en (not plurals/nominalizations:
@@ -826,6 +829,14 @@ def _guess_open(lword: str, lex: Lexicons) -> PosInfo | None:
                 return _pi("WW", lword, (part, rest), wvorm="inf")
     if lword in lex.adj_sem:
         return _pi("ADJ", lword)
+    # substantivized -ig adjective plural ("de aanwezigen" -> ADJ,
+    # lemma aanwezig, reference tests/dlevel4) — beats the noun-semtype
+    # lexicon (which lists the plural as a noun; Frog still tags ADJ).
+    # The consonant guard keeps -uigen verbs/nouns (zuigen, getuigen)
+    # out.
+    if (lword.endswith("igen") and len(lword) > 6
+            and lword[-5] not in "aeiouy"):
+        return _pi("ADJ", lword[:-2], (lword[:-2], "en"))
     if lword in lex.noun_sem:
         return _pi("N", lword)
     if lword in lex.adverbs:
@@ -932,6 +943,12 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
             part = _guess_participle(lword, lex)
             if part is not None:
                 info = part
+            elif (info.tag == "N" and lword.endswith("igen")
+                    and len(lword) > 6 and lword[-5] not in "aeiouy"):
+                # substantivized -ig adjective plural: the noun-semtype
+                # list knows "aanwezigen" but Frog tags ADJ with the
+                # -ig lemma ("geen van de aanwezigen", tests/dlevel4)
+                info = _pi("ADJ", lword[:-2], (lword[:-2], "en"))
         # curated ADJ entries whose lemma is a verb infinitive are
         # lexicalized participles ("geasfalteerde" -> asfalteren): Frog
         # tags the token WW(vd/od), the hidden-adj rule keeps the semtype
@@ -1851,9 +1868,13 @@ def _context_passes(tokens, ds, lex, n):
                 d.info = _pi("N", lemma, morphs)
                 continue
         # bare auto-ADJ right after a determiner with no NP head ahead:
-        # substantivized/plural noun reading ("de stenen waren ...")
+        # substantivized/plural noun reading ("de stenen waren ...") —
+        # except -igen substantivized adjectives, which Frog keeps ADJ
+        # ("geen van de aanwezigen", reference tests/dlevel4)
         if (d.info.tag == "ADJ" and d.info.feat("auto") == "1"
-                and pv in ("LID", "VNW") and lw.endswith("en")):
+                and pv in ("LID", "VNW") and lw.endswith("en")
+                and not (lw.endswith("igen") and len(lw) > 6
+                         and lw[-5] not in "aeiouy")):
             nx2 = _next_idx(ds, i)
             if nx2 < 0 or not _nounish_ahead(tokens, ds, nx2, lex):
                 lemma, morphs = _noun_lemma(lw)

@@ -949,6 +949,18 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
                 # list knows "aanwezigen" but Frog tags ADJ with the
                 # -ig lemma ("geen van de aanwezigen", tests/dlevel4)
                 info = _pi("ADJ", lword[:-2], (lword[:-2], "en"))
+            elif (info.tag == "N" and lword.endswith("ende")
+                    and len(lword) > 6):
+                # nominalized present participle the noun-semtype list
+                # carries whole: Frog keeps WW(od) with the verb lemma
+                # ("al het voorgaande", reference tests/bug5 s6)
+                stem = lword[:-4]
+                stem = stem[:-1] if (len(stem) >= 2 and stem[-1] ==
+                                     stem[-2] and stem[-1] not in
+                                     "aeiou") else _redouble(stem)
+                info = _pi("WW", lword[:-2],
+                           _split_stem(stem) + ("end", "e"),
+                           wvorm="od", positie="nom")
         # curated ADJ entries whose lemma is a verb infinitive are
         # lexicalized participles ("geasfalteerde" -> asfalteren): Frog
         # tags the token WW(vd/od), the hidden-adj rule keeps the semtype
@@ -1193,7 +1205,7 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
                 stem_parts = ((pre, sat[len(pre):], head) if pre
                               else (sat, head))  # (satellite, head)
             if lw != info.lemma and lw.endswith(("en", "s")) \
-                    and len(lw) > 4:
+                    and len(lw) > 4 and lw not in _EN_SINGULAR_NOUNS:
                 # real plural: (lemma-stem[, compound-split], plural sfx)
                 sfx = "en" if lw.endswith("en") else "s"
                 new = (stem_parts or (info.lemma,)) + (sfx,)
@@ -1224,11 +1236,23 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
                 continue
             elif (lw.endswith("en") and len(lw) > 4
                   and lw not in lex.noun_sem
+                  and lw not in _EN_SINGULAR_NOUNS
                   and _noun_lemma(lw)[0] in lex.noun_sem):
                 # plural of a known noun — but lexicalized -en nouns
-                # ("jongen", "keuken") stay whole
+                # ("jongen", "keuken") stay whole.  The singular's
+                # compound split carries into the plural's morphemes
+                # ([spaar][punt][en], reference tests/bug4)
                 lemma = _noun_lemma(lw)[0]
-                d.info = info = _pi("N", lemma, (lemma, "en"))
+                comp2 = lex.compounds.get(lemma)
+                if comp2 is not None and comp2[2] >= 2 and comp2[1] \
+                        and comp2[1] != "schoon":
+                    head2, sat2 = comp2[0], comp2[1]
+                    if sat2.endswith("en") and lemma.endswith(head2) \
+                            and len(lemma) > len(head2):
+                        sat2 = lemma[: -len(head2)]
+                    d.info = info = _pi("N", lemma, (sat2, head2, "en"))
+                else:
+                    d.info = info = _pi("N", lemma, (lemma, "en"))
                 continue
             elif (lw.endswith("s") and len(lw) > 4
                   and lw[:-1] in lex.noun_sem):

@@ -1575,6 +1575,21 @@ _ENGLISH_CUES = frozenset({
     "on", "to", "are"})
 
 
+
+def _seg_start(ds, lowers, i) -> int:
+    """Start of the clause segment containing i: just after the nearest
+    preceding comma/semicolon/colon or subordinating conjunction.  Verb
+    clusters are segment-local — a finite verb in an earlier clause is
+    no auxiliary for position i ("Ze hebben ... , omdat deze boeren
+    geen schrift KENDEN", reference tests/d5 s1)."""
+    for j in range(i - 1, -1, -1):
+        if ds[j].punct and lowers[j] in (",", ";", ":", "(", ")"):
+            return j + 1
+        if (ds[j].info is not None and ds[j].info.tag == "VG"
+                and ds[j].info.feat("conjtype") == "onder"):
+            return j + 1
+    return 0
+
 def _context_passes(tokens, ds, lex, n):
     lowers = [t.lower() for t in tokens]
 
@@ -1854,6 +1869,11 @@ def _context_passes(tokens, ds, lex, n):
                 and (pv == "LID" or prev_lw in ("mijn", "jouw", "uw",
                                                 "zijn", "haar", "hun",
                                                 "ons", "onze"))
+                # a possessive-form previous token already resolved
+                # VERBAL is no determiner ("welke dat zijn IS niet
+                # meer te achterhalen", reference tests/d5 s1)
+                and not (ds[i - 1].info is not None
+                         and ds[i - 1].info.tag == "WW")
                 and not lw.endswith("t")):
             d.info = _pi("N", lw)
             continue
@@ -1969,7 +1989,8 @@ def _context_passes(tokens, ds, lex, n):
             continue
         aux_before = any(
             not dj.punct and dj.info is not None and dj.info.tag == "WW"
-            and dj.info.feat("wvorm") == "pv" for dj in ds[:i])
+            and dj.info.feat("wvorm") == "pv"
+            for dj in ds[_seg_start(ds, lowers, i):i])
         # V1 inversion after a coordinator whose left conjunct already
         # consumed the aux ("heeft ... gemaakt en BETEKENT die
         # wintersport dat ...", reference tests/bug4 s19): the -t form
@@ -2021,7 +2042,8 @@ def _context_passes(tokens, ds, lex, n):
         # verb -> infinitive
         aux_before = any(
             not dj.punct and dj.info is not None and dj.info.tag == "WW"
-            and dj.info.feat("wvorm") == "pv" for dj in ds[:i])
+            and dj.info.feat("wvorm") == "pv"
+            for dj in ds[_seg_start(ds, lowers, i):i])
         te_before = prev_lw == "te" or (i >= 2 and lowers[i - 2] == "te")
         if (te_before and prev_lw != "te" and i >= 3
                 and ds[i - 3].info is not None
@@ -2643,6 +2665,22 @@ def _context_passes(tokens, ds, lex, n):
                 base = lw[:-3]
                 d.info = _pi("ADJ", base, (base, "er"), graad="comp")
                 continue
+
+    # -- late verb-lemma demotion re-check: the early pass ran before
+    # unknown prenominal adjectives resolved ("deze VROEGE boeren":
+    # "vroege" becomes ADJ above, so "boeren" is NP-internal after all,
+    # reference tests/d5 s1) ---------------------------------------------
+    for i, d in enumerate(ds):
+        if d.punct or d.is_name or d.info is None:
+            continue
+        lw = lowers[i]
+        if (d.info.tag == "WW" and d.info.feat("wvorm") == "inf"
+                and d.info.feat("auto") == "1"
+                and lw.endswith("en")
+                and _prev_tag(ds, i) == "ADJ"
+                and _np_prev(ds, lowers, i)):
+            lemma, morphs = _noun_lemma(lw)
+            d.info = _pi("N", lemma, morphs)
 
     # -- sentence-initial "name" heading an adjective run is itself an
     # inflected adjective ("LAGE zwarte broek", reference tests/flair1

@@ -1924,6 +1924,26 @@ def _context_passes(tokens, ds, lex, n):
                 lemma, morphs = _noun_lemma(lw)
                 d.info = _pi("N", lemma, morphs)
                 continue
+        # auto-ADJ -en heading nothing, after an (as yet unresolved)
+        # inflected -e adjective under a preposition/determiner: the
+        # NP head noun ("met blonde HAREN", reference tests/dlevel3 —
+        # the material-adjective lexicon reading loses)
+        if (d.info.tag == "ADJ"
+                and (d.info.feat("auto") == "1"
+                     or d.info.morphemes == (d.info.lemma, "en"))
+                and lw.endswith("en") and len(lw) > 4
+                and i >= 2 and not ds[i - 1].punct
+                and (ds[i - 1].info is None
+                     or (ds[i - 1].info.feat("auto") == "1"
+                         and ds[i - 1].info.tag == "N"))
+                and prev_lw.endswith("e")
+                and ds[i - 2].info is not None
+                and ds[i - 2].info.tag in ("VZ", "LID")):
+            nx2 = _next_idx(ds, i)
+            if nx2 < 0 or not _nounish_ahead(tokens, ds, nx2, lex):
+                lemma, morphs = _noun_lemma(lw)
+                d.info = _pi("N", lemma, morphs)
+                continue
         # degree "te" before an adjective/adverb is BW; infinitival
         # "te" stays VZ
         if lw == "te" and d.info.tag == "VZ":
@@ -2121,7 +2141,16 @@ def _context_passes(tokens, ds, lex, n):
                 # a capitalized word after an abbreviation's dot opens
                 # a fresh span ("... a.u.b. Alvast hartelijk dank")
                 or (tokens[i][0].isupper()
-                    and tokens[i - 1].endswith(".")))
+                    and tokens[i - 1].endswith("."))
+                # a mid-span bare "die" with the span's only finite
+                # verb AFTER it is a relative-clause opener even though
+                # die/dat re-resolution runs later ("Hij leerde er
+                # jongens kennen DIE dol waren", reference tests/
+                # dlevel3): splitting lets the finite-less main clause
+                # recover its own verb
+                or (lowers[i] == "die" and not ds[i - 1].punct
+                    and not any(_is_fin(ds[j]) for j in range(s0, i))
+                    and any(_is_fin(ds[j]) for j in range(i + 1, n))))
         if at_bound:
             if i > s0:
                 spans.append((s0, i))

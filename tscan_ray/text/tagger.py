@@ -366,6 +366,9 @@ _IRREG_STEM = {"kunnen": "kan", "zullen": "zal", "mogen": "mag",
                "doen": "doe", "staan": "sta", "zien": "zie",
                "slaan": "sla"}
 _WW_MORPH_EXC = {
+    # prefixed strong participles Frog's MBMA keeps as ONE morpheme
+    # carrying the lemma ("verdwenen" -> [verdwijnen], tests/dlevel4)
+    "verdwenen": ("verdwijnen",), "bewogen": ("bewogen",),
     "geworden": ("ge", "worden"), "geweest": ("ge", "wees", "t"),
     "ging": ("gaan",), "gingen": ("gaan", "en"),
     "zeggen": ("zeg", "e", "n"), "leggen": ("leg", "e", "n"),
@@ -2877,6 +2880,7 @@ def _context_passes(tokens, ds, lex, n):
         if i > 0 and lowers[i - 1] in ("net", "zo", "evenals", "even"):
             continue  # comparative "net als X" keeps Frog's VG(onder)
         has_fin = False
+        between: list[int] = []
         for j in range(i + 1, n):
             dj = ds[j]
             if dj.punct and lowers[j] in (",", ";", ":"):
@@ -2889,6 +2893,15 @@ def _context_passes(tokens, ds, lex, n):
             if _is_fin(dj):
                 has_fin = True
                 break
+            between.append(j)
+        if has_fin and len(between) == 1 \
+                and ds[between[0]].info is not None \
+                and ds[between[0]].info.tag == "N":
+            # "als <bare noun> <finite>": the als-phrase is a
+            # predicative PP inside the matrix clause, not a clause of
+            # its own ("de stenen als BOUWMATERIAAL werden gebruikt",
+            # reference tests/dlevel4 s7)
+            has_fin = False
         if not has_fin:
             d.info = _pi("VZ", "als")
 

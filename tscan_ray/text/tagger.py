@@ -1104,6 +1104,12 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
             if aci:
                 stem = _verb_stem(lword)
                 d.info = _pi("WW", lword, (stem, "en"), wvorm="inf")
+            elif ("'" in lword[1:-1]
+                    and lword[lword.index("'", 1) - 1] not in "aeiouy"):
+                # mid-token apostrophe after a consonant is no Dutch
+                # plural ("auto's") — a foreign contraction, SPEC
+                # ("that's it.", reference tests/bug4 s23)
+                d.info = _pi("SPEC", lword)
             elif (lword.endswith(("de", "te")) and len(lword) > 6
                     and next((p for p in ("be", "ver", "ont", "her")
                               if lword.startswith(p)
@@ -1167,8 +1173,15 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
                 and info.lemma not in ("meisje", "beetje"):
             # guessed diminutive kept its own lemma ("mutsje" with
             # morphemes muts+je): Frog lemmatizes to the base noun
-            # (reference tests/flair1 s20)
-            d.info = info = _pi("N", m[0], m)
+            # (reference tests/flair1 s20).  Re-derive the split via
+            # the phonotactic inverter — the naive suffix guess puts
+            # the base-final t in the suffix ("nachtje" -> nach+tje;
+            # Frog: nacht+je, reference tests/bug4 s23)
+            cand, sfx = _diminutive_base(info.lemma, lex)
+            if cand is not None:
+                d.info = info = _pi("N", cand, (cand, sfx))
+            else:
+                d.info = info = _pi("N", m[0], m)
             continue
         elif info.tag == "N" and len(m) == 1:
             lw = tokens[i].lower()

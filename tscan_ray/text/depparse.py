@@ -1012,8 +1012,25 @@ def parse_sentence(anns: list) -> SentParse:
                        and _is_su_candidate(anns[i])), -1)
         # VP coordination: "Jan gaat naar huis en zet koffie" — the right
         # conjunct shares the left subject (su edges to both verbs,
-        # reference tests/depdist4/6)
+        # reference tests/depdist4/6) — but NOT when the conjunct has
+        # its own inverted subject: a nominative pronoun right after
+        # the finite ("dus KOCHT IK 2 repen") or an existential-er
+        # clause ("maar ER ZIJN geen repen" — su = the post-verbal NP;
+        # reference tests/bug1 s2 sub_verb [0,1,0])
         shared_su = False
+        if su < 0 and cl.kind == "coord" and finites:
+            nxt = next((i for i in idxs if i > verb), -1)
+            if (nxt >= 0 and anns[nxt].tag == "VNW"
+                    and anns[nxt].prop in ("ISPPRON1", "ISPPRON2",
+                                           "ISPPRON3")
+                    and anns[nxt].lword not in ("mij", "jou", "hem",
+                                                "hen", "hun", "me")):
+                su = nxt
+            elif (verb >= 1 and verb - 1 in idxs
+                    and anns[verb - 1].lword == "er"):
+                su = next((i for i in idxs if i > verb
+                           and i not in poss_det and i not in pp_objects
+                           and _is_su_candidate(anns[i])), -1)
         if su < 0 and cl.kind == "coord" and prev_su >= 0 and finites:
             su = prev_su
             shared_su = True

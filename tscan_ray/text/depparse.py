@@ -43,7 +43,7 @@ _NOUNISH_TAGS = frozenset({"N", "SPEC"})
 # evidenced by reference tests/depdist22: "mijn fiets" -> noun_det 0).
 # "zijn"/"haar"/"hun" are kept only with a nounish right neighbour.
 _POSS_PRONOUNS = frozenset({"mijn", "jouw", "uw", "onze", "ons", "je",
-                            "zijn", "haar", "hun"})
+                            "zijn", "haar", "hun", "jullie"})
 # auxiliary wvorm classes: a finite aux + participle clause attaches
 # su/obj/mod edges to the participle (reference tests/depdist17, 22)
 _AUX_WWFORMS = frozenset({"COPULA", "TIME_VERB", "PASSIVE_VERB"})
@@ -55,7 +55,8 @@ _TEMPORAL_NOUNS = frozenset({
 })
 # quantifying pronouns acting as NP determiners ("ALLE boeken":
 # noun_det 0, reference tests/npmod)
-_DET_PRONOUNS = frozenset({"alle", "sommige", "enkele", "vele", "beide"})
+_DET_PRONOUNS = frozenset({"alle", "sommige", "enkele", "vele", "beide",
+                           "geen"})
 
 
 @dataclass
@@ -701,7 +702,12 @@ def parse_sentence(anns: list) -> SentParse:
                     continue
                 if (b.tag == "LID" or j in poss_det
                         or (b.tag == "VNW" and b.lword in _DET_PRONOUNS)
-                        or (b.tag == "ADJ" and b.lword == "allerlei")) \
+                        or (b.tag == "ADJ" and b.lword == "allerlei")
+                        # NP-initial CARDINAL numeral is rel=det in
+                        # Alpino ("2 repen", reference tests/bug1 s2);
+                        # ordinals stay rel=mod ("Een TWEEDE huis")
+                        or (b.tag == "TW"
+                            and not b.lword.endswith(("de", "ste")))) \
                         and not saw_noun and det_idx < 0 and size == 0:
                     # "allerlei" is rel=det in Alpino ("ALLERLEI
                     # verhalen", reference tests/relativeclauses s16)

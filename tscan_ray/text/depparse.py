@@ -55,6 +55,10 @@ _TEMPORAL_NOUNS = frozenset({
 })
 # quantifying pronouns acting as NP determiners ("ALLE boeken":
 # noun_det 0, reference tests/npmod)
+_SVP_PARTICLES = frozenset({
+    "mee", "op", "af", "uit", "aan", "in", "toe", "terug", "weg",
+    "door", "over", "om", "rond", "neer", "na", "voort", "binnen"})
+
 _DET_PRONOUNS = frozenset({"alle", "sommige", "enkele", "vele", "beide",
                            "geen"})
 
@@ -1483,10 +1487,19 @@ def parse_sentence(anns: list) -> SentParse:
                             break
                         k += 1
                     continue
-                if (anns[verb].full_lemma
+                if ((anns[verb].full_lemma
                         and anns[verb].full_lemma
                         == b.lword + anns[verb].lemma
-                        and not _has_np_complement(anns, j, cl.end, puncts)):
+                        and not _has_np_complement(anns, j, cl.end,
+                                                   puncts))
+                        # separable-verb lexicon empty on the raw-text
+                        # path: a bare PARTICLE preposition with no NP
+                        # of its own right after the finite verb is the
+                        # verb's svp ("doe MEE aan ...", tests/bug1 s2)
+                        or (b.lword in _SVP_PARTICLES
+                            and j == verb + 1 and finites
+                            and not _has_np_complement(anns, j, cl.end,
+                                                       puncts))):
                     # separable particle (Alpino rel=svp): the clause
                     # verb's own particle with no complement of its own
                     # ("at ... op", reference tests/depdist15: verb_svp 3)

@@ -1543,6 +1543,22 @@ def parse_sentence(anns: list) -> SentParse:
                 if pj >= 0 and _is_nounish(anns[pj]):
                     continue
                 obj_cands.append(j)
+            elif (b.tag == "VNW" and b.lword in ("meer", "minder")
+                    and not (j + 1 < cl.end and j + 1 not in puncts
+                             and (_is_nounish(anns[j + 1])
+                                  or anns[j + 1].tag == "ADJ"))):
+                # bare comparative quantifier is an adverbial modifier,
+                # not an argument ("er zijn geen repen met punten MEER"
+                # -> mod edge, reference tests/bug1 s2 verb_adv_mod 4);
+                # determiner use ("meer mensen") keeps the NP reading,
+                # and "niet meer" is ONE advp headed by the negation
+                # (no separate edge for meer)
+                pj2 = j - 1
+                while pj2 in puncts:
+                    pj2 -= 1
+                if not (pj2 >= cl.start and anns[pj2].tag == "BW"):
+                    _store(parse, "VERB_MOD_A", sc_tgt, j, puncts)
+                    parse.vc_mod_cnt += 1  # advp node (getAdverbialNodes)
             elif b.tag == "VNW" and j not in poss_det \
                     and b.prop in ("ISPPRON1", "ISPPRON2", "ISPPRON3"):
                 if j <= in_pp_until or j in pp_objects:

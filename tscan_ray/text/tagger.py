@@ -1027,6 +1027,16 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
                     and tokens[i + 1][:1].islower()):
                 info = g0
                 is_name = False
+            elif (g0 is None and lword.endswith("e") and len(lword) > 4
+                    and nt is None and tokens[i + 1][:1].islower()
+                    and not tokens[i + 1].lower().endswith("en")
+                    and i + 2 < n and is_punct(tokens[i + 2])):
+                # capitalized -e unknown + lowercase word + comma is a
+                # vocative ADJ+N phrase, not a name ("'' LIEVE schat ,"
+                # reference tests/bug4 s18)
+                base = _deinflect_e(lword)
+                info = _pi("ADJ", base, (base, "e"))
+                is_name = False
         if is_name:
             ds.append(Decision(None, is_name=True))
             continue
@@ -2959,6 +2969,19 @@ def _context_passes(tokens, ds, lex, n):
                 and not _nounish_ahead(tokens, ds, _next_idx(ds, nx),
                                        lex)):
             d.info = _pi("VNW", "het", vwtype="pers", persoon="3")
+            continue
+        # copula + het + bare noun + dat-clause: het is the SUBJECT
+        # pronoun and the noun the predicate ("wordt HET tijd dat ze
+        # ...", reference tests/bug4 s18)
+        if (dn.info.tag == "N" and i >= 1 and not ds[i - 1].punct
+                and ds[i - 1].info is not None and _is_fin(ds[i - 1])
+                and ds[i - 1].info.lemma in ("zijn", "worden", "lijken",
+                                             "blijken", "blijven")):
+            nx2 = _next_idx(ds, nx)
+            if (nx2 >= 0 and ds[nx2].info is not None
+                    and ds[nx2].info.tag == "VG"
+                    and ds[nx2].info.feat("conjtype") == "onder"):
+                d.info = _pi("VNW", "het", vwtype="pers", persoon="3")
 
     # -- participle / adjective position (prenom before an NP head) ------
     for i, d in enumerate(ds):

@@ -669,7 +669,10 @@ def _redouble(stem: str) -> str:
     """Open-syllable vowel restoration: og -> oog, hus -> huus (only
     single a/e/o/u before the final consonant)."""
     if (len(stem) >= 2 and stem[-1] not in "aeiou" and stem[-2] in "aeou"
-            and (len(stem) < 3 or stem[-3] not in "aeiou")):
+            and (len(stem) < 3 or stem[-3] not in "aeiou"
+                 # "ea" is no Dutch digraph — the vowels straddle a
+                 # syllable break ("ideal" -> ideaal, tests/dlevel6)
+                 or (stem[-2] == "a" and stem[-3] == "e"))):
         return stem[:-1] + stem[-2] + stem[-1]
     return stem
 
@@ -1769,6 +1772,18 @@ def _context_passes(tokens, ds, lex, n):
                 or d.info.tag != "WW" or d.info.feat("wvorm") != "pv" \
                 or d.info.feat("pvtijd") != "tgw" \
                 or lowers[i] != d.info.lemma:
+            continue
+        # a lemma-shaped "finite" directly before an UNAMBIGUOUS finite
+        # is the nominalized/coordinated infinitive, not a second pv
+        # ("een recensie over SCHRIJVEN LIJKT mij ...", tests/dlevel6)
+        if (i + 1 < n and not ds[i + 1].punct
+                and ds[i + 1].info is not None
+                and ds[i + 1].info.tag == "WW"
+                and ds[i + 1].info.feat("wvorm") == "pv"
+                and lowers[i + 1] != ds[i + 1].info.lemma):
+            d.info = _pi("WW", d.info.lemma,
+                         _ww_morphemes(lowers[i], d.info.lemma),
+                         wvorm="inf")
             continue
         pj = i - 1  # cluster mates are ADJACENT (a comma breaks it:
         # "kom, houden ze" keeps the finite reading)

@@ -321,6 +321,37 @@ def _split_clauses(anns: list) -> list[Clause]:
             conj = i
             start = i + 1
             seen_finite = False
+        elif (a.word == "," and seen_finite and i > start
+              and kind != "sub"
+              and not any(anns[j].word == "," for j in range(start, i))
+              # a mid-segment die/dat after nominal material is a
+              # (possibly still untagged) relative: the post-comma
+              # finite then continues the MATRIX clause ("Het weinige
+              # dat zij hebben nagelaten , LIGT ...", tests/dlevel6 s1)
+              and not any(anns[j].lword in ("die", "dat") and j > start
+                          and (_is_nounish(anns[j - 1])
+                               or anns[j - 1].tag == "VNW")
+                          for j in range(start + 1, i))
+              # a wh-initial segment is a fronted free relative, not a
+              # full first conjunct ("WIE zoiets dappers presteert ,
+              # verdient ...", tests/dlevel6 s4)
+              and anns[start].lword not in ("wie", "wat", "waar", "hoe",
+                                            "waarom", "wanneer",
+                                            "zoals", "als", "toen")
+              and i + 1 < len(anns) and _is_finite(anns[i + 1])):
+            # asyndetic clause coordination: comma directly followed by
+            # a finite verb opens a peer conjunct sharing the subject
+            # ("Zij woonden in lemen boerderijen , GEBRUIKTEN houten
+            # en stenen werktuigen", reference tests/d2 s1: 3 smains).
+            # An internal comma means the segment holds an embedded
+            # relative/parenthetical instead — the following finite is
+            # the MATRIX verb ("Het voorstel , waarover ik je
+            # vertelde , IS aangenomen", tests/dlevel6 s6)
+            clauses.append(Clause(start, i, kind, conj))
+            kind = "coord"
+            conj = -1
+            start = i + 1
+            seen_finite = False
         elif (seen_finite and i > start and a.tag == "VNW"
               and a.prop in ("ISPPRON1", "ISPPRON2", "ISPPRON3")
               and a.word[:1].isupper()

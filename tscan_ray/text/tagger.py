@@ -1813,6 +1813,17 @@ def _context_passes(tokens, ds, lex, n):
         lw = lowers[i]
         pv = _prev_tag(ds, i)
         prev_lw = lowers[i - 1] if i else ""
+        # temporal "geleden" after a time NP is the adverb, not the
+        # lijden-participle ("zo'n 150.000 jaar GELEDEN", tests/d3 s1)
+        if lw == "geleden" and i and not ds[i - 1].punct \
+                and (prev_lw in ("jaar", "jaren", "maand", "maanden",
+                                 "week", "weken", "dag", "dagen",
+                                 "eeuw", "eeuwen", "uur", "uren",
+                                 "tijd", "tijden", "minuten",
+                                 "seconden", "decennia")
+                     or pv == "TW"):
+            d.info = _pi("BW", "geleden")
+            continue
         # bare auto-N after a copula/degree word and no determiner:
         # predicative adjective ("is gek", "te laat")
         if d.info.tag == "N" and d.info.feat("auto") == "1":

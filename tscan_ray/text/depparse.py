@@ -1366,6 +1366,20 @@ def parse_sentence(anns: list) -> SentParse:
                             _store(parse, "SUB_VERB", w,
                                    np_start.get(su, su), puncts)
                         continue
+                    # te-infinitive complement of a light-verb OBJECT
+                    # noun ("heb het gevoel nergens bij TE HOREN",
+                    # reference tests/npmod s43: noun_vc 3, the clause
+                    # verb keeps no vc edge)
+                    if (anns[verb].lemma in ("hebben", "krijgen")
+                            and w >= 2 and anns[w - 1].lword == "te"
+                            and anns[w].prop == "ISINF"):
+                        onoun = next(
+                            (k for k in range(w - 2, verb, -1)
+                             if k not in puncts and anns[k].tag == "N"),
+                            -1)
+                        if onoun >= 0:
+                            _store(parse, "NOUN_VC", onoun, w, puncts)
+                            continue
                     _store(parse, "VERB_VC", verb, w, puncts)
 
         # conjunction edges: comp -> body plus matrix verb -> subordinator

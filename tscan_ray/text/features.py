@@ -1050,7 +1050,20 @@ def analyze_sentence(
             elif lemma in _MODAL_LEMMAS or (lemma in MODALS and has_vc):
                 ww = "MODAL_VERB"
             elif lemma == "hebben":
-                ww = "TIME_VERB" if has_vc else "HEAD_VERB"
+                hebben_vc = has_vc
+                if has_vc and not has_vd:
+                    # a te-infinitive with an object NOUN between the
+                    # finite and the te-marker complements the NOUN,
+                    # not hebben ("heb het gevoel nergens bij TE
+                    # horen", reference tests/npmod s43: HEAD_VERB)
+                    inf_i = next((j for j in range(k + 1, len(anns))
+                                  if anns[j].tag == "WW"
+                                  and anns[j].prop == "ISINF"), -1)
+                    if (inf_i >= 2 and anns[inf_i - 1].lword == "te"
+                            and any(anns[j].tag == "N"
+                                    for j in range(k + 1, inf_i - 1))):
+                        hebben_vc = False
+                ww = "TIME_VERB" if hebben_vc else "HEAD_VERB"
             elif lemma == "zijn":
                 ww = "TIME_VERB"
             else:

@@ -1303,6 +1303,10 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
                                         "erij", "nis", "dom")
                             if lw.endswith(s)
                             and len(lw) > len(s) + 2), None)
+                if lw in ("koning", "haring", "ketting", "paling",
+                          "kettingen", "koningen"):
+                    sfx = None  # lexicalized -ing nouns stay whole
+                    # in Frog's MBMA ("Koning", tests/npmod s33)
                 if sfx is not None and lw == info.lemma:
                     # derivational noun suffix with undoubling
                     # ("verrassing" -> (verras, ing))
@@ -1638,7 +1642,12 @@ def _context_passes(tokens, ds, lex, n):
     for i in range(2, n):
         if (tokens[i][:1].isupper() and not ds[i].punct
                 and lowers[i - 1] in ("de", "den", "der", "van", "ten")
-                and ds[i - 2].is_name):
+                and ds[i - 2].is_name
+                # "van <geography>" is a PP, not a surname particle
+                # ("Koning Boudewijn VAN België", tests/npmod s33)
+                and not (lowers[i - 1] == "van"
+                         and lowers[i].endswith(("ië", "land", "rijk",
+                                                 "stad", "burg")))):
             ds[i - 1].info = None
             ds[i - 1].is_name = True
             ds[i].info = None

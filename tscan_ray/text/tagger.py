@@ -1795,7 +1795,12 @@ def _context_passes(tokens, ds, lex, n):
                          wvorm="inf")
             continue
         pj = i - 1  # cluster mates are ADJACENT (a comma breaks it:
-        # "kom, houden ze" keeps the finite reading)
+        # "kom, houden ze" keeps the finite reading) — modulo particle
+        # adverbs inside the cluster ("ben MAAR gaan lopen", tests/
+        # dlevel1 s4: gaan stays the bare infinitive)
+        while pj > 0 and not ds[pj].punct and lowers[pj] in (
+                "maar", "ook", "wel", "niet", "eens", "even", "toch"):
+            pj -= 1
         if ds[pj].punct:
             continue
         if (ds[pj].info is not None and ds[pj].info.tag == "WW") \

@@ -869,6 +869,13 @@ def _guess_open(lword: str, lex: Lexicons) -> PosInfo | None:
         if inner is not None and inner.tag == "ADJ":
             return _pi("ADJ", lword, ("on",) + inner.morphemes)
 
+    # spelled-out compound numerals ("vijfduizend", "driehonderd"):
+    # TW, split at the scale word — checked before the -end participle
+    # guess ("vijfduizEND", reference tests/d5 s2)
+    for scale in ("duizend", "honderd", "miljoen"):
+        if lword.endswith(scale) and len(lword) > len(scale):
+            return _pi("TW", lword, (lword[: -len(scale)], scale))
+
     # present participle -end(e): CGN tags these WW(od); the lemma is
     # simply the form minus d(e) — "lopende" -> lopen, no stem rebuild
     if lword.endswith("ende") and len(lword) > 6:

@@ -75,7 +75,10 @@ def _closed_entries() -> dict[str, PosInfo]:
     for w, p in [("mijn", "1"), ("m'n", "1"), ("jouw", "2"), ("uw", "2"),
                  ("zijn", "3"), ("z'n", "3"), ("haar", "3"), ("d'r", "3"),
                  ("ons", "1"), ("onze", "1")]:
-        e[w + "\x00bez"] = _pi("VNW", w, vwtype="bez", persoon=p)
+        # Frog lemmatizes the inflected possessive to the bare form
+        # ("onze" -> ons, reference tests/dlevel4)
+        e[w + "\x00bez"] = _pi("VNW", "ons" if w == "onze" else w,
+                               (w,), vwtype="bez", persoon=p)
     for w, p in [("zich", "3"), ("zichzelf", "3"), ("mezelf", "1"),
                  ("mijzelf", "1"), ("jezelf", "2"), ("uzelf", "2"),
                  ("onszelf", "1"), ("hemzelf", "3"), ("haarzelf", "3")]:
@@ -2363,6 +2366,11 @@ def _context_passes(tokens, ds, lex, n):
     # "zijn loopje compenseert dat", "Het regent") -------------------------
     for (a, b) in spans:
         if any(_is_fin(ds[j]) for j in range(a, b)):
+            continue
+        if a >= 1 and ds[a - 1].punct and lowers[a - 1] == ")":
+            # material after a closing parenthesis CONTINUES the
+            # pre-paren clause ("... ( maar wel geile ) VAMPIER Eric
+            # in ...", tests/bug5 s21) — no fresh V2/imperative slot
             continue
         head = next((j for j in range(a, b) if not ds[j].punct), -1)
         if head < 0:

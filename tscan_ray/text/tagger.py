@@ -469,7 +469,7 @@ _CLOSED = _closed_entries()
 # words whose tag is context-dependent (resolved in the repair passes) —
 # the plain closed/lexicon entry is only the default reading
 _AMBIG = frozenset({"het", "dat", "die", "zijn", "haar", "toen", "een",
-                    "of", "al"})
+                    "of", "al", "nu"})
 
 # month / weekday names: Frog tags these SPEC(deeleigen) (name-like)
 _SPEC_WORDS = frozenset({
@@ -1531,6 +1531,10 @@ def _finite_guess(lw: str):
     """Verbal-morphology reading of an unknown token: (PosInfo, ok)."""
     if lw.endswith(("heid", "teit", "ing", "schap")):
         return None
+    if "-" in lw:
+        # hyphenated tokens are emphasis/compounds, never guessed
+        # finites ("ab-so-luut", reference tests/bug5 s2: N)
+        return None
     if lw.endswith(("de", "te")) and len(lw) > 4:
         lemma, morphs = _finite_lemma(lw, 2)
         return _pi("WW", lemma, morphs, wvorm="pv", pvtijd="verl")
@@ -1751,6 +1755,25 @@ def _context_passes(tokens, ds, lex, n):
                         break
                 if not v2:
                     d.info = _pi("VG", "of", conjtype="onder")
+        elif lw == "nu":
+            # clause-initial "nu" + subject pronoun + verb-final clause
+            # is the temporal subordinator ("NU we de drempel ... over
+            # zijn , moet ...", tests/bug5 s2); before a finite verb it
+            # is the plain adverb ("Nu ga ik")
+            if ((i == 0 or ds[i - 1].punct) and nx >= 0
+                    and ds[nx].info is not None
+                    and ds[nx].info.tag == "VNW"
+                    and lowers[nx] in _NOM_PRONOUNS
+                    and any(not ds[j].punct and ds[j].info is not None
+                            and ds[j].info.tag == "WW"
+                            and ds[j].info.feat("wvorm") == "pv"
+                            for j in range(nx + 1, next(
+                                (k for k in range(i + 1, n)
+                                 if ds[k].punct
+                                 and lowers[k] in (",", ";")), n)))):
+                d.info = _pi("VG", "nu", conjtype="onder")
+            else:
+                d.info = _pi("BW", "nu")
         elif lw == "toen":
             nxt = ds[nx] if nx >= 0 else None
             if (nxt is not None and nxt.info is not None
@@ -1931,7 +1954,8 @@ def _context_passes(tokens, ds, lex, n):
                 and ds[i - 1].info.tag == "VNW"
                 and _vwtype(ds[i - 1]) in ("bez", "aanw", "onbep")
                 and prev_lw not in ("er", "hier", "daar", "waar",
-                                    "niets", "iets", "alles", "wat")
+                                    "niets", "iets", "alles", "wat",
+                                    "meer", "minder")
                 and not (lw in _CLOSED and _CLOSED[lw].tag == "WW")):
             lemma, morphs = _noun_lemma(lw)
             d.info = _pi("N", lemma, morphs)

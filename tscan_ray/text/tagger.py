@@ -1347,8 +1347,17 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
             if new is None:
                 continue
         elif info.tag == "TW" and len(m) == 1:
-            new = _TW_MORPHS.get(tokens[i].lower())
+            lwt = tokens[i].lower()
+            new = _TW_MORPHS.get(lwt)
             if new is None:
+                continue
+            if info.lemma == lwt and lwt in _CLOSED \
+                    and _CLOSED[lwt].tag == "TW" \
+                    and _CLOSED[lwt].lemma != lwt:
+                # curated lexicon TW kept the surface as lemma; Frog
+                # lemmatizes ordinals to the cardinal ("eerste" ->
+                # een, reference tests/d3 s2)
+                d.info = info = _pi("TW", _CLOSED[lwt].lemma, new)
                 continue
         elif info.tag == "ADJ" and len(m) == 1:
             lw = tokens[i].lower()
@@ -1860,6 +1869,27 @@ def _context_passes(tokens, ds, lex, n):
         lw = lowers[i]
         pv = _prev_tag(ds, i)
         prev_lw = lowers[i - 1] if i else ""
+        # particle-prefixed participle listed as an auto-ADJ: after an
+        # auxiliary in the same segment the verbal reading wins
+        # ("hebben onderzoekers ACHTERHAALD hoe ...", tests/d3 s2)
+        if (d.info.tag == "ADJ" and d.info.feat("auto") == "1"
+                and lw[-1] in "dt" and not lw.endswith(("heid", "dt"))
+                and any(not ds[j].punct and ds[j].info is not None
+                        and ds[j].info.tag == "WW"
+                        and ds[j].info.feat("wvorm") == "pv"
+                        and ds[j].info.lemma in ("hebben", "zijn",
+                                                 "worden")
+                        for j in range(_seg_start(ds, lowers, i), i))):
+            part0 = next((p for p in ("achter", "onder", "over",
+                                      "voor", "weer", "vol")
+                          if lw.startswith(p) and len(lw) > len(p) + 3),
+                         None)
+            if part0 is not None:
+                stem = lw[len(part0):-1]
+                lemma = part0 + _finite_lemma(stem, 0)[0]
+                d.info = _pi("WW", lemma, (part0, stem, lw[-1]),
+                             wvorm="vd")
+                continue
         # temporal "geleden" after a time NP is the adverb, not the
         # lijden-participle ("zo'n 150.000 jaar GELEDEN", tests/d3 s1)
         if lw == "geleden" and i and not ds[i - 1].punct \
@@ -2285,7 +2315,12 @@ def _context_passes(tokens, ds, lex, n):
              and hd.info.feat("conjtype") == "onder")
             or (hd.info.tag == "VNW"
                 and _vwtype(hd) in ("betr", "vb"))
-            or (hd.info.tag == "BW" and lowers[head].startswith("waar"))))
+            or (hd.info.tag == "BW"
+                and (lowers[head].startswith("waar")
+                     # wh adverbs head an embedded verb-final clause
+                     # ("hoe de eerste generaties landbouwers LEEFDEN",
+                     # reference tests/d3 s2)
+                     or lowers[head] in ("hoe", "waarom", "wanneer")))))
         # a subject somewhere in the clause makes a finite verb likely
         subj = any(
             not ds[j].punct and (ds[j].is_name or (

@@ -1002,12 +1002,14 @@ def parse_sentence(anns: list) -> SentParse:
     main_verb_idx = -1  # first main-clause finite verb (for d-level 6 vs 3)
     main_su = -1          # first main clause's subject index (d-level 6)
     clause_cls: list[str | None] = []  # per clause: smain|ssub|sv1|None
+    clause_verb: list[int] = []        # per clause: its verb index (-1)
     prev_su = -1          # subject of the previous clausal conjunct (VP coord)
     prev_clause_verb = -1  # matrix verb for VERB_COMP / left crd edges
     for ci, cl in enumerate(clauses):
         idxs = [i for i in range(cl.start, cl.end) if i not in puncts]
         if not idxs:
             clause_cls.append(None)
+            clause_verb.append(-1)
             continue
         if cl.kind == "gap":
             # gapped clausal conjunct ("..., en Arie en Truus ook."):
@@ -1022,6 +1024,7 @@ def parse_sentence(anns: list) -> SentParse:
             parse.small_cnj_cnt += 1
             parse.small_cnj_extra_cnt += 1
             clause_cls.append(None)
+            clause_verb.append(-1)
             continue
         finites = [i for i in idxs if _is_finite(anns[i])]
         # prenominal participles are NP modifiers (pos=adj in the Alpino
@@ -1177,6 +1180,7 @@ def parse_sentence(anns: list) -> SentParse:
             parse.ssub_cnt += 1
             cls = "ssub"
         clause_cls.append(cls)
+        clause_verb.append(verb)
         if verb < 0:
             # verbless comparative cp ("net ALS HNTM-winnares Tamara",
             # reference tests/bug5 s17): comp edge from the matrix verb,
@@ -1423,6 +1427,18 @@ def parse_sentence(anns: list) -> SentParse:
                 if prev_clause_verb >= 0:
                     _store(parse, "CRD_CNJ", cl.conj_idx, prev_clause_verb,
                            puncts)
+                # asyndetic run: comma-joined conjuncts before the
+                # coordinator share the SAME conj node — crd edges to
+                # every earlier verb of the run ("woonden ... ,
+                # hanteerden ... en maakten", tests/dlevel2 s2:
+                # crd_cnj [8, 4, 0])
+                lj = ci - 1
+                while (lj > 0 and clauses[lj].kind == "coord"
+                       and clauses[lj].conj_idx < 0):
+                    if clause_verb[lj - 1] >= 0:
+                        _store(parse, "CRD_CNJ", cl.conj_idx,
+                               clause_verb[lj - 1], puncts)
+                    lj -= 1
         matrix_verb = prev_clause_verb  # verb of the PREVIOUS clause
         prev_clause_verb = verb
 
@@ -1819,6 +1835,16 @@ def parse_sentence(anns: list) -> SentParse:
                 parse.ssub_cnj_cnt += 1
             continue
         if cl.kind != "coord" or cl.conj_idx < 0:
+            # a comma-joined (asyndetic) conjunct counts when its run
+            # ends in a real coordinator ("woonden ... , HANTEERDEN
+            # ... en maakten", tests/dlevel2 s2: smainCnjCnt 3)
+            if (cl.kind == "coord" and cl.conj_idx < 0
+                    and clause_cls[ci] is not None
+                    and any(c.kind == "coord" and c.conj_idx >= 0
+                            for c in clauses[ci + 1:])):
+                key = {"smain": "smain_cnj_cnt", "ssub": "ssub_cnj_cnt",
+                       "sv1": "sv1_cnj_cnt"}[clause_cls[ci]]
+                setattr(parse, key, getattr(parse, key) + 1)
             continue
         if not any(i not in puncts for i in range(0, cl.conj_idx)):
             continue  # sentence-initial coordinator: no left conjunct
@@ -1826,11 +1852,20 @@ def parse_sentence(anns: list) -> SentParse:
             key = {"smain": "smain_cnj_cnt", "ssub": "ssub_cnj_cnt",
                    "sv1": "sv1_cnj_cnt"}[clause_cls[ci]]
             setattr(parse, key, getattr(parse, key) + 1)
-            # left conjunct joins the same conj group (once per run start)
-            if ci > 0 and clauses[ci - 1].kind != "coord" \
-                    and clause_cls[ci - 1] is not None:
+            # left conjunct joins the same conj group (once per run
+            # start, walking back over asyndetic comma-conjuncts that
+            # counted themselves above)
+            lj = ci - 1
+            while lj > 0 and clauses[lj].kind == "coord" \
+                    and clauses[lj].conj_idx < 0:
+                lj -= 1
+            if lj >= 0 and lj == ci - 1 \
+                    and clauses[lj].kind == "coord":
+                pass  # mid-run VG conjunct: left already counted
+            elif lj >= 0 and clauses[lj].kind != "coord" \
+                    and clause_cls[lj] is not None:
                 lkey = {"smain": "smain_cnj_cnt", "ssub": "ssub_cnj_cnt",
-                        "sv1": "sv1_cnj_cnt"}[clause_cls[ci - 1]]
+                        "sv1": "sv1_cnj_cnt"}[clause_cls[lj]]
                 setattr(parse, lkey, getattr(parse, lkey) + 1)
 
     # coordinated rel conjuncts: both bodies count as ssub conjuncts;

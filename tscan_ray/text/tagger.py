@@ -2054,6 +2054,20 @@ def _context_passes(tokens, ds, lex, n):
                 lemma, morphs = _noun_lemma(lw)
                 d.info = _pi("N", lemma, morphs)
                 continue
+        # coordinated material adjectives: Frog tags the SECOND
+        # conjunct as the plural noun ("houten en STENEN werktuigen",
+        # reference tests/d2 s1, dlevel2 s2: stenen = N(steen))
+        if (d.info.tag == "ADJ" and lw.endswith("en") and len(lw) > 4
+                and (d.info.feat("auto") == "1"
+                     or d.info.morphemes == (d.info.lemma, "en"))
+                and i >= 2 and ds[i - 1].info is not None
+                and ds[i - 1].info.tag == "VG"
+                and ds[i - 2].info is not None
+                and ds[i - 2].info.tag == "ADJ"
+                and lowers[i - 2].endswith("en")):
+            lemma, morphs = _noun_lemma(lw)
+            d.info = _pi("N", lemma, morphs)
+            continue
         # auto-ADJ -en heading nothing, after an (as yet unresolved)
         # inflected -e adjective under a preposition/determiner: the
         # NP head noun ("met blonde HAREN", reference tests/dlevel3 —

@@ -1040,6 +1040,14 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
                     and tokens[i + 1][:1].islower()):
                 info = g0
                 is_name = False
+            elif (g0 is not None and g0.tag == "WW"
+                    and g0.feat("wvorm") == "vd"
+                    and is_punct(tokens[i + 1])):
+                # sentence-initial detached participle before
+                # punctuation ("TOEGEGEVEN : we hebben ...", reference
+                # tests/bug5 s5) — not a name
+                info = g0
+                is_name = False
             elif (g0 is None and lword.endswith("e") and len(lword) > 4
                     and nt is None and tokens[i + 1][:1].islower()
                     and not tokens[i + 1].lower().endswith("en")

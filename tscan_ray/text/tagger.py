@@ -909,6 +909,8 @@ def _guess_open(lword: str, lex: Lexicons) -> PosInfo | None:
 
     # noun derivational suffixes
     for sfx in _N_SUFFIXES:
+        if lword in ("datum",):
+            break  # lexicalized, not derivational (tests/bug5 s8)
         if lword.endswith(sfx) and len(lword) > len(sfx) + 2:
             stem = lword[: -len(sfx)]
             pre = next((p for p in ("ver", "be", "ont", "her", "ge")
@@ -1651,6 +1653,14 @@ def _seg_start(ds, lowers, i) -> int:
             return j + 1
         if (ds[j].info is not None and ds[j].info.tag == "VG"
                 and ds[j].info.feat("conjtype") == "onder"):
+            return j + 1
+        if (ds[j].info is not None and ds[j].info.tag == "VG"
+                and ds[j].info.feat("conjtype") == "neven"
+                and j + 1 < len(lowers) and lowers[j + 1] in ("wat",
+                                                              "wie")):
+            # coordinator + free relative opens its own clause ("en
+            # WAT ons betreft zijn ze ...", tests/bug5 s8) — unlike
+            # bare VP coordination, which shares the left aux
             return j + 1
     return 0
 

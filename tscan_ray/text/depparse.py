@@ -272,6 +272,17 @@ def _split_clauses(anns: list) -> list[Clause]:
     ``onder`` (subordinating) opens an embedded clause (the reduced stand-
     in for Alpino's smain/ssub bracketing)."""
     clauses: list[Clause] = []
+    # paren tokens split clauses only when the parenthesized span holds
+    # a finite verb; a verbless aside is clause-transparent
+    clausal_parens: set[int] = set()
+    open_i = -1
+    for i, a in enumerate(anns):
+        if a.word == "(":
+            open_i = i
+        elif a.word == ")" and open_i >= 0:
+            if any(_is_finite(anns[j]) for j in range(open_i + 1, i)):
+                clausal_parens.update((open_i, i))
+            open_i = -1
     start = 0
     kind = "main"
     conj = -1
@@ -284,10 +295,12 @@ def _split_clauses(anns: list) -> list[Clause]:
             conj = i
             start = i + 1
             seen_finite = False
-        elif a.word in ("(", ")"):
-            # parentheticals are their own clause spans ("een ( hoe
-            # kan het ook anders ) zwart mutsje", reference
-            # tests/flair1 s20: the aside is an sv1 clause)
+        elif a.word in ("(", ")") and i in clausal_parens:
+            # clausal parentheticals are their own clause spans ("een (
+            # hoe kan het ook anders ) zwart mutsje", reference
+            # tests/flair1 s20: the aside is an sv1 clause) — but a
+            # verbless paren NP ("maar nu ( 26 april ) zijn ze er niet
+            # meer", tests/bug2 s6) stays inside the host clause
             if i > start:
                 clauses.append(Clause(start, i, kind, conj))
             kind = "main"

@@ -2704,6 +2704,30 @@ def _context_passes(tokens, ds, lex, n):
                     break
             ds[prevj].info = _pi("WW", pd.lemma, m, wvorm="vd")
 
+    # -- modal cluster with distant clause-final infinitive: "mocht ik
+    # er elke dag één KOPEN" — a span whose first finite is a cluster
+    # modal demotes a later span-final -en plural-present homograph to
+    # the cluster infinitive (reference tests/bug2 s6 verb_vc [5])
+    for (a, b) in spans:
+        fins = [j for j in range(a, b) if _is_fin(ds[j])]
+        if len(fins) < 2:
+            continue
+        first = fins[0]
+        if ds[first].info.lemma not in _CLUSTER_VERBS:
+            continue
+        last_verb = next((j for j in range(b - 1, first, -1)
+                          if not ds[j].punct and ds[j].info is not None
+                          and ds[j].info.tag == "WW"), -1)
+        d = ds[last_verb] if last_verb > first else None
+        if (d is not None and d.info.feat("wvorm") == "pv"
+                and d.info.feat("pvtijd") == "tgw"
+                and lowers[last_verb].endswith("en")
+                and lowers[last_verb] == d.info.lemma
+                # only one finite between: the modal governs directly
+                and sum(1 for j in fins if first < j < last_verb) == 0):
+            stem = _verb_stem(lowers[last_verb])
+            d.info = _pi("WW", d.info.lemma, (stem, "en"), wvorm="inf")
+
     # -- adjective context pass (after verb recovery: copulas are now
     # visible) -----------------------------------------------------------
     for (a, b) in spans:

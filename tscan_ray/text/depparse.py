@@ -38,6 +38,14 @@ DD_TYPES = (
 _FINITE_PROPS = frozenset({"ISPVTGW", "ISPVVERL", "ISSUBJ"})
 _NONFINITE_PROPS = frozenset({"ISINF", "ISVD", "ISOD"})
 _REL_PRONOUNS = frozenset({"die", "dat", "welke"})
+
+# verbs that head verb clusters with a bare infinitive complement
+# (mirrors the tagger's _CLUSTER_VERBS; used for the parse-only
+# pv -> cluster-inf demotion in parse_sentence)
+_CLUSTER_MODALS = frozenset({
+    "zullen", "kunnen", "moeten", "mogen", "willen", "gaan", "komen",
+    "laten", "blijven", "hoeven", "durven", "leren", "helpen", "zien",
+    "horen", "voelen", "doen", "staan", "zitten", "liggen", "lopen"})
 _NOUNISH_TAGS = frozenset({"N", "SPEC"})
 # possessive pronouns that act as NP determiners (Alpino rel="det";
 # evidenced by reference tests/depdist22: "mijn fiets" -> noun_det 0).
@@ -473,6 +481,43 @@ def parse_sentence(anns: list) -> SentParse:
     parse = SentParse()
     n = len(anns)
     puncts = {i for i, a in enumerate(anns) if a.prop == "ISLET"}
+
+    # Frog tags a clause-final plural-present homograph after a modal
+    # as pv ("wou ik 2 repen KOPEN ,", tests/bug3 s2) but the Alpino
+    # TREE still forms the verb cluster (verb_vc [3] there).  The word
+    # counters keep the pv tag; the parse sees a cluster infinitive —
+    # demote on a CLONE so only tree-derived metrics shift.
+    demote = []
+    seg_start = 0
+    _CONN_BW = ("dus", "daarom", "vervolgens", "bovendien", "daarna",
+                "toch")
+    for i in range(n + 1):
+        at_bound = (i == n or anns[i].word in (",", ";", ":", "(", ")")
+                    or (anns[i].tag == "VG"
+                        and anns[i].conjtype != "onder")
+                    or (anns[i].tag == "BW" and anns[i].lword in _CONN_BW
+                        and any(_is_finite(anns[j])
+                                for j in range(seg_start, i))))
+        if not at_bound:
+            continue
+        last = next((j for j in range(i - 1, seg_start - 1, -1)
+                     if j not in puncts), -1)
+        if last > seg_start:
+            a = anns[last]
+            fins = [j for j in range(seg_start, last)
+                    if _is_finite(anns[j])]
+            if (fins and a.tag == "WW" and a.prop == "ISPVTGW"
+                    and a.lword.endswith("en") and a.lword == a.lemma
+                    and anns[fins[-1]].lemma in _CLUSTER_MODALS
+                    and fins[-1] != last):
+                demote.append(last)
+        seg_start = i + 1
+    if demote:
+        import dataclasses
+        anns = list(anns)
+        for j in demote:
+            anns[j] = dataclasses.replace(anns[j], prop="ISINF",
+                                          wwform=anns[j].wwform)
 
     # lexicalized function-word MWUs ("af en toe"): one mwu node in
     # Alpino — the tokens join no PP/conjunction/modifier scan (they do

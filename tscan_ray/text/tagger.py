@@ -2719,10 +2719,20 @@ def _context_passes(tokens, ds, lex, n):
                           if not ds[j].punct and ds[j].info is not None
                           and ds[j].info.tag == "WW"), -1)
         d = ds[last_verb] if last_verb > first else None
+        # the next sentence token (beyond the span) still matters: a
+        # following nominative pronoun / determiner / die / dus keeps
+        # the plural-present reading ("komt ... laten WE",
+        # "leerde ... kennen DIE", "wil ... hebben DUS stuur",
+        # reference tests/relativeclauses s8, dlevel3 s1, bug3 s5)
+        nxt_tok = next((lowers[j] for j in range(last_verb + 1, n)
+                        if not ds[j].punct), "")
         if (d is not None and d.info.feat("wvorm") == "pv"
                 and d.info.feat("pvtijd") == "tgw"
                 and lowers[last_verb].endswith("en")
                 and lowers[last_verb] == d.info.lemma
+                and nxt_tok not in ("we", "ze", "wij", "zij", "ik",
+                                    "je", "jullie", "u", "een", "de",
+                                    "die", "dus")
                 # only one finite between: the modal governs directly
                 and sum(1 for j in fins if first < j < last_verb) == 0):
             stem = _verb_stem(lowers[last_verb])

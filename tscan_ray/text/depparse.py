@@ -330,13 +330,17 @@ def _split_clauses(anns: list) -> list[Clause]:
             seen_finite = False
         elif (a.tag == "BW" and a.lword in _CONN_ADVERBS and seen_finite
               and i > start
-              and any(_is_finite(anns[j])
-                      for j in range(i + 1, len(anns)))):
+              and next((_is_finite(anns[j])
+                        for j in range(i + 1, len(anns))
+                        if anns[j].prop != "ISLET"), False)):
             # connective adverb joining two finite clauses without a VG
             # ("... geen repen met punten meer DUS kocht ik 2 repen",
             # reference tests/bug1/bug2: Alpino brackets the clauses
             # as CONJUNCTS with the adverb as coordinator (smain_cnj
-            # counts both, crd edges run from the adverb)
+            # counts both, crd edges run from the adverb).  V2
+            # inversion (finite DIRECTLY after the adverb) is required:
+            # a mid-clause "echter"/"toch" is a plain modifier ("Het
+            # moeten er ECHTER veel meer zijn geweest", tests/dlevel4)
             clauses.append(Clause(start, i, kind, conj))
             kind = "coord"
             conj = i
@@ -502,16 +506,27 @@ def parse_sentence(anns: list) -> SentParse:
             continue
         last = next((j for j in range(i - 1, seg_start - 1, -1)
                      if j not in puncts), -1)
+        # an auxiliary "zijn/hebben/worden" between the modal and a
+        # trailing participle run is the cluster infinitive too ("Het
+        # moeten er echter veel meer ZIJN geweest", tests/dlevel4 s7:
+        # verb_vc [4, 0]) — walk back over the participles first
+        while (last > seg_start and anns[last].tag == "WW"
+               and anns[last].prop == "ISVD"):
+            last = next((j for j in range(last - 1, seg_start - 1, -1)
+                         if j not in puncts), -1)
         if last > seg_start:
             a = anns[last]
             fins = [j for j in range(seg_start, last)
                     if _is_finite(anns[j])]
             if (fins and a.tag == "WW" and a.prop == "ISPVTGW"
-                    and a.lword.endswith("en") and a.lword == a.lemma
+                    and (a.lword.endswith("en")
+                         or a.lword in ("zijn", "worden"))
+                    and a.lword == a.lemma
                     and anns[fins[-1]].lemma in _CLUSTER_MODALS
                     and fins[-1] != last):
                 demote.append(last)
         seg_start = i + 1
+    orig_anns = anns
     if demote:
         import dataclasses
         anns = list(anns)
@@ -1385,7 +1400,14 @@ def parse_sentence(anns: list) -> SentParse:
                         and anns[content].lemma not in _UNACCUSATIVES):
                     _store(parse, "OBJ1_VERB", content,
                            np_start.get(su, su), puncts)
-                elif not (content == aux_inf and vd_parts):
+                elif not (vd_parts and aux_inf >= 0
+                          and (content == aux_inf
+                               # passive chain: the vd content verb
+                               # gets its obj1 ref from the aux_inf
+                               # block, never a second su ("zou ...
+                               # WORDEN GEHOUDEN", tests/dlevel1 s2)
+                               or (anns[aux_inf].lemma == "worden"
+                                   and content in vd_parts))):
                     _store(parse, "SUB_VERB", content, su_tgt, puncts)
             # coordinated subject with a PHRASAL right conjunct: its head
             # gets its own su edge ("Jan en de MAN met de pet LIEPEN",
@@ -1414,6 +1436,13 @@ def parse_sentence(anns: list) -> SentParse:
                 if anns[aux_inf].lemma == "worden":
                     for w in vd_parts:
                         _store(parse, "OBJ1_VERB", w,
+                               np_start.get(su, su), puncts)
+                else:
+                    # perfect/unaccusative chain ("moeten ... zijn
+                    # GEWEEST", tests/dlevel4 s7): the participle
+                    # carries its own coindexed su ref
+                    for w in vd_parts:
+                        _store(parse, "SUB_VERB", w,
                                np_start.get(su, su), puncts)
         else:
             for w in verbs:
@@ -1931,8 +1960,10 @@ def parse_sentence(anns: list) -> SentParse:
     parse.ssub_cnj_cnt += 2 * len(relconj_crd)
     ladder_rels = [(nn, pp) for (nn, pp) in rel_after_noun
                    if pp not in conj_rel_prons]
-    parse.d_level = _d_level(anns, clauses, ladder_rels, main_verb_idx,
-                             puncts, main_su)
+    # the D-level ladder counts Frog pv TAGS (src/Alpino.cxx:736): it
+    # sees the original props, not the parse-only cluster demotions
+    parse.d_level = _d_level(orig_anns, clauses, ladder_rels,
+                             main_verb_idx, puncts, main_su)
     parse.d_level_gt4 = 1 if parse.d_level > 4 else 0
     return parse
 

@@ -212,6 +212,16 @@ def _pp_object(anns: list, i: int, end: int, puncts: set[int]) -> int:
                 k = nk + 1
                 continue
             return -1
+        if a.tag == "WW" and a.prop in ("ISVD", "ISOD"):
+            # prenominal participle inside the PP ("van een GEVONDEN
+            # winkelkar", tests/flair1 s6): skip to the nominal head
+            nk = next((x for x in range(k + 1, end)
+                       if x not in puncts), -1)
+            if nk >= 0 and (_is_nounish(anns[nk])
+                            or anns[nk].tag == "ADJ"):
+                k += 1
+                continue
+            return -1
         if a.tag in ("VZ", "WW"):
             return -1
         if a.tag == "BW" and a.lword in ("hoe", "waarom", "wanneer"):
@@ -1691,6 +1701,14 @@ def parse_sentence(anns: list) -> SentParse:
                 if pj >= 0 and _is_nounish(anns[pj]):
                     continue
                 obj_cands.append(j)
+            elif (b.tag == "TW" and is_copula
+                  and not (j + 1 < cl.end and j + 1 not in puncts
+                           and (_is_nounish(anns[j + 1])
+                                or anns[j + 1].tag in ("ADJ", "TW")))):
+                # bare numeral predicate under a copula ("Toen ik TIEN
+                # was", tests/flair1 s6: predc_n 0, koppel counts)
+                if j > in_pp_until and j not in pp_objects:
+                    obj_cands.append(j)
             elif (b.tag == "VNW" and b.lword in ("meer", "minder")
                     and not (j + 1 < cl.end and j + 1 not in puncts
                              and (_is_nounish(anns[j + 1])
@@ -1815,7 +1833,11 @@ def parse_sentence(anns: list) -> SentParse:
         if cop_inf >= 0 and obj_cands and su >= 0 \
                 and all(c < cop_inf for c in obj_cands):
             _store(parse, "VERB_PREDC_N", cop_inf, obj_cands[0], puncts)
-            _store(parse, "SUB_VERB", cop_inf, su, puncts)
+            if not (aux_construction and content == cop_inf):
+                # when the copular infinitive IS the aux-chain content
+                # verb its coindexed su ref fired above already
+                # ("blijkt ... te ZIJN", tests/flair1 s17)
+                _store(parse, "SUB_VERB", cop_inf, su, puncts)
             obj_cands = []
 
         obj1_tgt = -1

@@ -974,6 +974,16 @@ def analyze_sentence(
                     # reference tests/predc-n)
                     end = j
                     break
+                if (anns[j].word == ","
+                        and j + 1 < len(anns)
+                        and anns[j + 1].tag == "WW"
+                        and anns[j + 1].prop.startswith("ISPV")):
+                    # comma directly followed by a finite = the next
+                    # clause ("Toen ik tien WAS , maakten we ...",
+                    # tests/flair1 s6: the copula window must not see
+                    # the main clause's participle)
+                    end = j
+                    break
                 if anns[j].tag != "VG":
                     continue
                 if anns[j].conjtype == "onder" or any(
@@ -1037,7 +1047,9 @@ def analyze_sentence(
                     if b.prop == "ISLET" or b.tag == "BW" \
                             or b.lword == "te":
                         continue
-                    if b.tag in ("ADJ", "N") or b.prop == "ISNAME":
+                    # a bare numeral is a predicate too ("Toen ik TIEN
+                    # was", tests/flair1 s6: koppel + predc_n)
+                    if b.tag in ("ADJ", "N", "TW") or b.prop == "ISNAME":
                         predc = True
                     break
             lemma = a.lemma

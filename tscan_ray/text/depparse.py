@@ -193,6 +193,15 @@ def _has_np_complement(anns: list, j: int, end: int, puncts: set[int]) -> bool:
     return False
 
 
+def _nounish_after(anns: list, i: int, end: int,
+                   puncts: set[int]) -> bool:
+    """True when the next non-punct token after ``i`` heads a noun run
+    (the ADJ at ``i`` is prenominal, not predicative)."""
+    nxt = next((j for j in range(i + 1, end) if j not in puncts), -1)
+    return nxt >= 0 and (_is_nounish(anns[nxt])
+                         or anns[nxt].tag == "ADJ")
+
+
 def _pp_object(anns: list, i: int, end: int, puncts: set[int]) -> int:
     """Head of the object NP of the preposition at ``i``: the first
     noun/name, nominal plural numeral ("na al die duizenden JAREN" →
@@ -311,6 +320,18 @@ def _split_clauses(anns: list) -> list[Clause]:
                 clauses.append(Clause(start, i, kind, conj))
             kind = "sub" if a.conjtype == "onder" else "coord"
             conj = i
+            start = i + 1
+            seen_finite = False
+        elif (a.word in (":", ";") and seen_finite
+              and any(_is_finite(anns[j])
+                      for j in range(i + 1, len(anns)))):
+            # colon/semicolon between two finite fields opens a fresh
+            # clause ("... gezegd worden : wat willen we ...",
+            # tests/bug5 s2: 3 clauses)
+            if i > start:
+                clauses.append(Clause(start, i, kind, conj))
+            kind = "main"
+            conj = -1
             start = i + 1
             seen_finite = False
         elif a.word in ("(", ")") and i in clausal_parens:
@@ -988,6 +1009,17 @@ def parse_sentence(anns: list) -> SentParse:
                     if i not in puncts), -1)
         rnb = next((i for i in range(cj + 1, n)
                     if i not in puncts), -1)
+        if (lnb >= 0 and rnb >= 0
+                and anns[lnb].tag == "ADJ" and anns[rnb].tag == "ADJ"
+                # predicative ADJ coordination ("goed EN veilig over
+                # zijn", tests/bug5 s2: crd [0,0]) — prenominal pairs
+                # ("houten en stenen werktuigen") head the NP instead
+                and not _nounish_after(anns, rnb, n, puncts)):
+            _store(parse, "CRD_CNJ", cj, lnb, puncts)
+            _store(parse, "CRD_CNJ", cj, rnb, puncts)
+            parse.small_cnj_cnt += 2
+            parse.small_cnj_extra_cnt += 1
+            continue
         if lnb >= 0 and rnb >= 0 \
                 and anns[lnb].tag in ("VZ", "WW", "BW") \
                 and anns[rnb].tag in ("VZ", "WW", "BW"):
@@ -1242,11 +1274,19 @@ def parse_sentence(anns: list) -> SentParse:
                     cls = "sv1"
                     if ci == 0:
                         parse.imperative_idx = finites[0]
-            elif (anns[idxs[0]].tag == "BW"
+            elif (((anns[idxs[0]].tag == "BW"
                     and anns[idxs[0]].lword in ("hoe", "waarom",
-                                                "wanneer")
+                                                "wanneer"))
+                   # wh-pronoun questions too ("WAT willen we ab-so-luut
+                   # niet meer terugzien ?", tests/bug5 s2)
+                   or (anns[idxs[0]].tag == "VNW"
+                       and anns[idxs[0]].lword in ("wat", "wie")))
                     and next((k for k in idxs if k > idxs[0]), -1)
-                    == finites[0]):
+                    == finites[0]
+                    # an intervening quote/question mark detaches the
+                    # wh word ("' Wie ? ' vraag ik", tests/bug4 s11:
+                    # smain, the wh is a du fragment)
+                    and finites[0] == idxs[0] + 1):
                 # wh-V2 direct question ("hoe KAN het ook anders"):
                 # Alpino whq brackets an sv1 body (flair1 s20)
                 parse.sv1_cnt += 1

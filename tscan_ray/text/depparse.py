@@ -1495,7 +1495,15 @@ def parse_sentence(anns: list) -> SentParse:
                         _store(parse, "SUB_VERB", w,
                                np_start.get(su, su), puncts)
         else:
+            chain_head = verb
+            om_complement = False
             for w in verbs:
+                if w != verb and _is_finite(anns[w]):
+                    # a second finite in the clause heads its own
+                    # cluster ("... zou komen , werd niet BEWAARHEID",
+                    # tests/relativeclauses s15)
+                    chain_head = w
+                    continue
                 if w != verb and anns[w].prop in _NONFINITE_PROPS:
                     if w == vp_conj_verb:
                         # coordinated VP conjunct: its head hangs under
@@ -1521,7 +1529,25 @@ def parse_sentence(anns: list) -> SentParse:
                         if onoun >= 0:
                             _store(parse, "NOUN_VC", onoun, w, puncts)
                             continue
-                    _store(parse, "VERB_VC", verb, w, puncts)
+                    # multi-infinitive clusters CHAIN ("heeft MOETEN
+                    # HAASTEN", tests/dlevel6 s10: vc [0, 0], each inf
+                    # with its own coindexed su ref), instead of all
+                    # hanging flat under the finite
+                    _store(parse, "VERB_VC", chain_head, w, puncts)
+                    if anns[w].prop == "ISINF" and w > verb:
+                        # an om..te complement controls its su from the
+                        # OBJECT — no coindexed su ref into it ("om de
+                        # steen overheen te laten ROLLEN", tests/d3 s4)
+                        if any(anns[k].lword == "om"
+                               for k in range(verb + 1, w)):
+                            om_complement = True
+                        if (su >= 0 and not om_complement
+                                and not (aux_construction
+                                         and w == content)
+                                and chain_head != verb):
+                            _store(parse, "SUB_VERB", w,
+                                   np_start.get(su, su), puncts)
+                        chain_head = w
 
         # conjunction edges: comp -> body plus matrix verb -> subordinator
         # (verb_comp, reference tests/depdist18); clausal crd edges run to
@@ -1765,6 +1791,10 @@ def parse_sentence(anns: list) -> SentParse:
                 if not (pj2 >= cl.start and anns[pj2].tag == "BW"):
                     _store(parse, "VERB_MOD_A", sc_tgt, j, puncts)
                     parse.vc_mod_cnt += 1  # advp node (getAdverbialNodes)
+            elif b.lword in ("zich", "zichzelf"):
+                # reflexive = Alpino rel "se": no distance edge
+                # ("of ze ZICH heeft moeten haasten", tests/dlevel6 s10)
+                continue
             elif b.tag == "VNW" and j not in poss_det \
                     and b.prop in ("ISPPRON1", "ISPPRON2", "ISPPRON3"):
                 if j <= in_pp_until or j in pp_objects:

@@ -1782,6 +1782,28 @@ def _context_passes(tokens, ds, lex, n):
                         break
                 if not v2:
                     d.info = _pi("VG", "of", conjtype="onder")
+            else:
+                # mid-clause "of" after an epistemic/perception verb's
+                # field is the whether-complementizer ("Het LIJKT wel
+                # OF ze zich heeft moeten haasten", tests/dlevel6 s10)
+                # — a nominal/adjectival left neighbour keeps the
+                # coordination reading ("appels of peren")
+                pj = i - 1
+                while pj >= 0 and ds[pj].punct:
+                    pj -= 1
+                left_bw = (pj >= 0 and ds[pj].info is not None
+                           and ds[pj].info.tag == "BW")
+                has_epi = any(
+                    not ds[j].punct and ds[j].info is not None
+                    and ds[j].info.tag == "WW"
+                    and ds[j].info.feat("wvorm") == "pv"
+                    and ds[j].info.lemma in (
+                        "lijken", "schijnen", "weten", "vragen",
+                        "afvragen", "twijfelen", "betwijfelen",
+                        "kijken", "checken", "controleren")
+                    for j in range(_seg_start(ds, lowers, i), i))
+                if left_bw and has_epi:
+                    d.info = _pi("VG", "of", conjtype="onder")
         elif lw == "nu":
             # clause-initial "nu" + subject pronoun + verb-final clause
             # is the temporal subordinator ("NU we de drempel ... over

@@ -557,13 +557,46 @@ def parse_sentence(anns: list) -> SentParse:
                     and fins[-1] != last):
                 demote.append(last)
         seg_start = i + 1
+    # a determined infinitive is an NP head in the tree ("met HET
+    # BESTAAN als jager", tests/d5 s3: prep_obj1 met->bestaan, det
+    # edge, np counts) — demote to N on the same parse-only clone
+    nominal_infs: set[int] = set()
+    for i, a in enumerate(anns):
+        if a.tag == "WW" and a.prop == "ISINF" and i:
+            pj = next((j for j in range(i - 1, -1, -1)
+                       if j not in puncts), -1)
+            if pj >= 0 and (anns[pj].tag == "LID"
+                            or (anns[pj].tag == "VNW"
+                                and anns[pj].lword in (
+                                    "mijn", "jouw", "uw", "zijn",
+                                    "haar", "hun", "ons", "onze"))):
+                # "aan het WERKEN" is the progressive aspect, still
+                # verbal (tests/smallconjuncts s12: no det/obj edges)
+                pj2 = next((j for j in range(pj - 1, -1, -1)
+                            if j not in puncts), -1)
+                if pj2 >= 0 and anns[pj].lword == "het" \
+                        and (anns[pj2].lword == "aan"
+                             # coordinated progressive conjunct ("aan
+                             # het schikken en HET PLOOIEN")
+                             or (anns[pj2].tag == "VG"
+                                 and any(anns[k].lword == "aan"
+                                         and anns[k + 1].lword == "het"
+                                         for k in range(pj2)))):
+                    continue
+                demote.append(-i - 1)  # negative marker = noun demotion
+                nominal_infs.add(i)
+
     orig_anns = anns
     if demote:
         import dataclasses
         anns = list(anns)
         for j in demote:
-            anns[j] = dataclasses.replace(anns[j], prop="ISINF",
-                                          wwform=anns[j].wwform)
+            if j < 0:
+                k = -j - 1
+                anns[k] = dataclasses.replace(anns[k], tag="N", prop="")
+            else:
+                anns[j] = dataclasses.replace(anns[j], prop="ISINF",
+                                              wwform=anns[j].wwform)
 
     # lexicalized function-word MWUs ("af en toe"): one mwu node in
     # Alpino — the tokens join no PP/conjunction/modifier scan (they do
@@ -1544,7 +1577,7 @@ def parse_sentence(anns: list) -> SentParse:
                         if (su >= 0 and not om_complement
                                 and not (aux_construction
                                          and w == content)
-                                and chain_head != verb):
+                                and (chain_head != verb or shared_su)):
                             _store(parse, "SUB_VERB", w,
                                    np_start.get(su, su), puncts)
                         chain_head = w

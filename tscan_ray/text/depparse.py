@@ -315,7 +315,15 @@ def _split_clauses(anns: list) -> list[Clause]:
     conj = -1
     seen_finite = False
     for i, a in enumerate(anns):
-        if a.tag == "VG":
+        if (a.tag == "VG" and a.conjtype != "onder"
+                and 0 < i < len(anns) - 1
+                and anns[i - 1].tag == "VZ"
+                and anns[i + 1].tag == "VZ"):
+            # coordinated bare particles/prepositions ("dozen IN OF
+            # UIT te pakken", tests/flair1 s18) — phrase-level, never
+            # a clause boundary
+            pass
+        elif a.tag == "VG":
             if i > start:
                 clauses.append(Clause(start, i, kind, conj))
             kind = "sub" if a.conjtype == "onder" else "coord"
@@ -375,6 +383,20 @@ def _split_clauses(anns: list) -> list[Clause]:
             clauses.append(Clause(start, i, kind, conj))
             kind = "coord"
             conj = i
+            start = i + 1
+            seen_finite = False
+        elif (a.word == "," and seen_finite
+              and i + 2 < len(anns)
+              and anns[i + 1].tag == "VNW"
+              and anns[i + 1].lword in ("dat", "dit")
+              and _is_finite(anns[i + 2])):
+            # comma + demonstrative subject + V2 finite = asyndetic
+            # peer clause ("... te pakken , DAT IS mij niet helemaal
+            # duidelijk", tests/flair1 s18: 2 smains) — a relative
+            # would be verb-FINAL after dat
+            clauses.append(Clause(start, i, kind, conj))
+            kind = "coord"
+            conj = -1
             start = i + 1
             seen_finite = False
         elif (a.word == "," and seen_finite and i > start
@@ -650,6 +672,13 @@ def parse_sentence(anns: list) -> SentParse:
                 rel_after_noun.append((noun, i))
 
     clauses, nominal_conjs = _merge_nominal_conj(anns, _split_clauses(anns))
+    # particle coordination never reached the clause splitter ("dozen
+    # IN OF UIT te pakken"): hand the VG to the small-conj scan
+    for i in range(1, n - 1):
+        if (anns[i].tag == "VG" and anns[i].conjtype != "onder"
+                and anns[i - 1].tag == "VZ" and anns[i + 1].tag == "VZ"
+                and i not in nominal_conjs):
+            nominal_conjs.append(i)
 
     # Dutch ssub is verb-final: a subordinate clause ends at its finite
     # verb — material after it (a second finite) resumes the MATRIX
@@ -1187,6 +1216,17 @@ def parse_sentence(anns: list) -> SentParse:
             su = next((i for i in idxs if i < verb and i not in poss_det
                        and i not in pp_objects
                        and _is_su_candidate(anns[i])), -1)
+        if (su < 0 and verb >= 1 and verb - 1 in idxs
+                and anns[verb - 1].tag == "VNW"
+                and anns[verb - 1].prop == "ISAANW"
+                # not the locative R-pronouns ("DAAR horen dus ...
+                # spaarpunten bij", tests/bug2 s8: su = spaarpunten)
+                and anns[verb - 1].lword in ("dat", "dit", "die",
+                                             "deze")):
+            # bare demonstrative subject directly before the finite
+            # ("..., DAT is mij niet helemaal duidelijk",
+            # tests/flair1 s18: su edge dist 0)
+            su = verb - 1
         # matrix continuation after an embedded verb-final sub clause:
         # the subject sits BEFORE the subordinator ("De KANS dat hij Piet
         # ziet IS vrij klein", reference tests/depdist21: su edge

@@ -1263,6 +1263,25 @@ def parse_sentence(anns: list) -> SentParse:
                 su = next((i for i in idxs if i > verb
                            and i not in poss_det and i not in pp_objects
                            and _is_su_candidate(anns[i])), -1)
+            elif idxs and idxs[0] == verb:
+                # verb-initial conjunct whose post-verb NP fronts a
+                # dat/of complement clause = inversion; the NP is the
+                # SUBJECT, the cp the object ("en betekent DIE
+                # WINTERSPORT dat ...", tests/bug4 s19).  A bare
+                # post-verb NP stays the shared-subject object
+                # ("... en zet koffie")
+                cand = next((i for i in idxs if i > verb
+                             and i not in poss_det
+                             and i not in pp_objects
+                             and _is_su_candidate(anns[i])), -1)
+                if cand >= 0:
+                    after = next((j for j in range(cand + 1,
+                                                   min(cl.end + 1, n))
+                                  if j not in puncts
+                                  and not _is_nounish(anns[j])), -1)
+                    if (after >= 0 and anns[after].tag == "VG"
+                            and anns[after].lword in ("dat", "of")):
+                        su = cand
         if su < 0 and cl.kind == "coord" and prev_su >= 0 and finites:
             su = prev_su
             shared_su = True
@@ -1647,7 +1666,11 @@ def parse_sentence(anns: list) -> SentParse:
                 pn = next((i for i in range(cl.conj_idx - 1, -1, -1)
                            if i not in puncts), -1)
                 if (pn >= 0 and _is_nounish(anns[pn])
+                        and pn != prev_su
                         and anns[cl.conj_idx].lword in ("dat", "of")):
+                    # ... but an inverted SUBJECT before the dat is no
+                    # host noun ("betekent die wintersport DAT ...",
+                    # tests/bug4 s19: verb_comp, not noun_vc)
                     _store(parse, "NOUN_VC", pn, verb, puncts)
                 elif prev_clause_verb >= 0 and cl.conj_idx - 1 not in puncts:
                     # comma before the subordinator -> Alpino detaches the
@@ -1864,6 +1887,20 @@ def parse_sentence(anns: list) -> SentParse:
                 if not (pj2 >= cl.start and anns[pj2].tag == "BW"):
                     _store(parse, "VERB_MOD_A", sc_tgt, j, puncts)
                     parse.vc_mod_cnt += 1  # advp node (getAdverbialNodes)
+            elif (b.tag == "VNW" and b.prop == "ISAANW"
+                  and b.lword in ("die", "dat", "dit", "deze")
+                  and j not in poss_det
+                  and not (j + 1 < cl.end and j + 1 not in puncts
+                           and (_is_nounish(anns[j + 1])
+                                or anns[j + 1].tag in ("ADJ", "LID",
+                                                       "VNW", "TW")))
+                  and not is_copula):
+                # standalone demonstrative as object ("heeft ze DIE al
+                # gemaakt", tests/bug4 s19: obj1 dist 1) — under a
+                # copula it is the predicate instead ("als Piet DAT
+                # is", tests/connective5), no edge
+                if j > in_pp_until and j not in pp_objects:
+                    obj_cands.append(j)
             elif b.lword in ("zich", "zichzelf"):
                 # reflexive = Alpino rel "se": no distance edge
                 # ("of ze ZICH heeft moeten haasten", tests/dlevel6 s10)

@@ -1047,9 +1047,11 @@ def analyze_sentence(
                     if b.prop == "ISLET" or b.tag == "BW" \
                             or b.lword == "te":
                         continue
-                    # a bare numeral is a predicate too ("Toen ik TIEN
-                    # was", tests/flair1 s6: koppel + predc_n)
-                    if b.tag in ("ADJ", "N", "TW") or b.prop == "ISNAME":
+                    # a bare numeral or demonstrative is a predicate
+                    # too ("Toen ik TIEN was", tests/flair1 s6; "als
+                    # Piet DAT is", tests/connective5)
+                    if (b.tag in ("ADJ", "N", "TW")
+                            or b.prop in ("ISNAME", "ISAANW")):
                         predc = True
                     break
             lemma = a.lemma

@@ -1740,6 +1740,16 @@ def _context_passes(tokens, ds, lex, n):
             if vd_next:
                 d.info = _pi("WW", "zijn", ("ben", "en"), wvorm="pv",
                              pvtijd="tgw")
+            elif (prev_lw in ("dit", "dat", "we", "wij", "ze", "zij",
+                              "jullie")
+                  and nx >= 0 and ds[nx].info is not None
+                  and ds[nx].info.tag == "TW"):
+                # plural copula after a demonstrative/nominative
+                # subject ("Dit ZIJN twee zinnen", tests/semicolon):
+                # the numeral-headed NP is the predicate, not a
+                # possessive complement
+                d.info = _pi("WW", "zijn", ("zijn",), wvorm="pv",
+                             pvtijd="tgw")
             elif nx >= 0 and _nounish_ahead(tokens, ds, nx, lex):
                 d.info = _CLOSED["zijn\x00bez"]
             elif prev_lw == "te" or (pv == "WW"):

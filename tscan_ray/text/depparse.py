@@ -726,6 +726,14 @@ def parse_sentence(anns: list) -> SentParse:
                                 and anns[k].tag == "WW"), -1)
                 if last_ww >= 0:
                     fin = last_ww
+            elif comma < 0 and fin < 0:
+                # bare-infinitive rel body running to the sentence end
+                # ("om naar mensen te kijken die helemaal niets
+                # KUNNEN .", tests/bug5 s5: ssub, su die -> kunnen)
+                tail = next((k for k in range(cl.end - 1, pron, -1)
+                             if k not in puncts), -1)
+                if tail > pron and anns[tail].tag == "WW":
+                    fin = tail
             # a NESTED relative between this pronoun and the finite owns
             # that finite (verb-final order); the outer clause's verb is
             # the next one ("waar de jongen , die ... WAS , ... IS

@@ -1621,7 +1621,12 @@ def parse_sentence(anns: list) -> SentParse:
                     # verb keeps no vc edge)
                     if (anns[verb].lemma in ("hebben", "krijgen")
                             and w >= 2 and anns[w - 1].lword == "te"
-                            and anns[w].prop == "ISINF"):
+                            and anns[w].prop == "ISINF"
+                            # an om..te clause complements the VERB,
+                            # not a noun ("gevonden OM naar mensen te
+                            # kijken", tests/bug5 s5)
+                            and not any(anns[k].lword == "om"
+                                        for k in range(verb + 1, w))):
                         onoun = next(
                             (k for k in range(w - 2, verb, -1)
                              if k not in puncts and anns[k].tag == "N"),
@@ -1634,6 +1639,11 @@ def parse_sentence(anns: list) -> SentParse:
                     # with its own coindexed su ref), instead of all
                     # hanging flat under the finite
                     _store(parse, "VERB_VC", chain_head, w, puncts)
+                    if anns[w].prop == "ISVD" and w > verb:
+                        # a content participle governs a later om..te
+                        # complement ("GEVONDEN om naar mensen te
+                        # kijken", tests/bug5 s5: vc gevonden->kijken)
+                        chain_head = w
                     if anns[w].prop == "ISINF" and w > verb:
                         # an om..te complement controls its su from the
                         # OBJECT — no coindexed su ref into it ("om de
@@ -1774,16 +1784,44 @@ def parse_sentence(anns: list) -> SentParse:
         obj_cands: list[int] = []
         in_pp_until = -1
         aci_pron = -1
+        # om..te complement (Alpino oti): material between "om" and the
+        # body infinitive belongs to the INFINITIVE's field ("gevonden
+        # om naar mensen TE KIJKEN", tests/bug5 s5: comp_body om ->
+        # kijken, pp naar -> kijken)
+        om_idx = om_inf = -1
+        for j in span:
+            if (anns[j].tag == "VZ" and anns[j].lword == "om"
+                    and j + 1 < cl.end):
+                k = next((x for x in range(j + 1, cl.end)
+                          if anns[x].tag == "WW"
+                          and anns[x].prop == "ISINF"
+                          and x >= 1 and anns[x - 1].lword == "te"), -1)
+                if k >= 0:
+                    om_idx, om_inf = j, k
+                    # the cmp/body edge only when the om-clause
+                    # complements a VERB; a noun/adjective host makes
+                    # it a modifier without edges ("potten OM voorraden
+                    # in te bewaren", tests/d2 s1; "leuk OM te horen",
+                    # tests/smallconjuncts s25)
+                    pj = next((x for x in range(j - 1, -1, -1)
+                               if x not in puncts), -1)
+                    if pj >= 0 and anns[pj].tag == "WW":
+                        _store(parse, "COMP_BODY", j, k, puncts)
+                    break
         for j in span:
             b = anns[j]
             if j in mwu:
                 continue  # inside a lexicalized MWU ("af en toe")
+            if j == om_idx:
+                continue  # the om complementizer carries no PP edge
             # VP coordination: material after the coordinator hangs
             # under the right conjunct's participle, not the shared
             # cluster ("en het stadje VERKEND", smallconjuncts s16)
             sc_tgt = (vp_conj_verb
                       if vp_conj_bound >= 0 and j > vp_conj_bound
                       else content)
+            if om_idx >= 0 and om_idx < j < om_inf:
+                sc_tgt = om_inf
             if b.tag == "VZ":
                 if b.lword == "te":
                     continue  # infinitive marker, not a preposition

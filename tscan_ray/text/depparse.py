@@ -42,6 +42,13 @@ _REL_PRONOUNS = frozenset({"die", "dat", "welke"})
 # verbs that head verb clusters with a bare infinitive complement
 # (mirrors the tagger's _CLUSTER_VERBS; used for the parse-only
 # pv -> cluster-inf demotion in parse_sentence)
+# subject-control verbs whose te-infinitive complement carries a
+# coindexed su ref in the tree ("vergat ... te kammen", tests/d1 s2)
+_CONTROL_VERBS = frozenset({
+    "vergeten", "proberen", "besluiten", "weigeren", "beloven",
+    "hopen", "wensen", "trachten", "pogen", "dreigen", "beginnen",
+    "ophouden", "leren", "durven", "weten"})
+
 _CLUSTER_MODALS = frozenset({
     "zullen", "kunnen", "moeten", "mogen", "willen", "gaan", "komen",
     "laten", "blijven", "hoeven", "durven", "leren", "helpen", "zien",
@@ -1654,7 +1661,25 @@ def parse_sentence(anns: list) -> SentParse:
                         if (su >= 0 and not om_complement
                                 and not (aux_construction
                                          and w == content)
-                                and (chain_head != verb or shared_su)):
+                                and (chain_head != verb or shared_su
+                                     # IPP first inf under a plain aux
+                                     # ("had ... ZITTEN babbelen",
+                                     # tests/dlevel1 s1) — AcI clauses
+                                     # (inf_head set) coindex via the
+                                     # object, aux/te chains via the
+                                     # content verb
+                                     or (inf_head < 0
+                                         and not aux_construction
+                                         and w >= 1
+                                         and (anns[w - 1].lword != "te"
+                                              # control verbs coindex
+                                              # into their te-inf
+                                              # ("VERGAT zijn haar te
+                                              # KAMMEN", tests/d1 s2)
+                                              or (anns[verb].lemma in
+                                                  _CONTROL_VERBS
+                                                  and anns[w].wwform
+                                                  != "COPULA"))))):
                             _store(parse, "SUB_VERB", w,
                                    np_start.get(su, su), puncts)
                         chain_head = w
@@ -1965,7 +1990,11 @@ def parse_sentence(anns: list) -> SentParse:
                 if not (k < cl.end and _is_nounish(anns[k])):
                     # pronominal "het" with no noun to determine ("Ko het
                     # beter kon zien", reference tests/depdist20: obj1)
-                    obj_cands.append(j)
+                    # — except the ANTICIPATORY het of an om..te
+                    # complement (Alpino rel=sup: "HET leuk gevonden om
+                    # te kijken", tests/bug5 s5, no obj edge)
+                    if not (om_idx >= 0 and j < om_idx):
+                        obj_cands.append(j)
             elif b.tag == "BW" or (b.tag == "SPEC"
                                    and b.prop != "ISNAME") or (
                     b.tag == "VNW"
@@ -2029,6 +2058,14 @@ def parse_sentence(anns: list) -> SentParse:
                             and b.lword not in ("vrij", "erg", "heel",
                                                 "zeer", "nogal")):
                         _store(parse, "VERB_MOD_A", sc_tgt, j, puncts)
+                elif (nxt2 == content and anns[content].tag == "WW"
+                        and anns[content].prop == "ISVD"
+                        and anns[content].lemma in ("vinden", "achten",
+                                                    "noemen", "maken")):
+                    # resultative predicate before a small-clause verb
+                    # ("het lang LEUK gevonden", tests/bug5 s5:
+                    # predc_a 0)
+                    _store(parse, "VERB_PREDC_A", sc_tgt, j, puncts)
                 else:
                     _store(parse, "VERB_PREDC_A" if (is_copula or is_passive) else "VERB_MOD_A",
                            sc_tgt, j, puncts)

@@ -1752,13 +1752,23 @@ def _context_passes(tokens, ds, lex, n):
                              pvtijd="tgw")
             elif nx >= 0 and _nounish_ahead(tokens, ds, nx, lex):
                 d.info = _CLOSED["zijn\x00bez"]
+            elif (nx >= 0 and lowers[nx] == "haar" and nx + 1 < n
+                  and lowers[nx + 1] == "te"):
+                # "vergat ZIJN HAAR te kammen" (tests/d1 s2): the
+                # noun-homograph pronoun after the possessive is the
+                # possessed noun, not nounish-ahead-visible
+                d.info = _CLOSED["zijn\x00bez"]
+                ds[nx].info = _pi("N", "haar")
             elif prev_lw == "te" or (pv == "WW"):
                 d.info = _pi("WW", "zijn", ("zijn",), wvorm="inf")
             else:
                 d.info = _pi("WW", "zijn", ("ben", "en"), wvorm="pv",
                              pvtijd="tgw")
         elif lw == "haar":
-            if nx >= 0 and _nounish_ahead(tokens, ds, nx, lex):
+            if d.info is not None and d.info.tag == "N":
+                pass  # possessed noun set by the zijn rule ("zijn
+                # haar te kammen", tests/d1 s2)
+            elif nx >= 0 and _nounish_ahead(tokens, ds, nx, lex):
                 d.info = _CLOSED["haar\x00bez"]
             else:
                 d.info = _pi("VNW", "haar", vwtype="pers", persoon="3")
@@ -2769,6 +2779,62 @@ def _context_passes(tokens, ds, lex, n):
                 and sum(1 for j in fins if first < j < last_verb) == 0):
             stem = _verb_stem(lowers[last_verb])
             d.info = _pi("WW", d.info.lemma, (stem, "en"), wvorm="inf")
+
+    # -- cluster-verb noun homograph before an infinitive: "heb hem
+    # LEREN lopen" — a noun/adjective -en homograph of a cluster verb
+    # directly before a bare infinitive, with an earlier finite in the
+    # span, is the IPP infinitive (reference tests/smallconjuncts s17)
+    for (a, b) in spans:
+        if not any(_is_fin(ds[j]) for j in range(a, b)):
+            continue
+        for i in range(a + 1, b):
+            d = ds[i]
+            lw = lowers[i]
+            if (not d.punct and d.info is not None
+                    and d.info.tag in ("N", "ADJ")
+                    and lw.endswith("en") and lw in _CLUSTER_VERBS
+                    and _is_fin(ds[a]) is not None):
+                nx2 = next((k for k in range(i + 1, b)
+                            if not ds[k].punct), -1)
+                if (nx2 >= 0 and ds[nx2].info is not None
+                        and ds[nx2].info.tag == "WW"
+                        and ds[nx2].info.feat("wvorm") == "inf"
+                        and any(_is_fin(ds[j]) for j in range(a, i))):
+                    stem = _verb_stem(lw)
+                    d.info = _pi("WW", lw, (stem, "en"), wvorm="inf")
+
+    # -- IPP double-infinitive cluster: "had ... ZITTEN babbelen" — an
+    # -en plural-present homograph DIRECTLY before a clause-final
+    # infinitive run, with an earlier finite auxiliary, is itself an
+    # infinitive (reference tests/dlevel1 s1: infCnt 2)
+    for (a, b) in spans:
+        fins = [j for j in range(a, b) if _is_fin(ds[j])]
+        if not fins:
+            continue
+        first = fins[0]
+        if ds[first].info.lemma not in (_CLUSTER_VERBS
+                                        | {"hebben", "zijn"}):
+            continue
+        last_verb = next((j for j in range(b - 1, first, -1)
+                          if not ds[j].punct and ds[j].info is not None
+                          and ds[j].info.tag == "WW"), -1)
+        j = last_verb
+        while (j > first and ds[j].info is not None
+               and ds[j].info.tag == "WW"
+               and ds[j].info.feat("wvorm") == "inf"):
+            pj = next((k for k in range(j - 1, first, -1)
+                       if not ds[k].punct), -1)
+            if pj <= first or ds[pj].info is None \
+                    or ds[pj].info.tag != "WW":
+                break
+            pd = ds[pj].info
+            if (pd.feat("wvorm") == "pv" and pd.feat("pvtijd") == "tgw"
+                    and lowers[pj].endswith("en")
+                    and lowers[pj] == pd.lemma):
+                stem = _verb_stem(lowers[pj])
+                ds[pj].info = _pi("WW", pd.lemma, (stem, "en"),
+                                  wvorm="inf")
+            j = pj
 
     # -- adjective context pass (after verb recovery: copulas are now
     # visible) -----------------------------------------------------------

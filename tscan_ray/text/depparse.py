@@ -196,6 +196,12 @@ def _has_np_complement(anns: list, j: int, end: int, puncts: set[int]) -> bool:
             return False
         if _is_nounish(a) or a.tag in ("VNW", "LID", "ADJ", "TW"):
             return True
+        if a.tag == "BW" and a.lword in ("morgen", "vandaag",
+                                         "gisteren", "overmorgen",
+                                         "eergisteren"):
+            # temporal adverb as PP object ("voor MORGEN",
+            # tests/relativeclauses s6: prep_obj1 0, np_mod)
+            return True
         k += 1
     return False
 
@@ -243,6 +249,10 @@ def _pp_object(anns: list, i: int, end: int, puncts: set[int]) -> int:
         if a.tag == "BW" and a.lword in ("hoe", "waarom", "wanneer"):
             return -1  # prepositional WH-clause ("over hoe hij won"):
             # the complement is a clause, not a nominal object
+        if a.tag == "BW" and a.lword in ("morgen", "vandaag",
+                                         "gisteren", "overmorgen",
+                                         "eergisteren"):
+            return k  # temporal adverb object ("voor MORGEN")
         if _is_nounish(a):
             return k
         if a.tag == "TW" and a.lword.endswith("en"):
@@ -1958,6 +1968,15 @@ def parse_sentence(anns: list) -> SentParse:
                 if not (pj2 >= cl.start and anns[pj2].tag == "BW"):
                     _store(parse, "VERB_MOD_A", sc_tgt, j, puncts)
                     parse.vc_mod_cnt += 1  # advp node (getAdverbialNodes)
+            elif (b.tag == "VNW" and b.lword in ("alles", "iets",
+                                                 "niets")
+                  and not (j + 1 < cl.end and j + 1 not in puncts
+                           and (_is_nounish(anns[j + 1])
+                                or anns[j + 1].tag == "ADJ"))):
+                # bare quantifier pronoun as object ("Ik heb ALLES
+                # gedaan", tests/relativeclauses s6: obj1 dist 0)
+                if j > in_pp_until and j not in pp_objects:
+                    obj_cands.append(j)
             elif (b.tag == "VNW" and b.prop == "ISAANW"
                   and b.lword in ("die", "dat", "dit", "deze")
                   and j not in poss_det
@@ -2040,6 +2059,24 @@ def parse_sentence(anns: list) -> SentParse:
                 parse.vc_mod_cnt += 1
                 if b.adverb_type == "GENERAL":
                     parse.vc_mod_single_cnt += 1
+            elif (b.tag == "ADJ" and b.lword in ("inclusief",
+                                                 "exclusief",
+                                                 "uitgezonderd")):
+                # prepositional-adjective connective: cmp with an NP
+                # body, the noun a bare adjunct of the verb ("gedaan ,
+                # INCLUSIEF het werk voor morgen",
+                # tests/relativeclauses s6: verb_comp 0, comp_body 1,
+                # verb_noun 2)
+                head = next((x for x in range(j + 1, cl.end)
+                             if x not in puncts
+                             and _is_nounish(anns[x])), -1)
+                if head >= 0:
+                    _store(parse, "VERB_COMP", sc_tgt, j, puncts)
+                    _store(parse, "COMP_BODY", j, head, puncts)
+                    _store(parse, "VERB_NOUN", sc_tgt, head, puncts)
+                    in_pp_until = head
+                else:
+                    _store(parse, "VERB_MOD_A", sc_tgt, j, puncts)
             elif b.tag == "ADJ":
                 k = j
                 while k + 1 < cl.end and anns[k + 1].tag == "ADJ":

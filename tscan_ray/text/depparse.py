@@ -163,6 +163,9 @@ def _is_su_candidate(ann) -> bool:
     if ann.tag == "VNW" and ann.lword in ("mij", "jou", "hem", "hen",
                                           "hun", "me"):
         return False  # oblique (object-form) personal pronouns
+    if ann.tag == "VNW" and ann.lword == "men":
+        return True  # impersonal subject pronoun ("MEN denkt dat",
+        # tests/d3 s1: su edge dist 0)
     return _is_nounish(ann) or (
         ann.tag == "VNW" and ann.prop in ("ISPPRON1", "ISPPRON2", "ISPPRON3")
     ) or (
@@ -253,6 +256,13 @@ def _pp_object(anns: list, i: int, end: int, puncts: set[int]) -> int:
                                          "gisteren", "overmorgen",
                                          "eergisteren"):
             return k  # temporal adverb object ("voor MORGEN")
+        if a.tag == "LID" and a.lword == "een":
+            nk2 = next((x for x in range(k + 1, end)
+                        if x not in puncts), -1)
+            if nk2 >= 0 and anns[nk2].tag == "VZ" \
+                    and anns[nk2].lword == "van":
+                return k  # partitive head ("tijdens EEN van de
+                # ijstijden", tests/d3 s1: prep_obj1 0)
         if _is_nounish(a):
             return k
         if a.tag == "TW" and a.lword.endswith("en"):
@@ -1318,7 +1328,7 @@ def parse_sentence(anns: list) -> SentParse:
         if cl.kind == "rel" and verb >= 0 and cl.conj_idx >= 0:
             if anns[cl.conj_idx].lword.startswith("waar"):
                 pass  # locative relativizer = modifier, not an argument
-            elif su < 0:
+            elif su < 0 or su == cl.conj_idx:
                 su = cl.conj_idx
             elif (anns[su].lword in _MEASURE_NOUNS and su >= 1
                     and anns[su - 1].tag == "TW"):
@@ -1936,6 +1946,12 @@ def parse_sentence(anns: list) -> SentParse:
                     # reference tests/mod_adv s3 / noun-adv)
                     _store(parse, "VERB_NOUN", sc_tgt, j, puncts)
                     continue
+                if (j + 1 < cl.end and j + 1 not in puncts
+                        and anns[j + 1].lword == "geleden"):
+                    # temporal measure NP before "geleden" is an
+                    # adjunct, never an object ("zo'n 150.000 jaar
+                    # GELEDEN", tests/d3 s1)
+                    continue
                 # a noun directly continuing an NP run is not a new object
                 # head ("een bakje koffie" -> one object, depdist4)
                 pj = j - 1
@@ -1988,8 +2004,12 @@ def parse_sentence(anns: list) -> SentParse:
                 # standalone demonstrative as object ("heeft ze DIE al
                 # gemaakt", tests/bug4 s19: obj1 dist 1) — under a
                 # copula it is the predicate instead ("als Piet DAT
-                # is", tests/connective5), no edge
-                if j > in_pp_until and j not in pp_objects:
+                # is", tests/connective5), no edge; a relative
+                # pronoun heading its own clause is never an object
+                # here ("De man , DIE loopt , ziet de kat")
+                if (j > in_pp_until and j not in pp_objects
+                        and not (cl.kind == "rel"
+                                 and j == cl.conj_idx)):
                     obj_cands.append(j)
             elif b.lword in ("zich", "zichzelf"):
                 # reflexive = Alpino rel "se": no distance edge
@@ -2059,6 +2079,11 @@ def parse_sentence(anns: list) -> SentParse:
                 parse.vc_mod_cnt += 1
                 if b.adverb_type == "GENERAL":
                     parse.vc_mod_single_cnt += 1
+            elif (b.tag == "ADJ" and b.lword == "terecht"
+                  and anns[content].lemma == "komen"):
+                # separable particle of terechtkomen ("TERECHT zijn
+                # gekomen", tests/d3 s1: verb_svp 1)
+                _store(parse, "VERB_SVP", content, j, puncts)
             elif (b.tag == "ADJ" and b.lword in ("inclusief",
                                                  "exclusief",
                                                  "uitgezonderd")):

@@ -350,6 +350,13 @@ def _split_clauses(anns: list) -> list[Clause]:
             # UIT te pakken", tests/flair1 s18) — phrase-level, never
             # a clause boundary
             pass
+        elif (a.lword == "maar" and a.tag == "VG" and i > 0
+              and anns[i - 1].tag == "BW"
+              and anns[i - 1].lword in ("steeds", "nog", "alsmaar",
+                                        "almaar")):
+            # continuative "steeds maar" / "nog maar" is advp-internal
+            # (tests/predc-a: no conjuncts), not a coordinator
+            pass
         elif a.tag == "VG":
             if i > start:
                 clauses.append(Clause(start, i, kind, conj))
@@ -1372,6 +1379,10 @@ def parse_sentence(anns: list) -> SentParse:
                 # inverted subject right after the fronted-clause verb
                 # ("Toen ik de actie zag , dacht IK") -> smain
                 nxv = next((k for k in idxs if k > finites[0]), -1)
+                # existential er defers the subject one slot
+                # ("woonden ER MENSEN in de Lage Landen", tests/d5 s2)
+                if nxv >= 0 and anns[nxv].lword == "er":
+                    nxv = next((k for k in idxs if k > nxv), -1)
                 inv_su = (nxv >= 0 and _is_su_candidate(anns[nxv])
                           and nxv not in poss_det)
                 if ci > 0 and clause_cls and clause_cls[ci - 1] == "ssub" \
@@ -2179,7 +2190,16 @@ def parse_sentence(anns: list) -> SentParse:
                 _store(parse, "SUB_VERB", inf_head,
                        np_start.get(c0, c0), puncts)
             elif is_copula:
-                _store(parse, "VERB_PREDC_N", content, obj_cands[0], puncts)
+                # an ALL-CAPS emphasis word is an adjectival predicate
+                # despite the SPEC tag ("Hij WORDT steeds maar
+                # VROLIJKER", tests/predc-a: predc_a)
+                c0 = obj_cands[0]
+                typ = ("VERB_PREDC_A"
+                       if (anns[c0].prop == "ISNAME"
+                           and anns[c0].word.isupper()
+                           and len(anns[c0].word) > 1)
+                       else "VERB_PREDC_N")
+                _store(parse, typ, content, c0, puncts)
             elif len(obj_cands) == 1:
                 obj1_tgt = obj_cands[0]
                 if vp_conj_bound >= 0 and obj1_tgt > vp_conj_bound:

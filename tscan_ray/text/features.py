@@ -986,6 +986,13 @@ def analyze_sentence(
                     break
                 if anns[j].tag != "VG":
                     continue
+                if (anns[j].lword == "maar" and j > 0
+                        and anns[j - 1].tag == "BW"
+                        and anns[j - 1].lword in ("steeds", "nog",
+                                                  "alsmaar", "almaar")):
+                    # continuative "steeds maar": advp-internal, no
+                    # clause boundary (tests/predc-a)
+                    continue
                 if anns[j].conjtype == "onder" or any(
                         b.tag == "WW" and b.prop.startswith("ISPV")
                         for b in anns[j + 1:]):
@@ -1016,6 +1023,12 @@ def analyze_sentence(
                 if b.prop == "ISLET" or b.tag in ("BW", "LID", "TW",
                                                   "VNW"):
                     continue
+                if (b.tag == "VG" and b.lword == "maar" and bi > 0
+                        and later[bi - 1].tag == "BW"
+                        and later[bi - 1].lword in ("steeds", "nog",
+                                                    "alsmaar",
+                                                    "almaar")):
+                    continue  # continuative "steeds maar"
                 if b.tag == "WW":
                     break
                 if b.tag == "VZ":

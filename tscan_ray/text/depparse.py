@@ -42,6 +42,12 @@ _REL_PRONOUNS = frozenset({"die", "dat", "welke"})
 # verbs that head verb clusters with a bare infinitive complement
 # (mirrors the tagger's _CLUSTER_VERBS; used for the parse-only
 # pv -> cluster-inf demotion in parse_sentence)
+# adverbs whose Alpino lexical category is "ap" (not "advp"): their
+# verb mods classify as VERB_MOD_A (src/Alpino.cxx:474-476; set
+# measured over the reference's own treebank fixtures)
+_AP_ADVERBS = frozenset({"wel", "even", "graag", "anders", "evenmin",
+                         "ff"})
+
 # subject-control verbs whose te-infinitive complement carries a
 # coindexed su ref in the tree ("vergat ... te kammen", tests/d1 s2)
 _CONTROL_VERBS = frozenset({
@@ -418,6 +424,24 @@ def _split_clauses(anns: list) -> list[Clause]:
             kind = "coord"
             conj = i
             start = i + 1
+            seen_finite = False
+        elif (a.word == "," and seen_finite
+              and i + 2 < len(anns)
+              and anns[i + 1].tag == "VNW"
+              and anns[i + 1].lword == "dat"
+              and not _is_finite(anns[i + 2])
+              and i >= 1 and anns[i - 1].tag == "WW"
+              and any(_is_finite(anns[j])
+                      for j in range(i + 2, len(anns)))):
+            # comma + dat + verb-final material directly after a finite
+            # verb: a complement clause even though Frog tags the dat
+            # as a pronoun ("Carola vond , DAT Artur wel erg raar
+            # deed", tests/dlevel3 s3: ssub + compl + cmp edges)
+            if i > start:
+                clauses.append(Clause(start, i, kind, conj))
+            kind = "sub"
+            conj = i + 1
+            start = i + 2
             seen_finite = False
         elif (a.word == "," and seen_finite
               and i + 2 < len(anns)
@@ -1730,7 +1754,8 @@ def parse_sentence(anns: list) -> SentParse:
                            puncts)
                 _store(parse, "CRD_CNJ", vg, verb, puncts)
         elif cl.conj_idx >= 0:
-            if cl.kind == "sub" and anns[cl.conj_idx].tag != "VG":
+            if (cl.kind == "sub" and anns[cl.conj_idx].tag != "VG"
+                    and anns[cl.conj_idx].lword != "dat"):
                 pass  # wh-headed whsub: whd rel, no cmp/body edges
             elif cl.kind == "sub":
                 _store(parse, "COMP_BODY", cl.conj_idx, verb, puncts)
@@ -1746,12 +1771,21 @@ def parse_sentence(anns: list) -> SentParse:
                     # host noun ("betekent die wintersport DAT ...",
                     # tests/bug4 s19: verb_comp, not noun_vc)
                     _store(parse, "NOUN_VC", pn, verb, puncts)
-                elif prev_clause_verb >= 0 and cl.conj_idx - 1 not in puncts:
+                elif prev_clause_verb >= 0 and (
+                        cl.conj_idx - 1 not in puncts
+                        # a pronoun-tagged dat-complement keeps its
+                        # edges across the comma ("vond , DAT Artur wel
+                        # erg raar deed", tests/dlevel3 s3: verb_comp 0
+                        # + vc vond->deed)
+                        or anns[cl.conj_idx].tag == "VNW"):
                     # comma before the subordinator -> Alpino detaches the
                     # cp as a discourse unit (du/dp), no verb_comp edge
                     # ("... bij , zodat Ko ...", reference tests/depdist20)
                     _store(parse, "VERB_COMP", prev_clause_verb, cl.conj_idx,
                            puncts)
+                    if anns[cl.conj_idx].tag == "VNW":
+                        _store(parse, "VERB_VC", prev_clause_verb, verb,
+                               puncts)
             elif any(i not in puncts and i < cl.conj_idx
                      for i in range(0, cl.conj_idx)):
                 # a SENTENCE-INITIAL coordinator ("En dat wordt ...")
@@ -2086,7 +2120,13 @@ def parse_sentence(anns: list) -> SentParse:
                     continue  # half of a split pronominal adverb
                     # ("besteedt DAAR aandacht aan": daar+aan = eraan,
                     # no separate adverb edge — reference tests/afk)
-                _store(parse, "VERB_MOD_BW", sc_tgt, j, puncts)
+                # Alpino's lcat for a handful of adverbs is "ap", not
+                # "advp" (WEL/even/graag/anders, measured over the
+                # reference treebanks) — those mods classify as
+                # VERB_MOD_A (src/Alpino.cxx:474-476)
+                _store(parse,
+                       "VERB_MOD_A" if b.lword in _AP_ADVERBS
+                       else "VERB_MOD_BW", sc_tgt, j, puncts)
                 parse.vc_mod_cnt += 1
                 if b.adverb_type == "GENERAL":
                     parse.vc_mod_single_cnt += 1

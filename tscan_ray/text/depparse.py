@@ -53,7 +53,7 @@ _AP_ADVERBS = frozenset({"wel", "even", "graag", "anders", "evenmin",
 _CONTROL_VERBS = frozenset({
     "vergeten", "proberen", "besluiten", "weigeren", "beloven",
     "hopen", "wensen", "trachten", "pogen", "dreigen", "beginnen",
-    "ophouden", "leren", "durven", "weten"})
+    "ophouden", "leren", "durven", "weten", "denken"})
 
 _CLUSTER_MODALS = frozenset({
     "zullen", "kunnen", "moeten", "mogen", "willen", "gaan", "komen",
@@ -1879,6 +1879,25 @@ def parse_sentence(anns: list) -> SentParse:
         # om naar mensen TE KIJKEN", tests/bug5 s5: comp_body om ->
         # kijken, pp naar -> kijken)
         om_idx = om_inf = -1
+        # bare te-infinitive complement of the clause verb: its field
+        # (object before, PPs after) attaches to the INFINITIVE
+        # ("Gelieve een telefoon terug TE STUREN naar het adres",
+        # tests/bug1 s3: obj1 sturen->telefoon 2, pp sturen->naar 0)
+        te_tgt = -1
+        if content == verb and not is_copula \
+                and anns[verb].lemma not in ("hebben", "krijgen",
+                                             "zijn"):
+            te_tgt = next((x for x in span
+                           if anns[x].tag == "WW"
+                           and anns[x].prop == "ISINF"
+                           and x >= 1 and anns[x - 1].lword == "te"),
+                          -1)
+            # "te KUNNEN scoren": follow the chain to the deepest
+            # content infinitive (golden pp scoren->met, tests/d1 s1)
+            while (te_tgt >= 0 and te_tgt + 1 < cl.end
+                   and anns[te_tgt + 1].tag == "WW"
+                   and anns[te_tgt + 1].prop == "ISINF"):
+                te_tgt += 1
         for j in span:
             if (anns[j].tag == "VZ" and anns[j].lword == "om"
                     and j + 1 < cl.end):
@@ -1912,6 +1931,8 @@ def parse_sentence(anns: list) -> SentParse:
                       else content)
             if om_idx >= 0 and om_idx < j < om_inf:
                 sc_tgt = om_inf
+            elif te_tgt >= 0 and j > te_tgt:
+                sc_tgt = te_tgt
             if b.tag == "VZ":
                 if b.lword == "te":
                     continue  # infinitive marker, not a preposition
@@ -2086,6 +2107,13 @@ def parse_sentence(anns: list) -> SentParse:
                 # R-pronouns (VNW adv-pron in CGN) attach like adverbs
                 # ("maakte er ... bij", reference tests/depdist20:
                 # verb_bw_mod 0)
+                if (b.tag == "BW" and b.lword in _SVP_PARTICLES
+                        and te_tgt >= 0 and j + 1 < cl.end
+                        and anns[j + 1].lword == "te"):
+                    # separable particle right before its te-infinitive
+                    # ("TERUG te sturen", tests/bug1 s3: verb_svp 1)
+                    _store(parse, "VERB_SVP", te_tgt, j, puncts)
+                    continue
                 first_arg = aci_pron if aci_pron >= 0 else (
                     obj_cands[0] if obj_cands else -1)
                 if inf_head >= 0 and 0 <= first_arg < j:
@@ -2259,11 +2287,15 @@ def parse_sentence(anns: list) -> SentParse:
                                puncts)
                     _store(parse, "OBJ1_VERB", content, first_np, puncts)
                 else:
-                    _store(parse, "OBJ1_VERB", content, obj1_tgt, puncts)
+                    _store(parse, "OBJ1_VERB",
+                           te_tgt if te_tgt >= 0 else content,
+                           obj1_tgt, puncts)
             else:
                 _store(parse, "OBJ2_VERB", content, obj_cands[0], puncts)
                 obj1_tgt = obj_cands[-1]
-                _store(parse, "OBJ1_VERB", content, obj1_tgt, puncts)
+                _store(parse, "OBJ1_VERB",
+                       te_tgt if te_tgt >= 0 else content,
+                       obj1_tgt, puncts)
         # bare-verb VP coordination shares the object with the left verb
         # ("Ik waardeer en bewonder hem", reference tests/depdist13: obj1
         # edges from BOTH conjunct verbs)

@@ -71,7 +71,9 @@ def _closed_entries() -> dict[str, PosInfo]:
                  ("jullie", "2"), ("hij", "3"), ("hem", "3"), ("zij", "3"),
                  ("ze", "3"), ("het", "3"), ("'t", "3"), ("hen", "3"),
                  ("hun", "3"), ("men", "3"), ("ie", "3"), ("'m", "3")]:
-        e[w] = _pi("VNW", w, vwtype="pers", persoon=p)
+        # Frog lemmatizes the clitic "'m" to hem (reference tests/d1)
+        e[w] = _pi("VNW", "hem" if w == "'m" else w,
+                   vwtype="pers", persoon=p)
     for w, p in [("mijn", "1"), ("m'n", "1"), ("jouw", "2"), ("uw", "2"),
                  ("zijn", "3"), ("z'n", "3"), ("haar", "3"), ("d'r", "3"),
                  ("ons", "1"), ("onze", "1")]:
@@ -1074,6 +1076,22 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
             if (nxt == "en" and nxt2[0].isupper()) or (
                     nclosed is not None and nclosed.tag == "WW"
                     and nclosed.feat("wvorm") == "pv"):
+                ds.append(Decision(None, is_name=True))
+                continue
+        # sentence-initial capitalized ADJ-homograph first name filling
+        # the V2 subject slot ("FRANS dacht te kunnen scoren",
+        # tests/d1 s1): the verb right after has no other subject
+        if (initial and tok[0].isupper() and not shouty
+                and info is not None and info.tag == "ADJ"
+                and not lword.endswith("e") and i + 2 < n):
+            nl = _lookup(tokens[i + 1].lower(), lex)
+            nxt2l = tokens[i + 2].lower()
+            if (nl is not None and nl.tag == "WW"
+                    and nl.feat("wvorm") == "pv"
+                    and nxt2l in ("te", "om")
+                    and tokens[i + 1].lower() not in ("is", "was",
+                                                      "lijkt", "wordt",
+                                                      "blijft")):
                 ds.append(Decision(None, is_name=True))
                 continue
         if lword in _SPEC_WORDS and (

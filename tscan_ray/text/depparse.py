@@ -1831,6 +1831,29 @@ def parse_sentence(anns: list) -> SentParse:
         # skeletten ... gevonden": verb_pp zijn->bij 5, prep_obj1
         # bij->opgravingen 0 — reference tests/d6 s2)
         if cl.kind not in ("sub", "rel"):
+            # fronted pure-adverb forefield ("HELAAS heb ik een
+            # probleem", tests/bug1 s1: mod_bw 0): every BW before the
+            # verb gets its mod edge when nothing else intervenes
+            pre = [p for p in idxs if p < verb]
+            if (pre and verb >= 0
+                    and all(anns[p].tag == "BW" for p in pre)
+                    # a comma detaches the run as a du ("Hoe dan ook ,
+                    # forceer ...", tests/bug4 s25: no edges); wh
+                    # adverbs are whd heads, not mods
+                    and not any(x in puncts
+                                for x in range(pre[0], verb))
+                    and not any(anns[p].lword in ("hoe", "waarom",
+                                                  "wanneer", "waar",
+                                                  # "en ANDERS is het
+                                                  # dag": discourse du
+                                                  "anders")
+                                for p in pre)):
+                for p in pre:
+                    # fronted mods keep their edge but sit OUTSIDE the
+                    # vc: getAdverbialNodes does not count them
+                    _store(parse,
+                           "VERB_MOD_A" if anns[p].lword in _AP_ADVERBS
+                           else "VERB_MOD_BW", content, p, puncts)
             for p in idxs:
                 if p >= verb:
                     break
@@ -2148,6 +2171,19 @@ def parse_sentence(anns: list) -> SentParse:
                     continue  # half of a split pronominal adverb
                     # ("besteedt DAAR aandacht aan": daar+aan = eraan,
                     # no separate adverb edge — reference tests/afk)
+                if (b.lword == "zo" and j == verb + 1
+                        and anns[verb].lemma in ("zitten", "staan",
+                                                 "liggen", "gaan")
+                        and all(x in puncts
+                                for x in range(j + 1, cl.end))):
+                    # clause-final "zo" predicates a posture verb ("de
+                    # situatie zit ZO", tests/bug1 s1: predc_a 0) —
+                    # getAdverbialNodes still counts the advp
+                    _store(parse, "VERB_PREDC_A", sc_tgt, j, puncts)
+                    parse.vc_mod_cnt += 1
+                    if b.adverb_type == "GENERAL":
+                        parse.vc_mod_single_cnt += 1
+                    continue
                 # Alpino's lcat for a handful of adverbs is "ap", not
                 # "advp" (WEL/even/graag/anders, measured over the
                 # reference treebanks) — those mods classify as

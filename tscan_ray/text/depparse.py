@@ -955,6 +955,7 @@ def parse_sentence(anns: list) -> SentParse:
             post_mods = 0
             size = 0
             det_idx = -1
+            det_was_tw = False
             while j < n:
                 b = anns[j]
                 if b.word == "(" and not saw_noun and det_idx >= 0:
@@ -1029,6 +1030,8 @@ def parse_sentence(anns: list) -> SentParse:
                                 j += 1
                                 continue
                             _store(parse, "NOUN_DET", det_idx, j, puncts)
+                        if anns[det_idx].tag == "TW":
+                            det_was_tw = True
                         det_idx = -1
                 elif b.tag in ("ADJ", "TW") and saw_noun:
                     # post-head modifier ("arbeidsbureau nieuwe stijl",
@@ -1041,6 +1044,12 @@ def parse_sentence(anns: list) -> SentParse:
             if saw_noun:
                 parse.np_cnt += 1
                 parse.np_size_sum += size
+                # a TW determiner counts as an np modifier too:
+                # mod_stats counts rel=det with pt=tw|n alongside
+                # rel=mod/app/vc (src/Alpino.cxx:993)
+                if det_was_tw or (det_idx >= 0
+                                  and anns[det_idx].tag == "TW"):
+                    tw_mods += 1
                 parse.np_mod_cnt += adj_mods + tw_mods + post_mods
                 parse.adj_np_mod_cnt += adj_mods
                 if anns[i].tag == "LID" and anns[i].lword == "een":

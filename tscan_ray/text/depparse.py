@@ -1405,6 +1405,23 @@ def parse_sentence(anns: list) -> SentParse:
                     parse.compl_cnt += 1
                 else:
                     parse.bijw_cnt += 1
+                    # an adverbial cp is itself a rel=mod under the
+                    # matrix clause node: getAdverbialNodes counts it
+                    # ("TOEN ik de actie zag , dacht ik", tests/bug2
+                    # s4: vcMod 4 includes both cps) — unless the cp
+                    # modifies a NOUN ("een boek ZOALS ik zelf zou
+                    # willen schrijven", tests/npmod s45: npMod) or is
+                    # a comparative "net als" (obcomp)
+                    pn2 = (next((x for x in range(cl.conj_idx - 1, -1,
+                                                  -1)
+                                 if x not in puncts), -1)
+                           if cl.conj_idx >= 0 else -1)
+                    if pn2 >= 0 and _is_nounish(anns[pn2]) \
+                            and conj_lemma == "zoals":
+                        parse.np_mod_cnt += 1
+                    elif not (conj_lemma == "als" and pn2 >= 0
+                              and anns[pn2].lword == "net"):
+                        parse.vc_mod_cnt += 1
             elif verb_first and su < 0:
                 prev_conj = (anns[clauses[ci - 1].conj_idx].lword
                              if ci > 0 and clauses[ci - 1].conj_idx >= 0
@@ -2017,7 +2034,11 @@ def parse_sentence(anns: list) -> SentParse:
                 if j in np_pp_attached:
                     continue
                 _store(parse, "VERB_PP", sc_tgt, j, puncts)
-                parse.vc_mod_cnt += 1  # adverbial PP (getAdverbialNodes)
+                if b.lword != "naar":
+                    # directional naar-PPs are rel=ld complements, not
+                    # mods — getAdverbialNodes skips them ("ging NAAR
+                    # huis omdat ...", tests/depdist18: vcMod 1)
+                    parse.vc_mod_cnt += 1  # adverbial PP (getAdverbialNodes)
                 # object of the preposition (head NP; skip its run)
                 obj = _pp_object(anns, j, cl.end, puncts)
                 if obj >= 0:
@@ -2180,6 +2201,17 @@ def parse_sentence(anns: list) -> SentParse:
                     continue  # half of a split pronominal adverb
                     # ("besteedt DAAR aandacht aan": daar+aan = eraan,
                     # no separate adverb edge — reference tests/afk)
+                if (b.lword in ("daar", "hier", "thuis", "weg")
+                        and anns[content].lemma in ("zijn", "komen",
+                                                    "blijven")
+                        and all(anns[x].tag == "WW" or x in puncts
+                                for x in range(j + 1, cl.end))):
+                    # clause-final locative pro-adverb = rel=ld
+                    # complement ("als ik THUIS kom", "ben ik om 18:30
+                    # DAAR", tests/bug4 s2, connective1 s2): the edge
+                    # stands but getAdverbialNodes skips it
+                    _store(parse, "VERB_MOD_BW", sc_tgt, j, puncts)
+                    continue
                 if (b.lword == "zo" and j == verb + 1
                         and anns[verb].lemma in ("zitten", "staan",
                                                  "liggen", "gaan")

@@ -641,7 +641,18 @@ def parse_sentence(anns: list) -> SentParse:
     # BESTAAN als jager", tests/d5 s3: prep_obj1 met->bestaan, det
     # edge, np counts) — demote to N on the same parse-only clone
     nominal_infs: set[int] = set()
+    first_np_tok = next((i for i in range(n)
+                         if anns[i].prop != "ISLET"), -1)
     for i, a in enumerate(anns):
+        if (a.tag == "WW" and a.prop == "ISINF"
+                and a.position == "NOMIN" and i == first_np_tok
+                and any(_is_finite(anns[k]) for k in range(i + 1, n))):
+            # sentence-initial nominalized-infinitive SUBJECT ("HUILEN
+            # is prima", tests/bug4 s6; "ROEIEN ... was vermoeiend",
+            # tests/overlap5 s2: su edge, no cluster)
+            demote.append(-i - 1)
+            nominal_infs.add(i)
+            continue
         if a.tag == "WW" and a.prop == "ISINF" and i:
             pj = next((j for j in range(i - 1, -1, -1)
                        if j not in puncts), -1)

@@ -3292,3 +3292,25 @@ def _context_passes(tokens, ds, lex, n):
                 feats["positie"] = pos
                 d.info = PosInfo(d.info.tag, d.info.lemma, d.info.morphemes,
                                  tuple(sorted(feats.items())))
+        elif d.info.tag == "WW" and d.info.feat("wvorm") == "inf":
+            # nominalized infinitive positie=nom (Frog's convention,
+            # reference goldens): sentence-initial subject ("HUILEN is
+            # prima", "ROEIEN ... was vermoeiend"), "het"-determined at
+            # the start ("HET TESTEN van een game") or the progressive
+            # "aan het X" ("aan het SCHIKKEN en het plooien")
+            prevs = [lowers[k] for k in range(max(0, i - 2), i)]
+            first = next((k for k in range(n) if not ds[k].punct), -1)
+            nom = False
+            if i == first and any(
+                    _is_fin(ds[k]) for k in range(i + 1, n)):
+                nom = True
+            elif prevs and prevs[-1] == "het" and (
+                    len(prevs) < 2 or prevs[0] in ("aan", "en")
+                    or i - 2 < 0):
+                nom = True
+            if nom and d.info.feat("positie") != "nom":
+                feats = dict(d.info.feats)
+                feats["positie"] = "nom"
+                d.info = PosInfo(d.info.tag, d.info.lemma,
+                                 d.info.morphemes,
+                                 tuple(sorted(feats.items())))

@@ -395,8 +395,10 @@ def _split_clauses(anns: list) -> list[Clause]:
             start = i + 1
             seen_finite = False
         elif (a.tag in ("BW", "VNW") and i > start
-              and a.lword in ("hoe", "waarom", "wanneer")
+              and a.lword in ("hoe", "waarom", "wanneer", "wie", "wat")
               and anns[i - 1].tag == "VZ"
+              and i + 1 < len(anns)
+              and not _is_finite(anns[i + 1])
               and any(_is_finite(anns[j])
                       for j in range(i + 1, len(anns)))):
             # prepositional WH-clause complement ("verhalen over HOE
@@ -424,6 +426,17 @@ def _split_clauses(anns: list) -> list[Clause]:
             kind = "coord"
             conj = i
             start = i + 1
+            seen_finite = False
+        elif (a.word == "," and seen_finite
+              and i + 2 < len(anns)
+              and anns[i + 1].lword == "al"
+              and _is_finite(anns[i + 2])):
+            # concessive ", al HEB ik ..." (tests/bug4 s11): an sv1
+            # clause modifying the matrix
+            clauses.append(Clause(start, i, kind, conj))
+            kind = "sub"
+            conj = i + 1
+            start = i + 2
             seen_finite = False
         elif (a.word == "," and seen_finite
               and i + 2 < len(anns)
@@ -1400,6 +1413,14 @@ def parse_sentence(anns: list) -> SentParse:
                 # the bijw/compl families
                 parse.ssub_cnt += 1
                 cls = "ssub"
+            elif (cl.kind == "sub" and cl.conj_idx >= 0
+                    and anns[cl.conj_idx].lword == "al"
+                    and idxs and idxs[0] == finites[0]):
+                # concessive al + V2: Alpino brackets an sv1, counted
+                # among the adverbial clauses (tests/bug4 s11)
+                parse.sv1_cnt += 1
+                cls = "sv1"
+                parse.bijw_cnt += 1
             elif cl.kind == "sub":
                 parse.ssub_cnt += 1
                 cls = "ssub"
@@ -1793,7 +1814,16 @@ def parse_sentence(anns: list) -> SentParse:
         elif cl.conj_idx >= 0:
             if (cl.kind == "sub" and anns[cl.conj_idx].tag != "VG"
                     and anns[cl.conj_idx].lword != "dat"):
-                pass  # wh-headed whsub: whd rel, no cmp/body edges
+                # wh-headed whsub: whd rel, no cmp/body edges — but a
+                # PREPOSITIONAL wh complement ("twijfel AAN WAT je
+                # zegt", tests/relativeclauses s11) carries prep_obj1
+                # prep -> body verb plus the wh pronoun's obj1 gap
+                cj = cl.conj_idx
+                if (anns[cj].lword in ("wat", "wie") and cj >= 1
+                        and anns[cj - 1].tag == "VZ"):
+                    _store(parse, "PREP_OBJ1", cj - 1, verb, puncts)
+                    if su >= 0 and su != cj:
+                        _store(parse, "OBJ1_VERB", verb, cj, puncts)
             elif cl.kind == "sub":
                 _store(parse, "COMP_BODY", cl.conj_idx, verb, puncts)
                 # complement clause under a NOUN ("de kans DAT hij Piet
@@ -2036,7 +2066,14 @@ def parse_sentence(anns: list) -> SentParse:
                         or (b.lword in _SVP_PARTICLES
                             and j == verb + 1 and finites
                             and not _has_np_complement(anns, j, cl.end,
-                                                       puncts))):
+                                                       puncts)
+                            # a wh-clause complement keeps the PP
+                            # reading ("twijfel AAN wat je zegt",
+                            # tests/relativeclauses s11: verb_pp 0)
+                            and not (j + 1 < n
+                                     and anns[j + 1].lword in
+                                     ("wie", "wat", "hoe", "waarom",
+                                      "wanneer")))):
                     # separable particle (Alpino rel=svp): the clause
                     # verb's own particle with no complement of its own
                     # ("at ... op", reference tests/depdist15: verb_svp 3)

@@ -1171,11 +1171,17 @@ def parse_sentence(anns: list) -> SentParse:
         rnb = next((i for i in range(cj + 1, n)
                     if i not in puncts), -1)
         if (lnb >= 0 and rnb >= 0
-                and anns[lnb].tag == "ADJ" and anns[rnb].tag == "ADJ"
-                # predicative ADJ coordination ("goed EN veilig over
-                # zijn", tests/bug5 s2: crd [0,0]) — prenominal pairs
-                # ("houten en stenen werktuigen") head the NP instead
-                and not _nounish_after(anns, rnb, n, puncts)):
+                and anns[lnb].tag == "ADJ"
+                and (anns[rnb].tag == "ADJ"
+                     # Frog may tag the right material adjective N
+                     # ("houten en STENEN werktuigen", tests/dlevel2
+                     # s2: the tree still coordinates the adjectives)
+                     or (anns[rnb].tag == "N" and rnb + 1 < n
+                         and rnb + 1 not in puncts
+                         and _is_nounish(anns[rnb + 1])))):
+            # ADJ coordination, predicative ("goed EN veilig over
+            # zijn", tests/bug5 s2) or prenominal ("houten EN stenen
+            # werktuigen", tests/dlevel2 s2): crd edges to both ADJs
             _store(parse, "CRD_CNJ", cj, lnb, puncts)
             _store(parse, "CRD_CNJ", cj, rnb, puncts)
             parse.small_cnj_cnt += 2
@@ -1754,6 +1760,15 @@ def parse_sentence(anns: list) -> SentParse:
                         if onoun >= 0:
                             _store(parse, "NOUN_VC", onoun, w, puncts)
                             continue
+                    om_j2 = next((x for x in range(verb + 1, w)
+                                  if anns[x].lword == "om"), -1)
+                    if om_j2 >= 1 and anns[w - 1].lword == "te":
+                        pj4 = next((x for x in range(om_j2 - 1, -1, -1)
+                                    if x not in puncts), -1)
+                        if pj4 >= 0 and _is_nounish(anns[pj4]):
+                            # noun-hosted om..te body: hangs under the
+                            # noun, no verb_vc (tests/dlevel2 s2)
+                            continue
                     # multi-infinitive clusters CHAIN ("heeft MOETEN
                     # HAASTEN", tests/dlevel6 s10: vc [0, 0], each inf
                     # with its own coindexed su ref), instead of all
@@ -1982,6 +1997,17 @@ def parse_sentence(anns: list) -> SentParse:
                            and anns[x].prop == "ISINF"
                            and x >= 1 and anns[x - 1].lword == "te"),
                           -1)
+            if te_tgt >= 0:
+                om_j = next((x for x in range(verb + 1, te_tgt)
+                             if anns[x].lword == "om"), -1)
+                if om_j >= 1:
+                    pj3 = next((x for x in range(om_j - 1, -1, -1)
+                                if x not in puncts), -1)
+                    if pj3 >= 0 and _is_nounish(anns[pj3]):
+                        # noun-hosted om..te clause ("potten OM
+                        # voorraden in TE BEWAREN", tests/dlevel2 s2):
+                        # not the verb's complement field
+                        te_tgt = -1
             # "te KUNNEN scoren": follow the chain to the deepest
             # content infinitive (golden pp scoren->met, tests/d1 s1)
             while (te_tgt >= 0 and te_tgt + 1 < cl.end
@@ -2126,7 +2152,19 @@ def parse_sentence(anns: list) -> SentParse:
                     pj -= 1
                 if pj >= 0 and _is_nounish(anns[pj]):
                     continue
-                obj_cands.append(j)
+                # noun-noun run: the LAST noun heads the object like
+                # the NP scan's split-compound rule ("hanteerden ...
+                # STENEN WERKTUIGEN", tests/dlevel2 s2: obj1 ->
+                # werktuigen) — measure/-je first nouns keep the head
+                jh = j
+                while (jh + 1 < cl.end and jh + 1 not in puncts
+                       and anns[jh + 1].tag == "N"
+                       and anns[jh].tag == "N"
+                       and not anns[jh].lword.endswith("je")
+                       and anns[jh].lemma.lower() not in
+                       _MEASURE_NOUNS):
+                    jh += 1
+                obj_cands.append(jh)
             elif (b.tag == "TW" and is_copula
                   and not (j + 1 < cl.end and j + 1 not in puncts
                            and (_is_nounish(anns[j + 1])
@@ -2415,6 +2453,19 @@ def parse_sentence(anns: list) -> SentParse:
                     _store(parse, "OBJ1_VERB",
                            te_tgt if te_tgt >= 0 else content,
                            obj1_tgt, puncts)
+                    ns = np_start.get(obj1_tgt, obj1_tgt)
+                    while (ns - 1 >= cl.start and ns - 1 not in puncts
+                           and anns[ns - 1].tag in ("ADJ", "N", "TW",
+                                                    "VG")):
+                        ns -= 1
+                    if ns < obj1_tgt and any(
+                            anns[x].tag == "VG"
+                            for x in range(ns, obj1_tgt)):
+                        # object NP with an internal mod-conj: the ref
+                        # also reaches the np begin ("hanteerden HOUTEN
+                        # en stenen werktuigen", tests/dlevel2 s2:
+                        # obj1 [3, 0])
+                        _store(parse, "OBJ1_VERB", content, ns, puncts)
             else:
                 _store(parse, "OBJ2_VERB", content, obj_cands[0], puncts)
                 obj1_tgt = obj_cands[-1]

@@ -427,6 +427,24 @@ def _split_clauses(anns: list) -> list[Clause]:
             conj = i
             start = i + 1
             seen_finite = False
+        elif (a.word == "," and i > start
+              and i + 2 < len(anns)
+              and anns[i + 1].tag == "BW"
+              and anns[i + 1].lword in ("dan", "nu", "toen")
+              and _is_finite(anns[i + 2])
+              and not seen_finite
+              # not after a verbless comparative sub clause ("net als
+              # Lara Stone , dan ben je ...", tests/bug5 s18: the dan
+              # clause resumes the conditional, no fresh smain)
+              and kind != "sub"):
+            # verbless opener + comma + adverb-V2 ("' Lieve schat ,
+            # DAN WORDT het tijd ...", tests/bug4 s18): the fragment
+            # is a du, the V2 clause stands alone
+            clauses.append(Clause(start, i, kind, conj))
+            kind = "main"
+            conj = -1
+            start = i + 1
+            seen_finite = False
         elif (a.word == "," and seen_finite
               and i + 2 < len(anns)
               and anns[i + 1].lword == "al"
@@ -1848,6 +1866,13 @@ def parse_sentence(anns: list) -> SentParse:
                            if i not in puncts), -1)
                 if (pn >= 0 and _is_nounish(anns[pn])
                         and pn != prev_su
+                        # a predicate noun under a copula hosts no vc:
+                        # the cp is the extraposed su ("wordt het TIJD
+                        # dat ze een keuze maakt", tests/bug4 s18:
+                        # verb_comp 2, no noun_vc)
+                        and not (prev_clause_verb >= 0
+                                 and anns[prev_clause_verb].wwform
+                                 == "COPULA")
                         and anns[cl.conj_idx].lword in ("dat", "of")):
                     # ... but an inverted SUBJECT before the dat is no
                     # host noun ("betekent die wintersport DAT ...",

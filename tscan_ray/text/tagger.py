@@ -639,7 +639,13 @@ def _noun_lemma(lword: str) -> tuple[str, tuple[str, ...]]:
         return lword[:-2], (lword[:-2], "s")
     if lword.endswith("s") and len(lword) > 4 and lword[-2] not in "aeiou'":
         return lword[:-1], (lword[:-1], "s")
-    if lword.endswith("eren") and len(lword) > 5:  # kinderen -> kind
+    if lword in ("kinderen", "eieren", "beenderen", "bladeren",
+                 "liederen", "volkeren", "goederen", "kalveren",
+                 "lammeren", "raderen", "gemoederen", "hoenderen",
+                 "runderen", "gelederen"):
+        # lexicalized -eren plurals only ("kinderen" -> kind);
+        # ordinary -eren nouns are plain -en plurals ("boeren" ->
+        # boer, tests/d5 s1)
         return lword[:-4], (lword[:-4], "en")
     if lword.endswith("en") and len(lword) > 4:
         stem = lword[:-2]

@@ -973,7 +973,17 @@ def parse_sentence(anns: list) -> SentParse:
             while j < n and anns[j].tag == "ADJ":
                 j += 1
             if j < n and _is_nounish(anns[j]):
-                poss_det.add(i)
+                # "je" directly after a clause-initial finite is the
+                # inverted SUBJECT, the noun the object ("gebruik JE
+                # hersens nou eens", tests/bug4 s21: su dist 0)
+                if (a.lword == "je" and i >= 1
+                        and anns[i - 1].tag == "WW"
+                        and anns[i - 1].prop == "ISPVTGW"
+                        and (i == 1 or anns[i - 2].prop == "ISLET"
+                             or anns[i - 2].tag == "VG")):
+                    pass
+                else:
+                    poss_det.add(i)
 
     # ---- NP scan over the whole sentence (mod_stats, src/Alpino.cxx:987-996;
     # np counts src/tscan.cxx:2105-2124).  np_start maps each noun to its
@@ -1339,6 +1349,29 @@ def parse_sentence(anns: list) -> SentParse:
             su = next((i for i in idxs if i < verb and i not in poss_det
                        and i not in pp_objects
                        and _is_su_candidate(anns[i])), -1)
+        if (su >= 0 and verb >= 0 and anns[su].prop == "ISNAME"
+                and any(anns[x].word == "," for x in range(su, verb))
+                and all(_is_nounish(anns[x]) or x in puncts
+                        for x in range(su, verb))):
+            # comma-detached vocative name is no subject ("' Jezus
+            # Leen , GEBRUIK je hersens", tests/bug4 s21): fall back
+            # to the post-verb subject
+            su = next((i for i in idxs if i > verb
+                       and i not in poss_det and i not in pp_objects
+                       and _is_su_candidate(anns[i])), -1)
+        if (su < 0 and not finites and verb >= 0
+                and anns[verb].prop == "ISINF"
+                and verb + 1 in idxs
+                and anns[verb + 1].tag == "VNW"
+                and anns[verb + 1].prop in ("ISPPRON1", "ISPPRON2",
+                                            "ISPPRON3")
+                and anns[verb + 1].lword not in ("mij", "jou", "hem",
+                                                 "hen", "hun", "me",
+                                                 "ons")):
+            # Frog tags a V2 plural-present homograph INF ("En waar
+            # VERHEUGEN we ons", tests/bug5 s3) — the tree still reads
+            # inversion: the nominative pronoun after it is the su
+            su = verb + 1
         if (su < 0 and verb >= 1 and verb - 1 in idxs
                 and anns[verb - 1].tag == "VNW"
                 and anns[verb - 1].prop == "ISAANW"

@@ -1745,7 +1745,10 @@ def parse_sentence(anns: list) -> SentParse:
                 _store(parse, "SUB_VERB", verb, pair[0], puncts)
                 if aux_construction:
                     _store(parse, "SUB_VERB", content, pair[0], puncts)
-        if su >= 0 and not shared_su:
+        if su >= 0 and not shared_su and cl.kind != "sub":
+            # embedded clauses never donate a shared subject: "... pas
+            # toen HET 18 april was , dus KOCHT" shares Ik, not het
+            # (tests/bug2 s5: sub_verb [0, 2, 9])
             prev_su = su
 
         # verb cluster: later verbs in the clause hang under the first.
@@ -2616,8 +2619,18 @@ def parse_sentence(anns: list) -> SentParse:
             # start, walking back over asyndetic comma-conjuncts that
             # counted themselves above)
             lj = ci - 1
-            while lj > 0 and clauses[lj].kind == "coord" \
-                    and clauses[lj].conj_idx < 0:
+            while lj > 0 and ((clauses[lj].kind == "coord"
+                               and clauses[lj].conj_idx < 0)
+                              # an embedded sub clause between the
+                              # conjuncts is inside the LEFT conjunct:
+                              # its ssub still counts under the conj
+                              # node, and the walk continues to the
+                              # main peer ("Ik wist het pas TOEN ... ,
+                              # dus kocht ...", tests/bug2 s5:
+                              # smain_cnj 2 + ssub_cnj 1)
+                              or clauses[lj].kind in ("sub", "rel")):
+                if clauses[lj].kind in ("sub", "rel")                         and clause_cls[lj] == "ssub":
+                    parse.ssub_cnj_cnt += 1
                 lj -= 1
             if lj >= 0 and lj == ci - 1 \
                     and clauses[lj].kind == "coord":

@@ -1349,6 +1349,16 @@ def parse_sentence(anns: list) -> SentParse:
             su = next((i for i in idxs if i < verb and i not in poss_det
                        and i not in pp_objects
                        and _is_su_candidate(anns[i])), -1)
+        if (verb >= 0 and idxs and idxs[0] < verb
+                and anns[idxs[0]].lword == "het"
+                and anns[idxs[0]].tag in ("VNW", "LID")
+                and su != idxs[0]
+                and anns[verb].lemma in ("zijn", "worden", "blijven")
+                and idxs[0] + 1 in idxs
+                and anns[idxs[0] + 1].tag == "TW"):
+            # "toen HET 18 april was": het is the subject, the
+            # temporal NP the predicate (tests/bug2 s5: su dist 2)
+            su = idxs[0]
         if (su >= 0 and verb >= 0 and anns[su].prop == "ISNAME"
                 and any(anns[x].word == "," for x in range(su, verb))
                 and all(_is_nounish(anns[x]) or x in puncts
@@ -2491,7 +2501,12 @@ def parse_sentence(anns: list) -> SentParse:
                            and anns[c0].word.isupper()
                            and len(anns[c0].word) > 1)
                        else "VERB_PREDC_N")
-                _store(parse, typ, content, c0, puncts)
+                # a TW-led temporal predicate over expletive het has
+                # no predc edge ("toen het 18 APRIL was", tests/bug2
+                # s5 / connective1: predc None)
+                if not (su >= 0 and anns[su].lword == "het"
+                        and c0 >= 1 and anns[c0 - 1].tag == "TW"):
+                    _store(parse, typ, content, c0, puncts)
             elif len(obj_cands) == 1:
                 obj1_tgt = obj_cands[0]
                 if vp_conj_bound >= 0 and obj1_tgt > vp_conj_bound:

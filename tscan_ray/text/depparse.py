@@ -243,6 +243,10 @@ def _pp_object(anns: list, i: int, end: int, puncts: set[int]) -> int:
                 k = nk + 1
                 continue
             return -1
+        if a.tag == "VZ" and a.lword == "om":
+            return -1  # an om..te clause is the complement, not an
+            # object NP ("houdt er niet van OM energie te verspillen",
+            # tests/bug4 s5: no prep_obj1)
         if a.tag == "WW" and a.prop in ("ISVD", "ISOD"):
             # prenominal participle inside the PP ("van een GEVONDEN
             # winkelkar", tests/flair1 s6): skip to the nominal head
@@ -425,6 +429,21 @@ def _split_clauses(anns: list) -> list[Clause]:
             clauses.append(Clause(start, i, kind, conj))
             kind = "coord"
             conj = i
+            start = i + 1
+            seen_finite = False
+        elif (a.word == "," and i > start and not seen_finite
+              and i + 1 < len(anns)
+              and _is_finite(anns[i + 1])
+              and any(anns[k].lword == "te"
+                      and k + 1 < i and anns[k + 1].tag == "WW"
+                      for k in range(start, i))):
+            # fronted infinitival adjunct + comma + finite ("Na over
+            # de muur te zijn gesprongen , RAAKTE hij uit balans",
+            # tests/dlevel2 s9): the te-clause is its own span — no
+            # su refs, no shared cluster
+            clauses.append(Clause(start, i, kind, conj))
+            kind = "main"
+            conj = -1
             start = i + 1
             seen_finite = False
         elif (a.word == "," and i > start
@@ -1116,9 +1135,11 @@ def parse_sentence(anns: list) -> SentParse:
     np_pp_attached: set[int] = set()
     pp_objects: set[int] = set()
     for i in range(n):
-        if anns[i].tag != "VZ" or anns[i].lword in ("als", "dan") \
+        if anns[i].tag != "VZ" or anns[i].lword in ("als", "dan",
+                                                    "te") \
                 or i in mwu:
-            continue  # als/dan = comparative cmp, handled in the verb scan
+            continue  # als/dan = comparative cmp, handled in the verb
+            # scan; te/om = infinitive markers, never prepositions here
         prev = i - 1
         while prev >= 0 and prev in puncts:
             prev -= 1
@@ -1534,8 +1555,14 @@ def parse_sentence(anns: list) -> SentParse:
                     nxv = next((k for k in idxs if k > nxv), -1)
                 inv_su = (nxv >= 0 and _is_su_candidate(anns[nxv])
                           and nxv not in poss_det)
-                if ci > 0 and clause_cls and clause_cls[ci - 1] == "ssub" \
-                        and inv_su:
+                if (ci > 0 and clause_cls and inv_su
+                        and (clause_cls[ci - 1] == "ssub"
+                             # a verbless fronted adjunct inverts the
+                             # matrix the same way ("Na ... gesprongen
+                             # , RAAKTE hij ...", tests/dlevel2 s9)
+                             or (clause_verb[ci - 1] >= 0
+                                 and not _is_finite(
+                                     anns[clause_verb[ci - 1]])))):
                     su = nxv
                     parse.smain_cnt += 1
                     cls = "smain"
@@ -1829,9 +1856,11 @@ def parse_sentence(anns: list) -> SentParse:
                     if om_j2 >= 1 and anns[w - 1].lword == "te":
                         pj4 = next((x for x in range(om_j2 - 1, -1, -1)
                                     if x not in puncts), -1)
-                        if pj4 >= 0 and _is_nounish(anns[pj4]):
-                            # noun-hosted om..te body: hangs under the
-                            # noun, no verb_vc (tests/dlevel2 s2)
+                        if pj4 >= 0 and (_is_nounish(anns[pj4])
+                                         or anns[pj4].tag == "VZ"):
+                            # noun- or PP-hosted om..te body hangs
+                            # under that host, no verb_vc
+                            # (tests/dlevel2 s2, bug4 s5)
                             continue
                     # multi-infinitive clusters CHAIN ("heeft MOETEN
                     # HAASTEN", tests/dlevel6 s10: vc [0, 0], each inf
@@ -1844,12 +1873,20 @@ def parse_sentence(anns: list) -> SentParse:
                         # kijken", tests/bug5 s5: vc gevonden->kijken)
                         chain_head = w
                     if anns[w].prop == "ISINF" and w > verb:
-                        # an om..te complement controls its su from the
-                        # OBJECT — no coindexed su ref into it ("om de
-                        # steen overheen te laten ROLLEN", tests/d3 s4)
+                        # an om..te complement under a causative/AcI
+                        # verb controls its su from the OBJECT ("om de
+                        # steen overheen te laten ROLLEN", tests/d3
+                        # s4); under other verbs the MATRIX subject is
+                        # coindexed in ("houdt er niet van om energie
+                        # te VERSPILLEN", tests/bug4 s5: su dist 7)
                         if any(anns[k].lword == "om"
                                for k in range(verb + 1, w)):
                             om_complement = True
+                            if (su >= 0 and anns[w].lemma not in
+                                    ("laten", "zien", "horen", "doen")
+                                    and chain_head == verb):
+                                _store(parse, "SUB_VERB", w,
+                                       np_start.get(su, su), puncts)
                         if (su >= 0 and not om_complement
                                 and not (aux_construction
                                          and w == content)
@@ -2010,7 +2047,8 @@ def parse_sentence(anns: list) -> SentParse:
             for p in idxs:
                 if p >= verb:
                     break
-                if anns[p].tag != "VZ" or anns[p].lword in ("als", "dan") \
+                if anns[p].tag != "VZ" \
+                        or anns[p].lword in ("als", "dan", "te") \
                         or p in np_pp_attached:
                     continue
                 pb = next((x for x in range(p - 1, cl.start - 1, -1)
@@ -2101,7 +2139,11 @@ def parse_sentence(anns: list) -> SentParse:
                     # tests/smallconjuncts s25)
                     pj = next((x for x in range(j - 1, -1, -1)
                                if x not in puncts), -1)
-                    if pj >= 0 and anns[pj].tag == "WW":
+                    if pj >= 0 and anns[pj].tag in ("WW", "VZ", "BW",
+                                                    "VNW"):
+                        # verb- or PP-governed om-clause keeps the cmp
+                        # edge ("houdt er niet VAN om ... te
+                        # verspillen", tests/bug4 s5: comp_body 2)
                         _store(parse, "COMP_BODY", j, k, puncts)
                     break
         for j in span:
@@ -2526,9 +2568,12 @@ def parse_sentence(anns: list) -> SentParse:
                                puncts)
                     _store(parse, "OBJ1_VERB", content, first_np, puncts)
                 else:
-                    _store(parse, "OBJ1_VERB",
-                           te_tgt if te_tgt >= 0 else content,
-                           obj1_tgt, puncts)
+                    tgt = te_tgt if te_tgt >= 0 else content
+                    if om_inf >= 0 and om_idx < obj1_tgt < om_inf:
+                        # om-body object belongs to the body inf
+                        # ("om ENERGIE te verspillen", tests/bug4 s5)
+                        tgt = om_inf
+                    _store(parse, "OBJ1_VERB", tgt, obj1_tgt, puncts)
                     ns = np_start.get(obj1_tgt, obj1_tgt)
                     while (ns - 1 >= cl.start and ns - 1 not in puncts
                            and anns[ns - 1].tag in ("ADJ", "N", "TW",

@@ -1764,6 +1764,11 @@ def _context_passes(tokens, ds, lex, n):
             if vd_next:
                 d.info = _pi("WW", "zijn", ("ben", "en"), wvorm="pv",
                              pvtijd="tgw")
+            elif prev_lw == "te":
+                # "te ZIJN (gesprongen)": always the infinitive, the
+                # nounish-ahead scan must not see a possessive
+                # (tests/dlevel2 s9)
+                d.info = _pi("WW", "zijn", ("zijn",), wvorm="inf")
             elif (prev_lw in ("dit", "dat", "we", "wij", "ze", "zij",
                               "jullie")
                   and nx >= 0 and ds[nx].info is not None

@@ -401,8 +401,6 @@ def _split_clauses(anns: list) -> list[Clause]:
         elif (a.tag in ("BW", "VNW") and i > start
               and a.lword in ("hoe", "waarom", "wanneer", "wie", "wat")
               and anns[i - 1].tag == "VZ"
-              and i + 1 < len(anns)
-              and not _is_finite(anns[i + 1])
               and any(_is_finite(anns[j])
                       for j in range(i + 1, len(anns)))):
             # prepositional WH-clause complement ("verhalen over HOE
@@ -1940,6 +1938,17 @@ def parse_sentence(anns: list) -> SentParse:
                     _store(parse, "PREP_OBJ1", cj - 1, verb, puncts)
                     if su >= 0 and su != cj:
                         _store(parse, "OBJ1_VERB", verb, cj, puncts)
+                    elif su < 0:
+                        # wh-subject free relative ("voor WIE gaat
+                        # werken", tests/relativeclauses s10): the wh
+                        # pronoun fills the su gap, coindexed into the
+                        # cluster infs too
+                        _store(parse, "SUB_VERB", verb, cj, puncts)
+                        for w2 in range(verb + 1, cl.end):
+                            if (anns[w2].tag == "WW"
+                                    and anns[w2].prop == "ISINF"):
+                                _store(parse, "SUB_VERB", w2, cj,
+                                       puncts)
             elif cl.kind == "sub":
                 _store(parse, "COMP_BODY", cl.conj_idx, verb, puncts)
                 # complement clause under a NOUN ("de kans DAT hij Piet

@@ -974,6 +974,15 @@ def analyze_sentence(
                     # reference tests/predc-n)
                     end = j
                     break
+                if (anns[j].tag == "VNW"
+                        and anns[j].lword in ("wie", "wat")
+                        and j >= 1 and anns[j - 1].tag == "VZ"):
+                    # prepositional wh clause boundary ("is
+                    # kinderopvang voor WIE gaat werken",
+                    # tests/relativeclauses s10: the embedded verbs
+                    # must not demote the copula)
+                    end = j
+                    break
                 if (anns[j].word == ","
                         and j + 1 < len(anns)
                         and anns[j + 1].tag == "WW"

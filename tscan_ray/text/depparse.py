@@ -549,6 +549,19 @@ def _split_clauses(anns: list) -> list[Clause]:
             start = i
             seen_finite = False
         elif _is_finite(a):
+            if (seen_finite and i > start + 1
+                    and anns[start].tag == "VNW"
+                    and anns[start].lword in ("wat", "wie")
+                    and not any(anns[k].word == ","
+                                for k in range(start, i))):
+                # fronted wh object clause directly before the matrix
+                # finite ("wat hij wil WEET ik niet",
+                # tests/smallconjuncts s29)
+                clauses.append(Clause(start, i, kind, conj))
+                kind = "main"
+                conj = -1
+                start = i
+                seen_finite = False
             if seen_finite and i > start + 1:
                 # run-on second main clause without conjunction: a
                 # fresh det+noun subject NP directly before a second
@@ -1603,6 +1616,19 @@ def parse_sentence(anns: list) -> SentParse:
                 # Alpino whq brackets an sv1 body (flair1 s20)
                 parse.sv1_cnt += 1
                 cls = "sv1"
+            elif (anns[idxs[0]].tag == "VNW"
+                    and anns[idxs[0]].lword in ("wat", "wie")
+                    and idxs[0] != finites[0]
+                    and next((k for k in idxs if k > idxs[0]), -1)
+                    != finites[0]
+                    and finites[0] == max(
+                        i2 for i2 in idxs if anns[i2].tag == "WW")):
+                # verb-final wh-initial clause = whsub complement
+                # ("WAT hij komt doen en WAT hij wil weet ik niet",
+                # tests/smallconjuncts s29: 2 ssubs + compl)
+                parse.ssub_cnt += 1
+                cls = "ssub"
+                parse.compl_cnt += 1
             else:
                 parse.smain_cnt += 1
                 cls = "smain"

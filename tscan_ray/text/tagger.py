@@ -87,6 +87,9 @@ def _closed_entries() -> dict[str, PosInfo]:
         e[w] = _pi("VNW", w, vwtype="refl", persoon=p)
     for w in ("elkaar", "elkaars", "mekaar"):
         e[w] = _pi("VNW", "elkaar", vwtype="recip", persoon="3")
+    # "wat ons BETREFT": always the finite verb, never a noun guess
+    e["betreft"] = _pi("WW", "betreffen", ("be", "tref", "t"),
+                       wvorm="pv", pvtijd="tgw")
     for w in ("deze", "dit", "die", "dat", "zulke", "zulk", "zo'n",
               "datgene", "diegene", "degene", "dergelijke", "gene"):
         e.setdefault(w, _pi("VNW", w, vwtype="aanw"))
@@ -1788,6 +1791,14 @@ def _context_passes(tokens, ds, lex, n):
                 # possessed noun, not nounish-ahead-visible
                 d.info = _CLOSED["zijn\x00bez"]
                 ds[nx].info = _pi("N", "haar")
+            elif (pv == "WW" and nx >= 0
+                  and lowers[nx] in ("ze", "we", "wij", "zij",
+                                     "jullie")):
+                # V2 inversion after a fronted clause ("wat ons
+                # betreft ZIJN ze nu al ...", tests/bug5 s8): plural
+                # present, not the cluster infinitive
+                d.info = _pi("WW", "zijn", ("zijn",), wvorm="pv",
+                             pvtijd="tgw")
             elif prev_lw == "te" or (pv == "WW"):
                 d.info = _pi("WW", "zijn", ("zijn",), wvorm="inf")
             else:

@@ -1041,7 +1041,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tscan_features_core": q_tscan_features_core,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
-        "dedup_minhash_fast": q_dedup_minhash_fast,
         "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
         "ann_topk": q_ann_topk,
@@ -1049,6 +1048,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "emb_neardup": q_emb_neardup,
         # --- rows-only, beyond slot 50 (pytest-conformance-verified) --
+        # dedup_minhash_fast is no-oracle BY DESIGN (non-cryptographic
+        # hash variant; pair-set equality vs the md5 path is
+        # pytest-asserted in tests/test_dedup.py) — it lives here so
+        # every driver-checked slot above is oracle-backed.
+        "dedup_minhash_fast": q_dedup_minhash_fast,
         "tscan_features": q_tscan_features,
         "text_surprisal": q_text_surprisal,
         "text_word_table": q_text_word_table,

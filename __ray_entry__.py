@@ -614,16 +614,18 @@ def q_agg_lineitem_pricing(sf_dir):
 
 def q_text_surprisal(sf_dir):
     """Fit a bigram LM on the corpus (distributed partial counts), then
-    score every document with it (LM broadcast into the actor pool)."""
+    score every document with it (LM broadcast into the actor pool).
+    Uses the dedicated LM-only scorer — NOT the 739-column featurizer —
+    for the 6 Wopr columns (equality with the full featurizer path is
+    pytest-asserted in tests/test_surprisal.py)."""
     import ray
 
-    from tscan_ray.stages.featurizer import featurize, pool_size
-    from tscan_ray.text.surprisal import fit_bigram_lm
+    from tscan_ray.text.surprisal import fit_bigram_lm, score_surprisal
 
     docs = _docs(sf_dir).select_columns(["doc_id", "text"])
     lm = fit_bigram_lm(docs, "text", min_count=2)
-    out = featurize(docs, "text", concurrency=pool_size(cap=16),
-                    keep_columns=["doc_id"], lm_ref=ray.put(lm))
+    out = score_surprisal(docs, "text", lm_ref=ray.put(lm),
+                          keep_columns=["doc_id"])
     return out.select_columns([
         "doc_id", "Log_prob_fwd", "Log_prob_bwd", "Entropie_fwd",
         "Entropie_bwd", "Perplexiteit_fwd", "Perplexiteit_bwd",

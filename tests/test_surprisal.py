@@ -148,3 +148,58 @@ class TestOovMissingSentinel:
         # reference word CSV (src/wordstats.cxx:668-676)
         puncts = tbl[tbl["prop"] == "ISLET"]
         assert puncts["lprob_fwd"].isna().all()
+
+
+class TestDocSurprisalScorer:
+    """The dedicated LM-only scorer must be exactly equal to the full
+    featurizer path on the 6 doc-level Wopr columns (it replaces the
+    739-column detour in q_text_surprisal)."""
+
+    CASES = [
+        "De man ziet de kat . De kat ziet de man .",
+        "",                       # empty doc -> all NA
+        ". . .",                  # punctuation-only sentence -> poison
+        "Eén zin zonder eindpunt",
+        "De hond blaft !\n\nDe kat miauwt ? Ja .",   # two paragraphs
+        "Woord",                  # single word, no bigram context
+        "De grote RODE auto rijdt snel , maar de kleine auto niet .",
+    ]
+
+    @pytest.mark.parametrize("oov", [False, True])
+    def test_matches_featurizer(self, oov):
+        from tscan_ray.text.surprisal import SURPRISAL_COLUMNS, doc_surprisal
+
+        lm = BigramLM(
+            unigrams={"de": 30, "man": 5, "kat": 5, "ziet": 4, "hond": 3,
+                      "blaft": 1, "miauwt": 1, "ja": 2, "auto": 4,
+                      "grote": 2, "rode": 1, "rijdt": 1, "snel": 1,
+                      "maar": 3, "kleine": 1, "niet": 4},
+            bigrams={("de", "man"): 3, ("de", "kat"): 3, ("man", "ziet"): 2},
+            total=68, vocab_size=16, oov_missing=oov)
+        for text in self.CASES:
+            full = featurize_document(text, lm=lm)
+            fast = doc_surprisal(text, lm)
+            for col in SURPRISAL_COLUMNS:
+                a, b = full[col], fast[col]
+                assert (math.isnan(a) and math.isnan(b)) or a == b, \
+                    (text, col, a, b)
+
+    def test_dataset_stage(self, ray_session):
+        import ray
+        import ray.data as rd
+
+        from tscan_ray.text.surprisal import score_surprisal
+
+        lm = default_lm()
+        ds = rd.from_items([
+            {"doc_id": i, "text": t} for i, t in enumerate(self.CASES)
+        ])
+        out = score_surprisal(ds, "text", lm_ref=ray.put(lm),
+                              keep_columns=["doc_id"], concurrency=1)
+        df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert len(df) == len(self.CASES)
+        for i, text in enumerate(self.CASES):
+            full = featurize_document(text, lm=lm)
+            for col in ("Log_prob_fwd", "Perplexiteit_bwd"):
+                a, b = full[col], df.loc[i, col]
+                assert (math.isnan(a) and math.isnan(b)) or a == pytest.approx(b)

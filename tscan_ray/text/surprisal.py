@@ -192,3 +192,101 @@ def default_lm() -> BigramLM:
 
         _DEFAULT_LM = BigramLM.from_unigrams(default_lexicons().word_freq)
     return _DEFAULT_LM
+
+# ---------------------------------------------------------------------------
+# dedicated LM-only document scorer (no 739-column featurizer detour)
+# ---------------------------------------------------------------------------
+
+#: doc-level Wopr columns the scorer emits, in _emit_doc's order
+SURPRISAL_COLUMNS = (
+    "Log_prob_fwd", "Log_prob_bwd", "Entropie_fwd", "Entropie_bwd",
+    "Perplexiteit_fwd", "Perplexiteit_bwd",
+)
+
+
+def doc_surprisal(text: str, lm: BigramLM) -> dict[str, float]:
+    """The 6 doc-level Wopr columns (Log_prob / Entropie / Perplexiteit
+    x fwd/bwd) WITHOUT running the full featurizer: same tokenization
+    (tokenize.segment), the same word filter the featurizer's surprisal
+    attach uses (prop != ISLET, which the tagger sets iff
+    tokenize.is_punct — features.py:954 / tagger.py:954), the same
+    per-sentence ``sentence_stats`` and the same NaN-poisoning doc fold
+    (``proportion(sum over sentences, sentCnt)`` where sentCnt counts
+    sentences with >=1 scored word, src/structstats.cxx:978-1003).
+
+    Equality with the full ``featurize_document`` path is
+    pytest-asserted (tests/test_surprisal.py).  Assumes the default
+    (empty) stoplist: a custom stoplist changes the featurizer's
+    sentCnt but not its scored-word list, so the two paths would
+    diverge — use the full featurizer then.
+    """
+    from tscan_ray.text.kernels import NA, proportion
+    from tscan_ray.text.tokenize import is_punct, segment
+
+    fwd: list[dict] = []
+    bwd: list[dict] = []
+    n_sent = 0
+    for para in segment(text or ""):
+        for sent in para:
+            words = [t.lower() for t in sent if not is_punct(t)]
+            if words:
+                n_sent += 1
+            lpf = [lm.logprob10(w, words[k - 1] if k else None)
+                   for k, w in enumerate(words)]
+            lpb = [lm.logprob10_bwd(
+                       w, words[k + 1] if k + 1 < len(words) else None)
+                   for k, w in enumerate(words)]
+            fwd.append(sentence_stats(lpf))
+            bwd.append(sentence_stats(lpb))
+    out: dict[str, float] = {}
+    for lbl, stats in (("fwd", fwd), ("bwd", bwd)):
+        for col, metric in ((f"Log_prob_{lbl}", "avg_prob10"),
+                            (f"Entropie_{lbl}", "entropy"),
+                            (f"Perplexiteit_{lbl}", "perplexity")):
+            vals = [s[metric] for s in stats]
+            out[col] = proportion(sum(vals), n_sent) if vals else NA
+    return out
+
+
+class SurprisalScorer:
+    """Actor-pool stage: LM broadcast once per actor (ray.get in
+    __init__), per-batch pure-Python scoring over the text column."""
+
+    def __init__(self, text_column: str = "text", lm_ref=None,
+                 keep_columns: list[str] | None = None):
+        import ray
+
+        self.text_column = text_column
+        self.lm = ray.get(lm_ref) if lm_ref is not None else default_lm()
+        self.keep_columns = keep_columns or []
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        rows = [doc_surprisal(t or "", self.lm)
+                for t in batch.column(self.text_column).to_pylist()]
+        cols: dict = {k: batch.column(k) for k in self.keep_columns}
+        for name in SURPRISAL_COLUMNS:
+            cols[name] = pa.array([r[name] for r in rows],
+                                  type=pa.float64())
+        return pa.table(cols)
+
+
+def score_surprisal(ds, text_col: str, lm_ref=None,
+                    keep_columns: list[str] | None = None,
+                    concurrency=None):
+    """LM-only surprisal scoring over a Dataset: read only the needed
+    columns, score in a fixed actor pool.  ~100x less per-row work than
+    ``featurize(...)`` + select when only the Wopr columns are wanted."""
+    from tscan_ray.stages.featurizer import pool_size
+
+    keep = keep_columns or []
+    ds = ds.select_columns(list(dict.fromkeys([*keep, text_col])))
+    return ds.map_batches(
+        SurprisalScorer,
+        fn_constructor_kwargs={"text_column": text_col, "lm_ref": lm_ref,
+                               "keep_columns": keep},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency or pool_size(cap=16),
+    )

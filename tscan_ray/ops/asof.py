@@ -41,7 +41,6 @@ from tscan_ray.config import DEFAULT_CONFIG
 from tscan_ray.ops.keyed import as_arrow_type, grouped_apply
 
 _SIDE = "__side__"
-_RIDX = "__ridx__"
 
 
 def _tag_union(left, right, left_schema, right_schema, r_rename):
@@ -288,7 +287,7 @@ def interval_join(
     sessionization output (ops/window.session_stats), the intended
     producer.  Under that assumption the latest interval starting at or
     before ts is the unique candidate, so the join reduces to ONE
-    ``merge_asof`` backward gallop on ``start_col`` followed by a
+    ``_asof_indices`` backward gallop on ``start_col`` followed by a
     vectorized ``end_col >= ts`` filter — same one-exchange,
     sorted-merge, gather-by-row-index plan as :func:`asof_join` (no
     per-key cartesian product).  For overlapping-but-bounded intervals,
@@ -319,25 +318,24 @@ def interval_join(
 
     def merge(tbl: pa.Table) -> pd.DataFrame:
         ldf, rdf = _split_sides(tbl, left_cols, rcols, union_schema)
+        # non-overlapping intervals per key: the latest start <= ts is
+        # the unique candidate — the same composite-code searchsorted
+        # gallop as asof_join (_asof_indices; replaced the pandas
+        # merge_asof probe r5), then the inclusive end-bound filter
         rdf = rdf.sort_values([key, s_c], kind="mergesort").reset_index(drop=True)
-        probe = pd.DataFrame({key: rdf[key], s_c: rdf[s_c],
-                              _RIDX: np.arange(len(rdf), dtype=np.int64)})
-        ldf = ldf.sort_values(ts, kind="mergesort")
-        probe = probe.sort_values(s_c, kind="mergesort")
-        out = pd.merge_asof(ldf, probe, left_on=ts, right_on=s_c, by=key,
-                            direction="backward", allow_exact_matches=True)
-        out = out.drop(columns=[s_c])
-        cand = np.where(out[_RIDX].notna(),
-                        out[_RIDX].to_numpy(dtype=np.float64),
-                        -1).astype(np.int64)
-        end_vals = _gather(rdf[e_c], cand, out.index)
-        matched = end_vals.notna() & (out[ts] <= end_vals)
+        ldf = ldf.sort_values(ts, kind="mergesort").reset_index(drop=True)
+        cand = _asof_indices(
+            ldf[key].to_numpy(), ldf[ts].to_numpy(),
+            rdf[key].to_numpy(), rdf[s_c].to_numpy(), "backward", None)
+        end_vals = _gather(rdf[e_c], cand, ldf.index)
+        matched = ((end_vals.notna() & (ldf[ts] <= end_vals))
+                   .fillna(False).to_numpy(dtype=bool))
         if how == "inner":
-            out = out[matched]
-            ridx = cand[matched.to_numpy()]
+            ldf = ldf[matched].reset_index(drop=True)
+            ridx = cand[matched]
         else:
-            ridx = np.where(matched.to_numpy(), cand, -1)
-        out = out.drop(columns=[_RIDX])
+            ridx = np.where(matched, cand, -1)
+        out = ldf
         for internal, orig in out_names.items():
             out[orig] = _gather(rdf[internal], ridx, out.index)
         return out

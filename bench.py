@@ -110,12 +110,31 @@ def run_bench() -> dict:
     import __ray_entry__ as entrymod
     from tscan_ray.pipelines.flagship import flagship, materialize_images
 
-    # warm the page cache so we measure compute + shuffle, not first disk read
+    # setup (untimed): transcode the input tables to /tmp with the
+    # b'pandas' schema metadata STRIPPED — the driver-generated parquet
+    # carries it, which makes pa.Schema unhashable and Ray's block-schema
+    # dedup log 'Failed to hash the schemas' inside ReadParquet itself
+    # (before any map can strip it).  Doubles as the page-cache warm-up
+    # so we measure compute + shuffle, not first disk read.
     import pyarrow.parquet as pq
 
-    n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    sf_tag_in = os.path.basename(SF_DIR.rstrip("/"))
+    sf_run = f"/tmp/bench_sf_{sf_tag_in}"
+    if not os.path.isdir(sf_run):
+        os.makedirs(sf_run + ".tmp", exist_ok=True)
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents",
+                  "embeddings"):
+            src = f"{SF_DIR}/{t}.parquet"
+            if os.path.exists(src):
+                pq.write_table(
+                    pq.read_table(src).replace_schema_metadata(None),
+                    f"{sf_run}.tmp/{t}.parquet")
+        os.rename(sf_run + ".tmp", sf_run)
+
+    n_docs = pq.read_metadata(f"{sf_run}/documents.parquet").num_rows
     for t in ("documents", "events", "embeddings", "lineitem"):
-        pq.read_table(f"{SF_DIR}/{t}.parquet")
+        pq.read_table(f"{sf_run}/{t}.parquet")
 
     # warm the Ray worker pool (untimed): the first dataset execution in a
     # session pays ~3s of worker-process spin-up that belongs to session
@@ -133,10 +152,10 @@ def run_bench() -> dict:
     # setup (untimed): materialize the input images table once per
     # (sf, amplify) — the engine's job starts at the table, not the
     # synthesizer
-    sf_tag = os.path.basename(SF_DIR.rstrip("/"))
+    sf_tag = sf_tag_in
     images_path = f"/tmp/bench_images_{sf_tag}_x{AMPLIFY}"
     if not os.path.isdir(images_path):
-        materialize_images(SF_DIR, images_path + ".tmp",
+        materialize_images(sf_run, images_path + ".tmp",
                            n_entities=n_entities, amplify=AMPLIFY)
         os.rename(images_path + ".tmp", images_path)
 
@@ -154,7 +173,7 @@ def run_bench() -> dict:
         rd.read_parquet(images_path).limit(512).repartition(4) \
             .write_parquet(warm_path + ".tmp")
         os.rename(warm_path + ".tmp", warm_path)
-    flagship(SF_DIR, n_entities=n_entities, num_buckets=max(32, NUM_CPUS),
+    flagship(sf_run, n_entities=n_entities, num_buckets=max(32, NUM_CPUS),
              featurizer_concurrency=None, write_to=f"{out_dir}.warm",
              images_path=warm_path)
     shutil.rmtree(f"{out_dir}.warm", ignore_errors=True)
@@ -183,7 +202,7 @@ def run_bench() -> dict:
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         flagship(
-            SF_DIR,
+            sf_run,
             n_entities=n_entities,
             num_buckets=max(32, NUM_CPUS),
             featurizer_concurrency=None,  # flagship balances the CPU budget
@@ -193,7 +212,7 @@ def run_bench() -> dict:
         head_reps.append(time.perf_counter() - t0)
         for name in run_queries:
             t0 = time.perf_counter()
-            _consume(queries[name](SF_DIR))
+            _consume(queries[name](sf_run))
             q_reps[name].append(time.perf_counter() - t0)
     spin_after = _spin_probe(probe_k)
 

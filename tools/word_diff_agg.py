@@ -75,6 +75,8 @@ def main():
                                 m for m in h.morphemes) if args.kind == \
                                 "morph" else ""
                             where[key] = (case, flat, gm, hm)
+    if not total:
+        sys.exit(f"no fixture words found under {REF_TESTS}")
     print(f"{args.kind}: {bad}/{total} words mismatch "
           f"({100*(1-bad/total):.2f}% exact)")
     for key, n in counts.most_common(args.top):

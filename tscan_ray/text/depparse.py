@@ -701,7 +701,6 @@ def parse_sentence(anns: list) -> SentParse:
     # a determined infinitive is an NP head in the tree ("met HET
     # BESTAAN als jager", tests/d5 s3: prep_obj1 met->bestaan, det
     # edge, np counts) — demote to N on the same parse-only clone
-    nominal_infs: set[int] = set()
     first_np_tok = next((i for i in range(n)
                          if anns[i].prop != "ISLET"), -1)
     for i, a in enumerate(anns):
@@ -712,7 +711,6 @@ def parse_sentence(anns: list) -> SentParse:
             # is prima", tests/bug4 s6; "ROEIEN ... was vermoeiend",
             # tests/overlap5 s2: su edge, no cluster)
             demote.append(-i - 1)
-            nominal_infs.add(i)
             continue
         if a.tag == "WW" and a.prop == "ISINF" and i:
             pj = next((j for j in range(i - 1, -1, -1)
@@ -736,7 +734,6 @@ def parse_sentence(anns: list) -> SentParse:
                                          for k in range(pj2)))):
                     continue
                 demote.append(-i - 1)  # negative marker = noun demotion
-                nominal_infs.add(i)
 
     orig_anns = anns
     if demote:
@@ -2724,7 +2721,8 @@ def parse_sentence(anns: list) -> SentParse:
                               # dus kocht ...", tests/bug2 s5:
                               # smain_cnj 2 + ssub_cnj 1)
                               or clauses[lj].kind in ("sub", "rel")):
-                if clauses[lj].kind in ("sub", "rel")                         and clause_cls[lj] == "ssub":
+                if (clauses[lj].kind in ("sub", "rel")
+                        and clause_cls[lj] == "ssub"):
                     parse.ssub_cnj_cnt += 1
                 lj -= 1
             if lj >= 0 and lj == ci - 1 \

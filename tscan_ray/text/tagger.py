@@ -2832,8 +2832,7 @@ def _context_passes(tokens, ds, lex, n):
             lw = lowers[i]
             if (not d.punct and d.info is not None
                     and d.info.tag in ("N", "ADJ")
-                    and lw.endswith("en") and lw in _CLUSTER_VERBS
-                    and _is_fin(ds[a]) is not None):
+                    and lw.endswith("en") and lw in _CLUSTER_VERBS):
                 nx2 = next((k for k in range(i + 1, b)
                             if not ds[k].punct), -1)
                 if (nx2 >= 0 and ds[nx2].info is not None

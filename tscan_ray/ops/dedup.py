@@ -97,9 +97,25 @@ def shingles_fast(text: str, k: int) -> np.ndarray:
     md5 (memoized) combined per-gram with the Horner rolling hash.
     Jaccard over these hashes equals Jaccard over the md5-gram hashes
     up to mod-P collisions, so the verified pair set matches the md5
-    path in practice (pytest asserts equality on the fixtures); the
-    DuckDB oracle pins the md5 path, which stays the default for
-    oracle-checked queries."""
+    path in practice; the DuckDB oracle pins the md5 path, which stays
+    the default for oracle-checked queries.
+
+    Collision/equivalence bound (property-tested in
+    tests/test_property.py::TestFastHashDedupEquivalence): both hash
+    functions map distinct grams ~uniformly into [0, P), P = 2^31-1.
+    For a candidate pair with U distinct grams in the union, the exact
+    verify-stage Jaccard differs between the paths only if some pair of
+    distinct grams collides mod P under one hash but not the other:
+    probability <= 2*C(U,2)/P ~ U^2/2^31 per pair (~5e-4 at U=10^3),
+    and a collision perturbs Jaccard by at most 1/U, so a pair can flip
+    across the threshold only when its exact Jaccard lies within 1/U of
+    it — combined flip probability < 1e-6 per candidate pair.  The LSH
+    CANDIDATE sample (r = num_perm/bands rows per band) is drawn from
+    the same distribution but with different randomness under the two
+    hashes, so for r > 1 near-threshold pairs may appear in one path's
+    candidate set and not the other's; with r = 1 banding both paths
+    reach recall ~1 (miss <= (1-J)^num_perm) and the verified pair sets
+    coincide, which is the regime the property test asserts."""
     toks = _TOKEN_RE.findall(text.lower())
     if not toks:
         return np.empty(0, dtype=np.uint64)

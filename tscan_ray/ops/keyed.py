@@ -274,11 +274,13 @@ def task_exchange(
 
     if num_buckets == 1:
         # num_returns=1 gives a bare ref per split
+        LAST_EXCHANGE_STATS["reduce_fanin"] = len(split_group)
         outs = [_reduce_task.remote(fn, batch_format, *split_group)]
         return rd.from_arrow_refs(outs)
 
     final = combined + split_group
     m = len(final)
+    LAST_EXCHANGE_STATS["reduce_fanin"] = m
     outs = [
         _reduce_task.remote(fn, batch_format,
                             *[final[i][b] for i in range(m)])

@@ -36,7 +36,14 @@ def strip_schema_metadata(ds):
 
 def read_table(path: str, columns: list[str] | None = None, **kwargs):
     """Read a Lance dataset directory or a parquet file/directory into a
-    ``ray.data.Dataset``, pruning to ``columns`` at the scan."""
+    ``ray.data.Dataset``, pruning to ``columns`` at the scan.
+
+    Real-Lance status (2026-08-19, round 5): no pylance wheel exists in
+    this container and there is no network (``pip download pylance`` ->
+    no matching distribution), so the ``read_lance`` branch has still
+    never executed against a real Lance dataset.  The seam is contract-
+    tested with a mocked ``read_lance`` (tests/test_io.py: layout
+    detection, column/kwarg passthrough, loud ImportError)."""
     import ray.data as rd
 
     if path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions")):

@@ -19,20 +19,38 @@ generalizes it to partition-granular output manifests:
   only pays for missing partitions.
 
 Partitioning is by deterministic key-hash bucket (ops/keyed.py) — the
-same bucketing the timeline operators use, so one exchange can both
-compute window features and write its bucket.
+same bucketing the timeline operators use.
+
+Narrow exchange (round 5): the wide payload never enters the object
+store.  Each upstream block writes ONE compressed parquet shard under
+``out_dir/_shards/`` with its rows sorted by bucket and one parquet
+ROW GROUP per bucket present; only tiny (bucket, path, row_group, rows)
+pointer rows flow back to the driver (the barrier).  A per-bucket
+finalize task then reads exactly its bucket's row groups (parquet
+row-group pruning — byte-ranged reads, not whole files), concatenates,
+and commits ``part-K.parquet`` + manifest atomically.  At the 3M-row
+soak the old full-width object-store exchange was ~52 % of wall
+(56 MiB/s spill path); the shard path is 2×write + 1×read of
+snappy-compressed parquet on storage instead, and on a cluster the
+shard dir lives on the shared filesystem the output already uses.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
+import uuid
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
-from tscan_ray.ops.keyed import BUCKET_COL, task_exchange, with_bucket
+from tscan_ray.ops.keyed import BUCKET_COL, with_bucket
+
+SHARD_DIR = "_shards"
 
 MANIFEST_DIR = "_manifest"
 
@@ -103,56 +121,114 @@ def resumable_write(
     base_lineage.setdefault("key", key)
     base_lineage.setdefault("num_buckets", num_buckets)
 
+    import ray
+
     bucketed = with_bucket(ds, key, num_buckets)
     if done:
         done_arr = np.array(sorted(done), dtype=np.int64)
 
-        def drop_done(df: pd.DataFrame) -> pd.DataFrame:
-            mask = ~df[BUCKET_COL].isin(done_arr)
-            return df[mask]
+        def drop_done(t: pa.Table) -> pa.Table:
+            mask = pa.compute.invert(pa.compute.is_in(
+                t.column(BUCKET_COL), value_set=pa.array(done_arr)))
+            return t.filter(mask)
 
-        bucketed = bucketed.map_batches(drop_done, batch_format="pandas")
+        bucketed = bucketed.map_batches(drop_done, batch_format="pyarrow",
+                                        zero_copy_batch=True)
 
     summary_cols = {"partition": "int64", "rows": "int64",
                     "wall_s": "float64", "checksum": "int64"}
 
-    def write_group(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:  # a hash bucket no key mapped to
-            return pd.DataFrame({c: pd.Series(dtype=t)
-                                 for c, t in summary_cols.items()})
-        t0 = time.perf_counter()
-        k = int(df[BUCKET_COL].iloc[0])
-        df = df.drop(columns=[BUCKET_COL])
-        path = _part_path(out_dir, k)
-        tmp = f"{path}.tmp.{os.getpid()}"
-        df.to_parquet(tmp, index=False)
-        os.replace(tmp, path)
-        checksum = value_checksum(df)
-        wall = time.perf_counter() - t0
-        manifest = {
-            "partition": k,
-            "rows": int(len(df)),
-            "checksum": checksum,
-            "wall_s": round(wall, 4),
-            "columns": list(df.columns),
-            "lineage": base_lineage,
-        }
-        mpath = _manifest_path(out_dir, k)
-        mtmp = f"{mpath}.tmp.{os.getpid()}"
-        with open(mtmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(mtmp, mpath)
-        return pd.DataFrame(
-            [{"partition": k, "rows": len(df), "wall_s": wall,
-              "checksum": checksum}]
-        )
+    # phase 1: spill shards — one file per upstream block, rows sorted
+    # by bucket, ONE row group per bucket present.  The wide payload
+    # goes straight to storage; only pointers leave the task.
+    shard_dir = os.path.join(out_dir, SHARD_DIR)
+    shutil.rmtree(shard_dir, ignore_errors=True)  # stale kills' leftovers
+    os.makedirs(shard_dir, exist_ok=True)
 
-    # exchange keyed DIRECTLY on the bucket index (partition K = bucket K),
-    # so the output layout is stable across runs and engines
-    summary = task_exchange(
-        bucketed, BUCKET_COL, write_group, num_buckets, direct=True
-    ).to_pandas()  # tiny: one row per partition written
+    ptr_schema = pa.schema([("bucket", pa.int64()), ("path", pa.string()),
+                            ("row_group", pa.int64()), ("rows", pa.int64())])
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return ptr_schema.empty_table()
+        order = pa.compute.sort_indices(t.column(BUCKET_COL))
+        t = t.take(order).replace_schema_metadata(None)
+        bcol = t.column(BUCKET_COL).to_numpy(zero_copy_only=False)
+        buckets, starts = np.unique(bcol, return_index=True)
+        bounds = np.append(starts, t.num_rows)
+        path = os.path.join(shard_dir, f"shard-{uuid.uuid4().hex}.parquet")
+        tmp = f"{path}.tmp"
+        with pq.ParquetWriter(tmp, t.schema) as w:
+            for i in range(len(buckets)):
+                sub = t.slice(bounds[i], bounds[i + 1] - bounds[i])
+                w.write_table(sub, row_group_size=max(sub.num_rows, 1))
+        os.replace(tmp, path)
+        return pa.table({
+            "bucket": pa.array(buckets, type=pa.int64()),
+            "path": pa.array([path] * len(buckets)),
+            "row_group": pa.array(np.arange(len(buckets)), type=pa.int64()),
+            "rows": pa.array(np.diff(bounds), type=pa.int64()),
+        })
+
+    # the pointer frame is the barrier AND the only driver
+    # materialization: <= shards × buckets tiny rows (path strings)
+    pointers = bucketed.map_batches(
+        write_shard, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None).to_pandas()
+
+    if pointers.empty:
+        shutil.rmtree(shard_dir, ignore_errors=True)
+        return pd.DataFrame({c: pd.Series(dtype=d)
+                             for c, d in summary_cols.items()})
+
+    # phase 2: per-bucket finalize tasks — each reads ONLY its bucket's
+    # row groups, commits part + manifest atomically (incremental:
+    # partitions land as tasks finish, resumable mid-burst)
+    fin = ray.remote(_finalize_partition)
+    refs = [
+        fin.remote(out_dir, int(k),
+                   list(zip(grp["path"], grp["row_group"])), base_lineage)
+        for k, grp in pointers.groupby("bucket", sort=True)
+    ]
+    summary = pd.DataFrame(ray.get(refs)).astype(summary_cols)
+    shutil.rmtree(shard_dir, ignore_errors=True)  # all committed
     return summary
+
+
+def _finalize_partition(out_dir: str, k: int, path_rgs: list,
+                        base_lineage: dict) -> dict:
+    """Read bucket ``k``'s row groups from the listed shards, commit
+    ``part-K.parquet`` + manifest (data first, manifest after — manifest
+    presence proves completeness), return the summary row."""
+    t0 = time.perf_counter()
+    by_path: dict[str, list[int]] = {}
+    for p, rg in path_rgs:
+        by_path.setdefault(p, []).append(int(rg))
+    parts = [pq.ParquetFile(p).read_row_groups(sorted(rgs))
+             for p, rgs in by_path.items()]
+    table = pa.concat_tables(parts, promote_options="default")
+    df = table.to_pandas().drop(columns=[BUCKET_COL])
+    path = _part_path(out_dir, k)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    df.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+    checksum = value_checksum(df)
+    wall = time.perf_counter() - t0
+    manifest = {
+        "partition": k,
+        "rows": int(len(df)),
+        "checksum": checksum,
+        "wall_s": round(wall, 4),
+        "columns": list(df.columns),
+        "lineage": base_lineage,
+    }
+    mpath = _manifest_path(out_dir, k)
+    mtmp = f"{mpath}.tmp.{os.getpid()}"
+    with open(mtmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(mtmp, mpath)
+    return {"partition": k, "rows": len(df), "wall_s": wall,
+            "checksum": checksum}
 
 
 def read_manifests(out_dir: str) -> list[dict]:

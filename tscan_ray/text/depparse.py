@@ -83,6 +83,12 @@ _SVP_PARTICLES = frozenset({
 _DET_PRONOUNS = frozenset({"alle", "sommige", "enkele", "vele", "beide",
                            "geen"})
 
+# pronouns Frog's chunker does NOT open an NP chunk for: adverbial
+# pronouns and bare comparative quantifiers ("er zijn ...", "punten
+# MEER" — reference tests/bug1 s2: npCnt excludes er/meer)
+_NON_CHUNK_PRONOUNS = frozenset({"er", "hier", "daar", "waar",
+                                 "meer", "minder", "meest", "minst"})
+
 
 @dataclass
 class Clause:
@@ -201,6 +207,12 @@ def _has_np_complement(anns: list, j: int, end: int, puncts: set[int]) -> bool:
                 k = nk + 1
                 continue
             return False
+        if a.tag == "WW" and a.prop in ("ISVD", "ISOD") \
+                and a.position == "PRENOM":
+            # prenominal participle opens the object NP ("de geur van
+            # AANGEBRAND vlees", reference tests/concreet3 s1: np_mod 2,
+            # no verb_pp edge)
+            return True
         if a.tag in ("VZ", "WW"):
             return False
         if _is_nounish(a) or a.tag in ("VNW", "LID", "ADJ", "TW"):
@@ -641,7 +653,7 @@ _FUNC_MWUS = frozenset({
 })
 
 
-def parse_sentence(anns: list) -> SentParse:
+def parse_sentence(anns: list, lex=None) -> SentParse:
     """Run the reduced parser over one sentence of ``WordAnn`` records.
 
     Rule cascade (deterministic, left-to-right):
@@ -1135,6 +1147,19 @@ def parse_sentence(anns: list) -> SentParse:
                     parse.indef_np_cnt += 1
                 i = j
                 continue
+            if a.tag == "VNW" and a.lword not in _NON_CHUNK_PRONOUNS:
+                # determiner pronoun with no noun to head ("DIE zijn
+                # mooi"): Frog's chunker still opens a B-NP chunk
+                parse.np_cnt += 1
+                parse.np_size_sum += 1
+        elif a.tag == "VNW" and a.lword not in _NON_CHUNK_PRONOUNS:
+            # bare pronoun NP chunk: np_length counts FROG CHUNKER "NP"
+            # chunks (src/tscan.cxx:2105-2124), and the chunker marks
+            # standalone pronouns B-NP ("Hij", "iedereen", relative
+            # "die" — reference tests/svp s1: npCnt 3 = Hij/iedereen/
+            # die; tests/bug1 s2: npCnt 7 incl. Ik/ik)
+            parse.np_cnt += 1
+            parse.np_size_sum += 1
         i += 1
 
     # ---- NP-attached PPs: a preposition directly after a noun modifies

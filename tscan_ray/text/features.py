@@ -1296,7 +1296,7 @@ def analyze_sentence(
                 else:
                     j += 1
         else:
-            rp = depparse.parse_sentence(anns)
+            rp = depparse.parse_sentence(anns, lex)
             parse.np_cnt = rp.np_cnt
             parse.indef_np_cnt = rp.indef_np_cnt
             parse.np_size_sum = rp.np_size_sum
@@ -1304,7 +1304,7 @@ def analyze_sentence(
         parse = SentParse()
         c["parseFailCnt"] += 1
     else:
-        parse = depparse.parse_sentence(anns)
+        parse = depparse.parse_sentence(anns, lex)
     f.parses.append(parse)
     if parse.imperative_idx >= 0:
         anns[parse.imperative_idx].is_imperative = True

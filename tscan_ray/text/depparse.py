@@ -81,7 +81,7 @@ _SVP_PARTICLES = frozenset({
     "door", "over", "om", "rond", "neer", "na", "voort", "binnen"})
 
 _DET_PRONOUNS = frozenset({"alle", "sommige", "enkele", "vele", "beide",
-                           "geen"})
+                           "geen", "elke", "elk", "iedere", "ieder"})
 
 # pronouns Frog's chunker does NOT open an NP chunk for: adverbial
 # pronouns and bare comparative quantifiers ("er zijn ...", "punten
@@ -162,6 +162,45 @@ def _store(parse: SentParse, typ: str, p1: int, p2: int, puncts: set[int]) -> No
 
 def _is_finite(ann) -> bool:
     return ann.tag == "WW" and ann.prop in _FINITE_PROPS
+
+
+# fixed prepositional complements (Alpino rel=pc: "houden VAN",
+# "meedoen AAN") and post-verb locative complements of position/motion
+# verbs (rel=ld) are NOT adverbial modifiers — getAdverbialNodes counts
+# rel=mod|predm only (reference src/Alpino.cxx:1024-1028); the VERB_PP
+# DISTANCE is stored regardless of rel (src/Alpino.cxx:500-505)
+_PC_PREPS = {
+    "houden": ("van",), "meedoen": ("aan",), "denken": ("aan", "over"),
+    "geloven": ("in",), "wachten": ("op",), "hopen": ("op",),
+    "rekenen": ("op",), "letten": ("op",), "kijken": ("naar",),
+    "luisteren": ("naar",), "zorgen": ("voor",), "lijken": ("op",),
+    "horen": ("bij",), "passen": ("bij",), "beginnen": ("aan", "met"),
+    "stoppen": ("met",), "praten": ("over",), "spreken": ("over",),
+    "klagen": ("over",), "genieten": ("van",), "twijfelen": ("aan",),
+    "wennen": ("aan",), "voldoen": ("aan",), "deelnemen": ("aan",),
+    "behoren": ("tot",), "bestaan": ("uit",), "blijken": ("uit",),
+}
+_LD_VERBS = frozenset({
+    "staan", "zitten", "liggen", "hangen", "lopen", "gaan", "komen",
+    "blijven", "wonen", "vallen", "stappen", "springen", "zetten",
+    "leggen", "belanden", "verhuizen",
+})
+_LD_PREPS = frozenset({"in", "op", "uit", "bij", "naast", "onder",
+                       "boven", "achter", "tussen", "binnen", "buiten",
+                       "langs", "tegenover"})
+
+
+def _pp_is_adverbial(verb_ann, prep: str, post_verb: bool) -> bool:
+    if prep == "naar":
+        # directional naar-PPs are rel=ld complements, not mods ("ging
+        # NAAR huis omdat ...", tests/depdist18: vcMod 1)
+        return False
+    lemma = verb_ann.full_lemma or verb_ann.lemma
+    if prep in _PC_PREPS.get(lemma, ()):
+        return False
+    if post_verb and lemma in _LD_VERBS and prep in _LD_PREPS:
+        return False
+    return True
 
 
 def _is_nounish(ann) -> bool:
@@ -2278,10 +2317,7 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                 if j in np_pp_attached:
                     continue
                 _store(parse, "VERB_PP", sc_tgt, j, puncts)
-                if b.lword != "naar":
-                    # directional naar-PPs are rel=ld complements, not
-                    # mods — getAdverbialNodes skips them ("ging NAAR
-                    # huis omdat ...", tests/depdist18: vcMod 1)
+                if _pp_is_adverbial(anns[verb], b.lword, j > verb):
                     parse.vc_mod_cnt += 1  # adverbial PP (getAdverbialNodes)
                 # object of the preposition (head NP; skip its run)
                 obj = _pp_object(anns, j, cl.end, puncts)
@@ -2306,8 +2342,12 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                         and np_start.get(j, j) == j):
                     # bare temporal-noun adjunct, not an object ("Hij
                     # LEEST al jaren niet meer": verb_noun 1, obj NA —
-                    # reference tests/mod_adv s3 / noun-adv)
+                    # reference tests/mod_adv s3 / noun-adv); the np is
+                    # rel=mod under the clause node, so it is also an
+                    # adverbial for getAdverbialNodes ("Dat zegt ze
+                    # ELKE DAG", tests/bug4 s15: vcMod 2)
                     _store(parse, "VERB_NOUN", sc_tgt, j, puncts)
+                    parse.vc_mod_cnt += 1
                     continue
                 if (j + 1 < cl.end and j + 1 not in puncts
                         and anns[j + 1].lword == "geleden"):

@@ -3109,6 +3109,19 @@ def _context_passes(tokens, ds, lex, n):
             base = _deinflect_e(lowers[0])
             ds[0] = Decision(_pi("ADJ", base, (base, "e")))
 
+    # -- "laat" ADJ/WW homograph: directly before a nominative pronoun
+    # it is the finite causative ("En nu LAAT ze me zitten", reference
+    # tests/bug4 s17: obj1/verb_vc edges off laten) --------------------
+    for i in range(n - 1):
+        d = ds[i]
+        if (not d.punct and d.info is not None and d.info.tag == "ADJ"
+                and lowers[i] == "laat"):
+            nx = _next_idx(ds, i)
+            if nx >= 0 and not ds[nx].punct \
+                    and lowers[nx] in _NOM_PRONOUNS:
+                ds[i] = Decision(_pi("WW", "laten", ("laat",),
+                                     wvorm="pv", pvtijd="tgw"))
+
     # -- die/dat: determiner / relative / demonstrative / complementizer
     # (runs AFTER verb recovery so embedded finite verbs are visible)
     for i, d in enumerate(ds):

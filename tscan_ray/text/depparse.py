@@ -68,6 +68,12 @@ _POSS_PRONOUNS = frozenset({"mijn", "jouw", "uw", "onze", "ons", "je",
 # auxiliary wvorm classes: a finite aux + participle clause attaches
 # su/obj/mod edges to the participle (reference tests/depdist17, 22)
 _AUX_WWFORMS = frozenset({"COPULA", "TIME_VERB", "PASSIVE_VERB"})
+# subject-raising aspectual verbs whose bare-infinitive complement is
+# the content verb of the cluster (Alpino vc inf with coindexed su);
+# AcI verbs (laten/zien/horen) are NOT here — their object is the
+# embedded subject, a different tree shape
+_ASPECTUAL_CLUSTER = frozenset({"blijven", "gaan", "komen", "durven",
+                                "hoeven"})
 # bare temporal nouns attach as verb_noun adjuncts, not objects
 # (reference tests/mod_adv s3, noun-adv: "al jaren", "eeuwen achter")
 _TEMPORAL_NOUNS = frozenset({
@@ -1767,10 +1773,13 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                     content = parts[-1]
             elif parts:
                 content = parts[-1]
-        elif finites and anns[verb].wwform == "MODAL_VERB":
-            # modal + infinitive cluster: arguments/modifiers hang under
-            # the infinitive, whose coindexed su doubles the subject edge
-            # ("zodat Ko het beter kon zien", reference tests/depdist20)
+        elif finites and (anns[verb].wwform == "MODAL_VERB"
+                          or anns[verb].lemma in _ASPECTUAL_CLUSTER):
+            # modal/aspectual + infinitive cluster: arguments/modifiers
+            # hang under the infinitive, whose coindexed su doubles the
+            # subject edge ("zodat Ko het beter kon zien", tests/
+            # depdist20; "Ze BLIJVEN daar ... GELOVEN in perfectie",
+            # tests/bug5 s13: su [0,4], verb_pp in->geloven)
             parts = [w for w in verbs if w > verb and anns[w].prop == "ISINF"]
             if not parts:
                 parts = [w for w in verbs if w < verb
@@ -2616,6 +2625,21 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                 # ("blijkt ... te ZIJN", tests/flair1 s17)
                 _store(parse, "SUB_VERB", cop_inf, su, puncts)
             obj_cands = []
+
+        # inherently-reflexive objects are Alpino rel=se, not obj1
+        # ("waar verheugen WE ONS op", tests/bug5 s3: obj NA): zich is
+        # always se; a personal pronoun coreferent with the clause
+        # subject is se too
+        if obj_cands:
+            se_forms = {"zich", "zichzelf"}
+            if su >= 0:
+                se_forms |= {"we": {"ons", "onszelf"},
+                             "wij": {"ons", "onszelf"},
+                             "ik": {"me", "mezelf"},
+                             "je": {"jezelf"}, "jij": {"jezelf"},
+                             }.get(anns[su].lword, set())
+            obj_cands = [c for c in obj_cands
+                         if anns[c].lword not in se_forms]
 
         obj1_tgt = -1
         if obj_cands:

@@ -1076,6 +1076,17 @@ def analyze_sentence(
                             or b.prop in ("ISNAME", "ISAANW")):
                         predc = True
                     break
+            # existential "er zijn/is X": the post-verb NP is the
+            # SUBJECT, not a predicate — Alpino gives zijn no predc
+            # sibling, so classifyVerb yields TIME_VERB ("er ZIJN geen
+            # repen met punten meer", tests/bug1 s2: timeV 1, koppel 0)
+            if predc and not has_vc:
+                pj = next((j for j in range(k - 1, -1, -1)
+                           if anns[j].prop != "ISLET"
+                           and anns[j].tag != "BW"), -1)
+                if (pj >= 0 and anns[pj].lword == "er") or (
+                        later and later[0].lword == "er"):
+                    predc = False
             lemma = a.lemma
             if lemma == "worden" and has_vd:
                 ww = "PASSIVE_VERB"

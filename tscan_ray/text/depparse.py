@@ -1620,6 +1620,32 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                     elif not (conj_lemma == "als" and pn2 >= 0
                               and anns[pn2].lword == "net"):
                         parse.vc_mod_cnt += 1
+            elif (su >= 0 and finites and su > finites[0]
+                    and cl.kind == "main" and ci == 0
+                    and all(anns[x].prop == "ISNAME"
+                            or anns[x].tag == "TSW"
+                            for x in idxs if x < finites[0])):
+                # sentence-initial verb-first clause (bar vocatives/
+                # interjections) with an inverted subject: a direct
+                # question/imperative — Alpino cat=sv1, NOT smain
+                # ("' Jezus Leen , GEBRUIK je hersens nou eens een
+                # keer .", tests/bug4 s21: smain 0, sv1 1)
+                parse.sv1_cnt += 1
+                cls = "sv1"
+            elif (verb_first and su >= 0 and su > finites[0]
+                    and ci > 0 and clause_verb[ci - 1] >= 0
+                    and _is_finite(anns[clause_verb[ci - 1]])
+                    and any(anns[x].word in ("'", '"', "’",
+                                             "”")
+                            for x in range(
+                                max(0, idxs[0] - 3), idxs[0]))):
+                # verb-first speech-attribution clause after a QUOTED
+                # clause with its own verb: Alpino brackets a du whose
+                # attribution part is an sv1, not a second smain ("' Ze
+                # gaan op wintersport ' , SNIKT ze .", tests/bug4 s10:
+                # smain 1, sv1 1)
+                parse.sv1_cnt += 1
+                cls = "sv1"
             elif verb_first and su < 0:
                 prev_conj = (anns[clauses[ci - 1].conj_idx].lword
                              if ci > 0 and clauses[ci - 1].conj_idx >= 0

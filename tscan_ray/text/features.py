@@ -1015,6 +1015,11 @@ def analyze_sentence(
             back = []
             for j in range(k - 1, -1, -1):
                 if anns[j].tag == "WW":
+                    if j == 0 and anns[j].prop == "ISINF":
+                        # sentence-initial nominalized-infinitive
+                        # SUBJECT, not a cluster member ("HUILEN is
+                        # prima", tests/bug4 s6: koppel 1)
+                        break
                     back.append(anns[j])
                 else:
                     break
@@ -1060,10 +1065,17 @@ def analyze_sentence(
                 if b.tag in ("ADJ", "N") or b.prop == "ISNAME":
                     predc = True
                 break
-            if not predc:
+            nxt_content = next((b for b in later
+                                if b.prop != "ISLET"), None)
+            if not predc and (nxt_content is None
+                              or nxt_content.tag in ("VG", "WW")):
                 # verb-final subordinate clause: the predicate PRECEDES
                 # the copula ("omdat ie moe was", "de beste SKIER van
-                # Nederland te ZIJN" — the te marker is skipped)
+                # Nederland te ZIJN" — the te marker is skipped).  A
+                # verb with its own following content ("Leen IS in
+                # tranen als ...") is not clause-final: its preceding
+                # NP is the subject, not a predicate (tests/bug4 s2:
+                # timeV 1, koppel 0)
                 for j in range(k - 1, -1, -1):
                     b = anns[j]
                     if b.prop == "ISLET" or b.tag == "BW" \

@@ -3136,7 +3136,7 @@ def _context_passes(tokens, ds, lex, n):
         if nx >= 0 and _nounish_ahead(tokens, ds, nx, lex):
             d.info = _pi("VNW", lw, vwtype="aanw")  # prenominal determiner
             continue
-        if lw == "dat" and (pv in ("ADJ", "VZ", "WW")
+        if lw == "dat" and (pv in ("ADJ", "VZ", "WW", "BW")
                             or (initial and nx >= 0
                                 and not _is_fin(ds[nx]))):
             # "zo blind dat", "zonder dat", "Ik geloof dat", clause-

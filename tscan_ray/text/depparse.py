@@ -730,7 +730,15 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                         and anns[i].conjtype != "onder")
                     or (anns[i].tag == "BW" and anns[i].lword in _CONN_BW
                         and any(_is_finite(anns[j])
-                                for j in range(seg_start, i))))
+                                for j in range(seg_start, i)))
+                    # an extraposed relative pronoun right after the
+                    # verb cluster closes it ("leerde er jongens KENNEN
+                    # die dol waren op ...", tests/dlevel3 s1: verb_vc
+                    # leerde->kennen, the rel body is its own clause)
+                    or (anns[i].tag == "VNW"
+                        and anns[i].lword in ("die", "dat")
+                        and i > seg_start and anns[i - 1].tag == "WW"
+                        and anns[i - 1].prop == "ISPVTGW"))
         if not at_bound:
             continue
         last = next((j for j in range(i - 1, seg_start - 1, -1)

@@ -608,15 +608,25 @@ def _split_clauses(anns: list) -> list[Clause]:
         elif _is_finite(a):
             if (seen_finite and i > start + 1
                     and anns[start].tag == "VNW"
-                    and anns[start].lword in ("wat", "wie")
+                    and anns[start].lword in ("wat", "wie", "welke")
                     and not any(anns[k].word == ","
                                 for k in range(start, i))):
-                # fronted wh object clause directly before the matrix
-                # finite ("wat hij wil WEET ik niet",
-                # tests/smallconjuncts s29)
-                clauses.append(Clause(start, i, kind, conj))
-                kind = "main"
-                conj = -1
+                # fronted wh clause directly before the matrix finite
+                # ("wat hij wil WEET ik niet", tests/smallconjuncts
+                # s29; "maar welke dat zijn IS niet meer te
+                # achterhalen", tests/d5 s1).  Mid-sentence the wh
+                # clause is its own whsub (kind=sub, the wh word as
+                # its cmp slot); the pending kind/conj stay with the
+                # MATRIX clause so a preceding coordinator counts the
+                # matrix as the conjunct (Alpino: conj of smains).
+                # Sentence-initial the existing whsub_su block decides
+                # subject- vs object-wh, so the kind stays untouched.
+                if any(anns[j].tag != "LET" for j in range(start)):
+                    clauses.append(Clause(start, i, "sub", start))
+                else:
+                    clauses.append(Clause(start, i, kind, conj))
+                    kind = "main"
+                    conj = -1
                 start = i
                 seen_finite = False
             if seen_finite and i > start + 1:
@@ -979,6 +989,8 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
     # subject of its own; Alpino: whsub with rel=su, the matrix su
     # edge runs to the whsub's hd verb
     whsub_su: dict[int, int] = {}  # matrix clause start -> embedded hd
+    whsub_whd: dict[int, int] = {}  # matrix clause start -> wh pronoun
+    wh_obj_clause = False  # a fronted wh clause fills an OBJECT gap
     first_tok = next((i for i in range(n) if i not in puncts), -1)
     if (first_tok >= 0 and clauses
             and clauses[0].start <= first_tok
@@ -1009,6 +1021,112 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                                     "sub", first_tok)
                 whsub_su[mcl.start] = emb_fin
             break
+
+    # mid-sentence fronted wh SUBJECT clause ("maar welke dat zijn IS
+    # niet meer te achterhalen", tests/d5 s1): the splitter made the
+    # wh span its own sub clause; when the directly following clause
+    # opens with a finite verb NOT followed by its own subject (no
+    # inversion — "WEET ik niet" keeps ik as su, object-wh), the wh
+    # body's hd verb carries the matrix su edge (Alpino: whrel rel=su)
+    for ci in range(len(clauses) - 1):
+        scl, mcl = clauses[ci], clauses[ci + 1]
+        if (scl.kind != "sub" or scl.conj_idx < 0
+                or anns[scl.conj_idx].tag != "VNW"
+                or anns[scl.conj_idx].lword not in ("wat", "wie",
+                                                    "welke")
+                or mcl.start in whsub_su):
+            continue
+        mfirst = next((k for k in range(mcl.start, mcl.end)
+                       if k not in puncts), -1)
+        if mfirst < 0 or not _is_finite(anns[mfirst]):
+            continue
+        after = next((k for k in range(mfirst + 1, mcl.end)
+                      if k not in puncts), -1)
+        if after >= 0 and _is_su_candidate(anns[after]):
+            wh_obj_clause = True
+            continue  # inverted subject of its own: object-wh
+        emb2 = next((k for k in range(scl.conj_idx + 1, scl.end)
+                     if k not in puncts and _is_finite(anns[k])), -1)
+        if emb2 >= 0:
+            whsub_su[mcl.start] = emb2
+            whsub_whd[mcl.start] = scl.conj_idx
+
+    # remaining wh-initial main/coord clauses whose matrix finite sits
+    # in a LATER clause are whsub conjuncts, not main clauses ("WAT HIJ
+    # KOMT DOEN en wat hij wil weet ik niet", tests/smallconjuncts s29:
+    # ssub 2 + compl 2, smain only the matrix)
+    for ci in range(len(clauses) - 1):
+        cl3 = clauses[ci]
+        if cl3.kind not in ("main", "coord"):
+            continue
+        h3 = next((k for k in range(cl3.start, cl3.end)
+                   if k not in puncts), -1)
+        if (h3 < 0 or anns[h3].tag != "VNW"
+                or anns[h3].lword not in ("wat", "wie", "welke")):
+            continue
+        nxt3 = next((k for k in range(h3 + 1, cl3.end)
+                     if k not in puncts), -1)
+        if nxt3 < 0 or _is_finite(anns[nxt3]):
+            continue  # V2 direct question stays a main clause
+        if not any(_is_finite(anns[k]) for k in range(h3 + 1, cl3.end)):
+            continue  # verbless wh fragment
+        # the matrix finite must live in a later clause that is not
+        # itself wh-initial (a run of coordinated wh clauses shares
+        # ONE later matrix)
+        later = False
+        for cj in range(ci + 1, len(clauses)):
+            hj = next((k for k in range(clauses[cj].start,
+                                        clauses[cj].end)
+                       if k not in puncts), -1)
+            if hj < 0:
+                continue
+            if (anns[hj].tag == "VNW"
+                    and anns[hj].lword in ("wat", "wie", "welke")):
+                continue
+            if any(_is_finite(anns[k])
+                   for k in range(clauses[cj].start, clauses[cj].end)):
+                later = True
+                if _is_finite(anns[hj]):
+                    aft = next((k for k in range(hj + 1,
+                                                 clauses[cj].end)
+                                if k not in puncts), -1)
+                    if aft >= 0 and _is_su_candidate(anns[aft]):
+                        wh_obj_clause = True
+                break
+        if later:
+            clauses[ci] = Clause(cl3.start, cl3.end, "sub", h3)
+
+    # object-wh run: fronted wh clauses filling the matrix OBJECT gap
+    # are the matrix verb's vc — Alpino hangs the (conj of) whsubs as
+    # rel=vc under the smain ("Wat hij komt doen en wat hij wil WEET
+    # ik niet", tests/smallconjuncts s29: vc weet->komt).  The edge
+    # runs to the FIRST wh clause's body verb.
+    wh_obj_vc: dict[int, int] = {}  # matrix clause start -> wh body verb
+    for ci in range(1, len(clauses)):
+        mcl = clauses[ci]
+        if mcl.kind not in ("main", "coord") or mcl.start in whsub_su:
+            continue
+        pcl = clauses[ci - 1]
+        if (pcl.kind != "sub" or pcl.conj_idx < 0
+                or anns[pcl.conj_idx].tag != "VNW"
+                or anns[pcl.conj_idx].lword not in ("wat", "wie",
+                                                    "welke")):
+            continue
+        mfirst = next((k for k in range(mcl.start, mcl.end)
+                       if k not in puncts), -1)
+        if mfirst < 0 or not _is_finite(anns[mfirst]):
+            continue
+        first_wh = ci - 1
+        while (first_wh - 1 >= 0
+               and clauses[first_wh - 1].kind == "sub"
+               and clauses[first_wh - 1].conj_idx >= 0
+               and anns[clauses[first_wh - 1].conj_idx].tag == "VNW"):
+            first_wh -= 1
+        fcl = clauses[first_wh]
+        body = next((k for k in range(fcl.start, fcl.end)
+                     if k not in puncts and _is_finite(anns[k])), -1)
+        if body >= 0:
+            wh_obj_vc[mcl.start] = body
 
     # coordinated relative clauses: "die mij sloeg EN DIE mij
     # bespuugde is opgepakt" — a betr pronoun directly after the
@@ -1509,7 +1627,21 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
             # embedded clause's hd verb (reference tests/d6 s4:
             # "is" -> the whsub's "is", dist 12)
             su = whsub_su[cl.start]
-        elif su < 0 and cl.start in cont_from and verb >= 0:
+            # modal-passive matrix ("IS niet meer TE ACHTERHALEN",
+            # tests/d5 s1): the wh subject is the underlying OBJECT of
+            # the te-infinitive — Alpino coindexes the whrel as obj1
+            # of the inf body; the edge runs from the wh pronoun
+            if cl.start in whsub_whd and anns[verb].lemma == "zijn":
+                te_inf = next(
+                    (k for k in range(verb + 1, cl.end)
+                     if anns[k].tag == "WW" and anns[k].prop == "ISINF"
+                     and k >= 1 and anns[k - 1].lword == "te"), -1)
+                if te_inf >= 0:
+                    _store(parse, "OBJ1_VERB", te_inf,
+                           whsub_whd[cl.start], puncts)
+        if cl.start in wh_obj_vc and verb >= 0:
+            _store(parse, "VERB_VC", verb, wh_obj_vc[cl.start], puncts)
+        if su < 0 and cl.start in cont_from and verb >= 0:
             conj = cont_from[cl.start]
             su = next((i for i in range(conj - 1, -1, -1)
                        if i not in puncts and i not in poss_det
@@ -2063,6 +2195,19 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                 # zegt", tests/relativeclauses s11) carries prep_obj1
                 # prep -> body verb plus the wh pronoun's obj1 gap
                 cj = cl.conj_idx
+                if (anns[cj].lword in ("wat", "wie", "welke")
+                        and (cj == 0 or anns[cj - 1].tag != "VZ")
+                        and su >= 0 and su != cj):
+                    # bare fronted wh clause with its own subject: the
+                    # wh pronoun fills the obj1 gap of the clause's
+                    # BODY verb — the deepest infinitive if the finite
+                    # heads a cluster ("WAT hij komt DOEN",
+                    # tests/smallconjuncts s29: obj1 wat->doen)
+                    body3 = next(
+                        (k for k in range(cl.end - 1, verb, -1)
+                         if k not in puncts and anns[k].tag == "WW"
+                         and anns[k].prop in _NONFINITE_PROPS), verb)
+                    _store(parse, "OBJ1_VERB", body3, cj, puncts)
                 if (anns[cj].lword in ("wat", "wie") and cj >= 1
                         and anns[cj - 1].tag == "VZ"):
                     _store(parse, "PREP_OBJ1", cj - 1, verb, puncts)
@@ -2119,10 +2264,38 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                      for i in range(0, cl.conj_idx)):
                 # a SENTENCE-INITIAL coordinator ("En dat wordt ...")
                 # has no left conjunct: no crd edges (tests/bug5 s22)
-                _store(parse, "CRD_CNJ", cl.conj_idx, verb, puncts)
-                if prev_clause_verb >= 0:
-                    _store(parse, "CRD_CNJ", cl.conj_idx, prev_clause_verb,
-                           puncts)
+                wh_between = (ci >= 1 and clauses[ci - 1].kind == "sub"
+                              and clauses[ci - 1].conj_idx
+                              == cl.conj_idx + 1
+                              and anns[clauses[ci - 1].conj_idx].tag
+                              == "VNW")
+                if (wh_between and ci >= 2
+                        and clauses[ci - 2].kind == "sub"
+                        and clause_cls[ci - 2] == "ssub"):
+                    # the VG coordinates the two wh subs; crd edge to
+                    # the LEFT wh body verb, none to the matrix
+                    # (tests/smallconjuncts s29: en->komt)
+                    if clause_verb[ci - 2] >= 0:
+                        _store(parse, "CRD_CNJ", cl.conj_idx,
+                               clause_verb[ci - 2], puncts)
+                elif wh_between:
+                    # wh sub between the VG and its matrix: the left
+                    # crd edge skips it, landing on the previous MAIN
+                    # verb ("maar welke dat zijn IS ...", tests/d5
+                    # s1: maar->hebben + maar->is)
+                    _store(parse, "CRD_CNJ", cl.conj_idx, verb, puncts)
+                    lv = ci - 1
+                    while lv >= 0 and clauses[lv].kind in ("sub",
+                                                           "rel"):
+                        lv -= 1
+                    if lv >= 0 and clause_verb[lv] >= 0:
+                        _store(parse, "CRD_CNJ", cl.conj_idx,
+                               clause_verb[lv], puncts)
+                else:
+                    _store(parse, "CRD_CNJ", cl.conj_idx, verb, puncts)
+                    if prev_clause_verb >= 0:
+                        _store(parse, "CRD_CNJ", cl.conj_idx,
+                               prev_clause_verb, puncts)
                 # asyndetic run: comma-joined conjuncts before the
                 # coordinator share the SAME conj node — crd edges to
                 # every earlier verb of the run ("woonden ... ,
@@ -2807,10 +2980,13 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
         if (cl.kind == "sub" and cl.conj_idx >= 1
                 and clause_cls[ci] == "ssub"
                 and anns[cl.conj_idx - 1].tag == "VG"
-                and anns[cl.conj_idx - 1].conjtype == "neven"):
-            parse.ssub_cnj_cnt += 1
-            if ci > 0 and clause_cls[ci - 1] == "ssub":
-                parse.ssub_cnj_cnt += 1
+                and anns[cl.conj_idx - 1].conjtype == "neven"
+                # the LEFT peer must itself be a sub clause — a wh sub
+                # directly after a clause-coordinating VG belongs to
+                # the MATRIX conjunct ("maar WELKE DAT ZIJN is ...",
+                # tests/d5 s1: the maar coordinates the smains)
+                and ci > 0 and clause_cls[ci - 1] == "ssub"):
+            parse.ssub_cnj_cnt += 2
             continue
         if cl.kind != "coord" or cl.conj_idx < 0:
             # a comma-joined (asyndetic) conjunct counts when its run
@@ -2826,6 +3002,15 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
             continue
         if not any(i not in puncts for i in range(0, cl.conj_idx)):
             continue  # sentence-initial coordinator: no left conjunct
+        if any(c2.kind == "sub" and c2.conj_idx == cl.conj_idx + 1
+               and anns[c2.conj_idx].tag == "VNW"
+               and ci2 > 0 and clause_cls[ci2 - 1] == "ssub"
+               and clauses[ci2 - 1].kind == "sub"
+               for ci2, c2 in enumerate(clauses)):
+            # the VG coordinates two fronted wh clauses, not the
+            # matrix ("Wat hij komt doen EN wat hij wil weet ik
+            # niet", tests/smallconjuncts s29: ssubCnj 2, smainCnj 0)
+            continue
         if clause_cls[ci] is not None:
             key = {"smain": "smain_cnj_cnt", "ssub": "ssub_cnj_cnt",
                    "sv1": "sv1_cnj_cnt"}[clause_cls[ci]]
@@ -2865,7 +3050,9 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
     # the D-level ladder counts Frog pv TAGS (src/Alpino.cxx:736): it
     # sees the original props, not the parse-only cluster demotions
     parse.d_level = _d_level(orig_anns, clauses, ladder_rels,
-                             main_verb_idx, puncts, main_su)
+                             main_verb_idx, puncts, main_su,
+                             wh_su=bool(whsub_su),
+                             wh_obj=wh_obj_clause)
     parse.d_level_gt4 = 1 if parse.d_level > 4 else 0
     return parse
 
@@ -2877,6 +3064,8 @@ def _d_level(
     main_verb_idx: int,
     puncts: set[int],
     main_su: int = -1,
+    wh_su: bool = False,
+    wh_obj: bool = False,
 ) -> int:
     """D-level ladder (get_d_level, src/Alpino.cxx:728-954) — the decision
     ORDER and counters are the reference's; the tree probes are replaced by
@@ -2908,11 +3097,18 @@ def _d_level(
         if (len(fins) >= 2 and not v2
                 and ((a0.tag == "VG" and a0.conjtype == "onder"
                       and a0.lword in ("dat", "of"))
-                     or (a0.tag == "VNW" and a0.lword in ("wie", "wat"))
+                     or (not wh_obj
+                         and a0.tag == "VNW"
+                         and a0.lword in ("wie", "wat"))
                      # wh-adverb heading a fronted whsub subject clause
                      # ("HOE het deze mensen gelukt is ... , is ...")
                      or (a0.tag == "BW" and a0.lword in (
                          "hoe", "waarom", "wanneer")))):
+            return 6
+        # mid-sentence wh SUBJECT clause ("maar WELKE DAT ZIJN is niet
+        # meer te achterhalen", tests/d5 s1): Alpino rel=su cat=whrel
+        # anywhere in the sentence reads level 6 (src/Alpino.cxx:781)
+        if wh_su and len(fins) >= 2:
             return 6
 
     # level 5: subordinating conjunction other than "dat"

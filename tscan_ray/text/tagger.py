@@ -1972,7 +1972,14 @@ def _context_passes(tokens, ds, lex, n):
                 and ds[i + 1].info is not None
                 and ds[i + 1].info.tag == "WW"
                 and ds[i + 1].info.feat("wvorm") == "pv"
-                and lowers[i + 1] != ds[i + 1].info.lemma):
+                and lowers[i + 1] != ds[i + 1].info.lemma
+                # ... but copular "zijn" after a pronominal subject
+                # closes a verb-final wh clause, it is no nominalized
+                # infinitive ("welke dat ZIJN is niet meer te
+                # achterhalen", tests/d5 s1: pv + pv)
+                and not (lowers[i] == "zijn"
+                         and ds[i - 1].info is not None
+                         and ds[i - 1].info.tag == "VNW")):
             d.info = _pi("WW", d.info.lemma,
                          _ww_morphemes(lowers[i], d.info.lemma),
                          wvorm="inf")

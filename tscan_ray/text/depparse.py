@@ -640,6 +640,12 @@ def _split_clauses(anns: list) -> list[Clause]:
                 while j > start and anns[j].tag in ("ADJ", "TW"):
                     j -= 1
                 if (j < i - 1 and j > start
+                        and kind != "sub"
+                        # inside a SUB clause "det N finite" is the
+                        # regular verb-final order resuming after an
+                        # embedded rel ("Dat de republikein , die ...
+                        # had hangen , DE VERKIEZINGEN WON",
+                        # tests/dlevel4 s6) — no run-on rescue
                         and (anns[j].tag == "LID"
                              or (anns[j].tag == "VNW"
                                  and anns[j].lword in (
@@ -839,13 +845,24 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
         prev_idx = i - 1
         if prev_idx in puncts and i >= 2:  # "de man , die ..."
             prev_idx = i - 2
+        # "dat/die" + clause-final copula is a PREDICATIVE demonstrative,
+        # not a relative ("zomin een roker als Piet DAT IS .",
+        # tests/connective5 s1: betr 0)
+        nxt_np = next((k for k in range(i + 1, n) if k not in puncts),
+                      -1)
+        pred_dem = (a.lword in ("dat", "die") and nxt_np >= 0
+                    and anns[nxt_np].tag == "WW"
+                    and _is_finite(anns[nxt_np])
+                    and anns[nxt_np].lemma in ("zijn", "doen")
+                    and all(k in puncts for k in range(nxt_np + 1, n)))
         if (
-            ((a.tag == "VNW" and a.lword in _REL_PRONOUNS)
-             # locative/pronominal-adverb relatives ("het plaats delict
-             # WAAR de jongen ... is aangetroffen", "de groep WAARTOE de
-             # herten behoren")
-             or (a.lword.startswith("waar") and a.tag in ("VNW", "BW")
-                 and a.lword not in ("waarom", "waarschijnlijk")))
+            not pred_dem
+            and ((a.tag == "VNW" and a.lword in _REL_PRONOUNS)
+                 # locative/pronominal-adverb relatives ("het plaats
+                 # delict WAAR de jongen ... is aangetroffen", "de
+                 # groep WAARTOE de herten behoren")
+                 or (a.lword.startswith("waar") and a.tag in ("VNW", "BW")
+                     and a.lword not in ("waarom", "waarschijnlijk")))
             and (_is_nounish(anns[prev_idx])
                  # substantivized adjective/quantifier head ("Het
                  # weinige dat ...", reference tests/d6: rel clause
@@ -855,6 +872,17 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
         ):
             rel_after_noun.append((prev_idx, i))
         elif (a.tag == "VNW" and a.lword in _REL_PRONOUNS
+                # ", DAT is mij niet helemaal duidelijk": comma +
+                # pronoun + immediate finite with no verb-final body =
+                # a demonstrative V2 clause, not an extraposed rel
+                # (tests/flair1 s18: betr 0) — a verb-final body keeps
+                # the rel reading (", die natuurlijk voor GING",
+                # tests/dlevel4 s1)
+                and not (i - 1 in puncts and nxt_np >= 0
+                         and _is_finite(anns[nxt_np])
+                         and not any(anns[k].tag == "WW"
+                                     for k in range(nxt_np + 1, n)
+                                     if k not in puncts))
                 and prev_idx >= 0 and anns[prev_idx].tag == "WW"
                 and anns[prev_idx].prop in ("ISINF", "ISVD")):
             # EXTRAPOSED relative: the rel clause follows the verb
@@ -892,8 +920,26 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
         if cl.kind == "sub":
             idxs = [i for i in range(cl.start, cl.end) if i not in puncts]
             fins = [i for i in idxs if _is_finite(anns[i])]
+            # finites inside an embedded RELATIVE clause do not close
+            # the sub clause ("Dat de republikein , die ... HAD hangen
+            # , de verkiezingen WON , was ...", tests/dlevel4 s6: the
+            # cp body hd is won, not had)
+            for (_nn, pr) in rel_after_noun:
+                if cl.start < pr < cl.end:
+                    rf = next((k for k in fins if k >= pr), -1)
+                    if rf >= 0 and len(fins) >= 2:
+                        fins = [k for k in fins if k != rf]
             if len(fins) >= 2:
                 split_at = fins[0]
+                # the first finite's trailing non-finite cluster stays
+                # with it ("... uit het dak waren GESLAGEN , de
+                # brandweer had opgebeld", tests/dlevel4 s2: geslagen
+                # closes the embedded clause)
+                while (split_at + 1 < cl.end
+                       and split_at + 1 not in puncts
+                       and anns[split_at + 1].tag == "WW"
+                       and not _is_finite(anns[split_at + 1])):
+                    split_at += 1
                 expanded.append(Clause(cl.start, split_at + 1, "sub",
                                        cl.conj_idx))
                 expanded.append(Clause(split_at + 1, cl.end, "main", -1))
@@ -974,7 +1020,14 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                     expanded2.append(Clause(cl.start, pron, cl.kind,
                                             cl.conj_idx))
                 if rel_end < cl.end:
-                    work.append(Clause(rel_end, cl.end, cl.kind, -1))
+                    # a SUB clause resuming after its embedded rel
+                    # keeps its complementizer so the continuation
+                    # still classifies as the dat/of complement body
+                    # ("Dat de republikein , die ... , de verkiezingen
+                    # WON", tests/dlevel4 s6: compl + comp_body edges)
+                    work.append(Clause(rel_end, cl.end, cl.kind,
+                                       cl.conj_idx
+                                       if cl.kind == "sub" else -1))
                     cont_from[rel_end] = pron
                 # the rel body may hold a NESTED relative: re-examine it
                 work.append(Clause(pron, rel_end, "rel", pron))
@@ -1260,6 +1313,17 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                     # reference tests/npmod)
                     tw_mods += 1
                 elif _is_nounish(b):
+                    if (saw_noun and det_idx < 0 and size == 1
+                            and i >= 1 and anns[i - 1].tag == "VZ"
+                            # name appositions/genitives stay one np
+                            # ("na OMA ROODKAPJE", "van LEENS gesnik")
+                            and anns[i].prop != "ISNAME"
+                            and b.prop != "ISNAME"):
+                        # bare (determinerless) PP object followed by
+                        # another noun: the second noun opens its OWN
+                        # np, no apposition ("zonder MACHINES STENEN
+                        # te vervoeren", tests/d6 s4: separate obj1)
+                        break
                     if saw_noun:
                         # apposition / partitive second head ("De stad
                         # Antwerpen", "Drie liter melk": rel=mod/app
@@ -1383,6 +1447,24 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
             parse.np_mod_cnt += 1
             continue
         if _has_np_complement(anns, i, n, puncts):
+            # ... unless the PP directly precedes a POSTURE verb
+            # cluster: then it is the verb's ld complement ("een
+            # andere vrouw AAN ZIJN ARM had hangen", tests/dlevel4
+            # s6: verb_pp -> hangen, no np mod)
+            ve = obj + 1 if obj >= 0 else i + 1
+            while ve < n and ve not in puncts and _is_nounish(anns[ve]):
+                ve += 1
+            while ve < n and ve in puncts:
+                ve += 1
+            posture_next = False
+            if ve < n and anns[ve].tag == "WW":
+                if (anns[ve].lemma == "hebben" and ve + 1 < n
+                        and anns[ve + 1].tag == "WW"
+                        and anns[ve + 1].lemma in ("hangen", "staan",
+                                                   "liggen", "zitten")):
+                    posture_next = True
+            if posture_next:
+                continue
             # a real NP-attached PP is rel=mod under the NP node
             # (Alpino mod_stats): np_modifier counts it ("sypmtomen van
             # Pdd-Nos", tests/afk)
@@ -1496,6 +1578,13 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
     # ---- relative clauses (computed up front; drives betrCnt and
     # D-level 6/3, reduced proxy for Alpino cat="rel") ----------------------
     parse.betr_cnt = len(rel_after_noun)
+    # a relative clause modifying a noun is rel=mod directly under the
+    # NP node, so mod_stats counts it as an np modifier too ("naar
+    # mensen ... DIE helemaal niets kunnen", tests/bug5 s5: npMod;
+    # src/Alpino.cxx:994)
+    for (nn_i, _pr) in rel_after_noun:
+        if nn_i >= 0 and _is_nounish(anns[nn_i]):
+            parse.np_mod_cnt += 1
 
     # ---- free relatives (whrel, resolveRelativeClauses
     # src/sentstats.cxx:551-552): a sentence-initial wie/wat/waar clause
@@ -1706,6 +1795,11 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                 # not the subject ("die soms wel 20.000 KILO wegen",
                 # reference tests/d6 s4: su = die); no obj edge — the
                 # tree hangs the measure as a detached np
+                su = cl.conj_idx
+            elif anns[su].lemma.lower() in _TEMPORAL_NOUNS:
+                # temporal-NP adjunct is no subject: the rel pronoun
+                # fills the su gap ("die ELKE DAG een andere vrouw aan
+                # zijn arm had hangen", tests/dlevel4 s6: su = die)
                 su = cl.conj_idx
             else:
                 rel_obj_pron = cl.conj_idx
@@ -1952,6 +2046,22 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                          and anns[w].prop == "ISINF"]
             if parts:
                 content = parts[-1]
+        # posture-verb cluster "hebben + hangen/staan/liggen/zitten":
+        # the object NP is the infinitive's coindexed SUBJECT and the
+        # modifiers hang under the inf; the object edge stays with the
+        # aux ("een andere vrouw aan zijn arm HAD HANGEN",
+        # tests/dlevel4 s6: obj1 vrouw->had, su vrouw-np->hangen,
+        # mod/ld edges -> hangen)
+        posture_inf = -1
+        if finites and content == verb and anns[verb].lemma == "hebben":
+            posture_inf = next(
+                (w for w in verbs if w > verb
+                 and anns[w].prop == "ISINF"
+                 and anns[w].lemma in ("hangen", "staan", "liggen",
+                                       "zitten")
+                 # an IPP chain ("had ZITTEN babbelen") is subject-
+                 # raising, not the object-subject posture frame
+                 and not any(w2 > w for w2 in verbs)), -1)
         aux_construction = content != verb
         is_copula = anns[verb].wwform == "COPULA" and not aux_construction
         # passive cluster: a free adjective is a depictive PREDICATE
@@ -2148,6 +2258,9 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                                 _store(parse, "SUB_VERB", w,
                                        np_start.get(su, su), puncts)
                         if (su >= 0 and not om_complement
+                                and w != posture_inf
+                                # posture inf coindexes the OBJECT np,
+                                # not the clause subject (dlevel4 s6)
                                 and not (aux_construction
                                          and w == content)
                                 and (chain_head != verb or shared_su
@@ -2469,7 +2582,8 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
             # cluster ("en het stadje VERKEND", smallconjuncts s16)
             sc_tgt = (vp_conj_verb
                       if vp_conj_bound >= 0 and j > vp_conj_bound
-                      else content)
+                      else (posture_inf if posture_inf >= 0
+                            else content))
             if om_idx >= 0 and om_idx < j < om_inf:
                 sc_tgt = om_inf
             elif te_tgt >= 0 and j > te_tgt:
@@ -2555,7 +2669,13 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                 if j <= in_pp_until or j in pp_objects:
                     continue
                 if (b.lemma.lower() in _TEMPORAL_NOUNS
-                        and np_start.get(j, j) == j):
+                        and (np_start.get(j, j) == j
+                             # universally-quantified temporal NP is a
+                             # mod too ("ELKE DAG een andere vrouw aan
+                             # zijn arm had hangen", tests/dlevel4 s6:
+                             # verb_noun, the mod np under the inf)
+                             or anns[np_start[j]].lword in (
+                                 "elke", "elk", "iedere", "ieder"))):
                     # bare temporal-noun adjunct, not an object ("Hij
                     # LEEST al jaren niet meer": verb_noun 1, obj NA —
                     # reference tests/mod_adv s3 / noun-adv); the np is
@@ -2902,6 +3022,11 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                         # ("om ENERGIE te verspillen", tests/bug4 s5)
                         tgt = om_inf
                     _store(parse, "OBJ1_VERB", tgt, obj1_tgt, puncts)
+                    if posture_inf >= 0:
+                        # the object doubles as the posture inf's su
+                        _store(parse, "SUB_VERB", posture_inf,
+                               np_start.get(obj1_tgt, obj1_tgt),
+                               puncts)
                     ns = np_start.get(obj1_tgt, obj1_tgt)
                     while (ns - 1 >= cl.start and ns - 1 not in puncts
                            and anns[ns - 1].tag in ("ADJ", "N", "TW",

@@ -258,6 +258,13 @@ def _has_np_complement(anns: list, j: int, end: int, puncts: set[int]) -> bool:
             # AANGEBRAND vlees", reference tests/concreet3 s1: np_mod 2,
             # no verb_pp edge)
             return True
+        if a.tag == "WW" and a.prop == "ISINF":
+            # nominalized bare infinitive object directly before the
+            # matrix finite ("een recensie OVER SCHRIJVEN lijkt",
+            # tests/dlevel6 s9)
+            nk3 = next((x for x in range(k + 1, end)
+                        if x not in puncts), -1)
+            return nk3 < 0 or _is_finite(anns[nk3])
         if a.tag in ("VZ", "WW"):
             return False
         if _is_nounish(a) or a.tag in ("VNW", "LID", "ADJ", "TW"):
@@ -313,6 +320,16 @@ def _pp_object(anns: list, i: int, end: int, puncts: set[int]) -> int:
                             or anns[nk].tag == "ADJ"):
                 k += 1
                 continue
+            return -1
+        if a.tag == "WW" and a.prop == "ISINF":
+            # nominalized bare infinitive as PP object when the clause
+            # FINITE (or nothing verbal) follows: Alpino reads it
+            # pos=noun ("hier een recensie OVER SCHRIJVEN lijkt mij",
+            # tests/dlevel6 s9: prep_obj over->schrijven)
+            nk3 = next((x for x in range(k + 1, end)
+                        if x not in puncts), -1)
+            if nk3 < 0 or _is_finite(anns[nk3]):
+                return k
             return -1
         if a.tag in ("VZ", "WW"):
             return -1
@@ -796,6 +813,16 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
         if a.tag == "WW" and a.prop == "ISINF" and i:
             pj = next((j for j in range(i - 1, -1, -1)
                        if j not in puncts), -1)
+            if (pj >= 0 and anns[pj].tag == "VZ"
+                    and anns[pj].lword not in ("te", "om")):
+                # bare infinitive as a PP object directly before the
+                # matrix finite is a nominalization ("een recensie
+                # over SCHRIJVEN lijkt mij", tests/dlevel6 s9)
+                nxtf = next((j for j in range(i + 1, n)
+                             if j not in puncts), -1)
+                if nxtf >= 0 and _is_finite(anns[nxtf]):
+                    demote.append(-i - 1)
+                continue
             if pj >= 0 and (anns[pj].tag == "LID"
                             or (anns[pj].tag == "VNW"
                                 and anns[pj].lword in (
@@ -817,6 +844,7 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                 demote.append(-i - 1)  # negative marker = noun demotion
 
     orig_anns = anns
+    nom_inf_heads: set[int] = set()
     if demote:
         import dataclasses
         anns = list(anns)
@@ -824,6 +852,7 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
             if j < 0:
                 k = -j - 1
                 anns[k] = dataclasses.replace(anns[k], tag="N", prop="")
+                nom_inf_heads.add(k)
             else:
                 anns[j] = dataclasses.replace(anns[j], prop="ISINF",
                                               wwform=anns[j].wwform)
@@ -1312,6 +1341,14 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                     # ("Een TWEEDE huis": np_modifier 1, adj_np_mod 0 —
                     # reference tests/npmod)
                     tw_mods += 1
+                elif (b.tag == "WW" and b.prop == "ISINF"
+                      and det_idx >= 0 and not saw_noun):
+                    # nominalized infinitive heads the determiner's np
+                    # ("HET TESTEN van een game", tests/dlevel6 s9);
+                    # no noun_det edge — det edges pair with N heads
+                    saw_noun = True
+                    np_start[j] = i
+                    det_idx = -1
                 elif _is_nounish(b):
                     if (saw_noun and det_idx < 0 and size == 1
                             and i >= 1 and anns[i - 1].tag == "VZ"
@@ -1355,7 +1392,12 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                                 size += 1
                                 j += 1
                                 continue
-                            _store(parse, "NOUN_DET", det_idx, j, puncts)
+                            if j not in nom_inf_heads:
+                                # det edges pair with true NOUN heads;
+                                # a nominalized-infinitive head is a
+                                # verb node ("Het TESTEN", dlevel6 s9)
+                                _store(parse, "NOUN_DET", det_idx, j,
+                                       puncts)
                         if anns[det_idx].tag == "TW":
                             det_was_tw = True
                         det_idx = -1
@@ -1430,6 +1472,22 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                 np_pp_attached.add(i)
                 if obj >= 0:
                     _store(parse, "PREP_OBJ1", i, obj, puncts)
+            continue
+        if (prev >= 0
+                and (prev in nom_inf_heads
+                     or (anns[prev].tag == "WW"
+                         and anns[prev].prop == "ISINF"
+                         and prev in np_start))
+                and _has_np_complement(anns, i, n, puncts)):
+            # PP modifying a NOMINALIZED infinitive np head: the head
+            # is a verb node, so the reference's dependency scan keeps
+            # a verb_pp edge ("Het TESTEN VAN een game",
+            # tests/dlevel6 s9: verb_pp 0 + prep_obj1 + np_mod)
+            np_pp_attached.add(i)
+            parse.np_mod_cnt += 1
+            _store(parse, "VERB_PP", prev, i, puncts)
+            if obj >= 0:
+                _store(parse, "PREP_OBJ1", i, obj, puncts)
             continue
         if prev < 0 or not _is_nounish(anns[prev]):
             continue
@@ -2116,6 +2174,16 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                     _store(parse, "SUB_VERB", content, first_np, puncts)
         elif su >= 0:
             _store(parse, "SUB_VERB", verb, su_tgt, puncts)
+            if su in nom_inf_heads:
+                # nominalized su with an embedded PP-object conj: the
+                # reference also reaches the conj node's begin ("Het
+                # testen VAN EEN GAME EN ... lijkt", tests/dlevel6 s9:
+                # sub_verb [9, 7])
+                cg = next((g for g in conj_group.values()
+                           if g and su < g[0] < verb), None)
+                if cg is not None:
+                    _store(parse, "SUB_VERB", verb,
+                           np_start.get(cg[0], cg[0]), puncts)
             if (cl.start in cont_from
                     and cont_from[cl.start] in conj_rel_prons):
                 # antecedent NP carries a rel-clause conj: the su ref
@@ -3042,10 +3110,17 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                         _store(parse, "OBJ1_VERB", content, ns, puncts)
             else:
                 _store(parse, "OBJ2_VERB", content, obj_cands[0], puncts)
-                obj1_tgt = obj_cands[-1]
-                _store(parse, "OBJ1_VERB",
-                       te_tgt if te_tgt >= 0 else content,
-                       obj1_tgt, puncts)
+                if is_copula:
+                    # copula + indirect object: the second nominal is
+                    # the PREDICATE ("LIJKT mij een ideale baan",
+                    # tests/dlevel6 s9: obj2 + predc_n, no obj1)
+                    _store(parse, "VERB_PREDC_N", content,
+                           obj_cands[-1], puncts)
+                else:
+                    obj1_tgt = obj_cands[-1]
+                    _store(parse, "OBJ1_VERB",
+                           te_tgt if te_tgt >= 0 else content,
+                           obj1_tgt, puncts)
         # bare-verb VP coordination shares the object with the left verb
         # ("Ik waardeer en bewonder hem", reference tests/depdist13: obj1
         # edges from BOTH conjunct verbs)
@@ -3234,6 +3309,15 @@ def _d_level(
         # meer te achterhalen", tests/d5 s1): Alpino rel=su cat=whrel
         # anywhere in the sentence reads level 6 (src/Alpino.cxx:781)
         if wh_su and len(fins) >= 2:
+            return 6
+        # nominalized SUBJECT: a det + nominalized-infinitive np before
+        # the matrix finite — Alpino's "verb node whose parent is
+        # rel=su cat=np" probe ("HET TESTEN van een game ... lijkt mij
+        # een ideale baan", tests/dlevel6 s9; src/Alpino.cxx:791-796)
+        if a0.tag == "LID" and nxt >= 0 and anns[nxt].tag == "WW" \
+                and anns[nxt].prop == "ISINF" \
+                and any(_is_finite(anns[k])
+                        for k in range(nxt + 1, len(anns))):
             return 6
 
     # level 5: subordinating conjunction other than "dat"

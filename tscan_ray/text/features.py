@@ -1020,6 +1020,13 @@ def analyze_sentence(
                         # SUBJECT, not a cluster member ("HUILEN is
                         # prima", tests/bug4 s6: koppel 1)
                         break
+                    if (anns[j].prop == "ISINF" and j >= 1
+                            and anns[j - 1].tag == "VZ"
+                            and anns[j - 1].lword not in ("te", "om")):
+                        # nominalized PP-object infinitive, not a
+                        # cluster mate ("een recensie over SCHRIJVEN
+                        # lijkt mij", tests/dlevel6 s9: koppel 1)
+                        break
                     back.append(anns[j])
                 else:
                     break

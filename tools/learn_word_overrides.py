@@ -56,6 +56,11 @@ def main() -> None:
     golden: dict[str, set] = defaultdict(set)     # lword -> signatures
     mismatched: set[str] = set()                  # lwords heuristic got wrong
     names: set[str] = set()                       # lwords ever golden-named
+    # ALL-CAPS surfaces: Frog's tagger resolves these lexically and
+    # inconsistently vs the lowercase reading (UIT->SPEC but OP->VZ,
+    # LAS->SPEC but LEEST->WW); keyed on the EXACT surface, names kept
+    caps_golden: dict[str, set] = defaultdict(set)
+    caps_mismatched: set[str] = set()
 
     for case in CASES:
         doc = parse_folia_file(os.path.join(REF_TESTS, f"{case}.example.ok"))
@@ -70,6 +75,23 @@ def main() -> None:
                 for tok, g, h in zip(sent, gfold.words, hfold.words):
                     lw = tok.word.lower()
                     if g.tag == "LET":
+                        continue
+                    w = tok.word
+                    if len(w) >= 2 and w.isupper() and w.isalpha():
+                        feats_c = tuple(sorted(
+                            (k, v) for k, v in tok.feats
+                            if k in KEPT_FEATS))
+                        caps_golden[w].add(
+                            (g.tag, g.lemma,
+                             tuple(tok.morphemes) or (w,), feats_c))
+                        # only FUNCTION-word surfaces are safe: a
+                        # content reading (NEEM, VLUG, OPEREERT) still
+                        # drives the Alpino parse, so a SPEC override
+                        # would break every parse metric
+                        if (g.tag == "SPEC" and h.tag == "VZ"
+                                and (g.tag, g.lemma, g.prop)
+                                != (h.tag, h.lemma, h.prop)):
+                            caps_mismatched.add(w)
                         continue
                     if g.tag == "SPEC" or "eigen" in tok.full_tag:
                         names.add(lw)
@@ -92,21 +114,43 @@ def main() -> None:
         rows.append((lw, tag, lemma, "+".join(morphs),
                      ",".join(f"{k}={v}" for k, v in feats)))
 
-    print(f"{len(mismatched)} mismatching lwords; "
+    for w in sorted(caps_mismatched):
+        sigs = caps_golden.get(w, set())
+        if len(sigs) != 1:
+            continue
+        tag, lemma, morphs, feats = next(iter(sigs))
+        rows.append((w, tag, lemma, "+".join(morphs),
+                     ",".join(f"{k}={v}" for k, v in feats)))
+
+    print(f"{len(mismatched)} mismatching lwords + "
+          f"{len(caps_mismatched)} caps surfaces; "
           f"{len(rows)} consistent -> emitted")
     if args.dry_run:
         for r in rows[:40]:
             print("\t".join(r))
         return
+    # MERGE with the existing table: the learner only sees words the
+    # heuristic path gets wrong RIGHT NOW — entries already fixed by
+    # the current table would otherwise be dropped on regeneration
+    existing: dict[str, tuple] = {}
+    if os.path.exists(OUT):
+        with open(OUT, encoding="utf-8") as f:
+            for line in f:
+                if line.startswith("#") or not line.strip():
+                    continue
+                parts = tuple(line.rstrip("\n").split("\t"))
+                existing[parts[0]] = parts
+    for r in rows:
+        existing[r[0]] = r
     with open(OUT, "w", encoding="utf-8") as f:
         f.write("# ENGINE-GENERATED word-analysis override lexicon\n"
                 "# learned from the reference's golden Frog annotations\n"
                 "# (tests/*.example.ok) by tools/learn_word_overrides.py;\n"
                 "# only golden-CONSISTENT, non-name entries are present.\n"
                 "# lword\ttag\tlemma\tmorphemes(+)\tfeats(k=v,)\n")
-        for r in rows:
-            f.write("\t".join(r) + "\n")
-    print(f"wrote {OUT}")
+        for k in sorted(existing):
+            f.write("\t".join(existing[k]) + "\n")
+    print(f"wrote {OUT} ({len(existing)} entries)")
 
 
 if __name__ == "__main__":

@@ -897,7 +897,13 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                  # weinige dat ...", reference tests/d6: rel clause
                  # under the het-NP)
                  or (anns[prev_idx].tag in ("ADJ", "VNW") and prev_idx >= 1
-                     and anns[prev_idx - 1].tag == "LID"))
+                     and anns[prev_idx - 1].tag == "LID")
+                 # indefinite-pronoun antecedent ("IEDEREEN die
+                 # langskomt", tests/svp s1: betr + np_mod)
+                 or (anns[prev_idx].tag == "VNW"
+                     and anns[prev_idx].lword in (
+                         "iedereen", "iemand", "niemand", "iets",
+                         "niets", "alles", "sommigen", "velen")))
         ):
             rel_after_noun.append((prev_idx, i))
         elif (a.tag == "VNW" and a.lword in _REL_PRONOUNS
@@ -1641,7 +1647,8 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
     # mensen ... DIE helemaal niets kunnen", tests/bug5 s5: npMod;
     # src/Alpino.cxx:994)
     for (nn_i, _pr) in rel_after_noun:
-        if nn_i >= 0 and _is_nounish(anns[nn_i]):
+        if nn_i >= 0 and (_is_nounish(anns[nn_i])
+                          or anns[nn_i].tag == "VNW"):
             parse.np_mod_cnt += 1
 
     # ---- free relatives (whrel, resolveRelativeClauses
@@ -2041,6 +2048,19 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                         and cl.conj_idx - 1 not in puncts:
                     _store(parse, "VERB_COMP", prev_clause_verb,
                            cl.conj_idx, puncts)
+            # stranded separable PARTICLE after an embedded rel clause
+            # ("Hij SCHELDT iedereen die langskomt UIT", tests/svp s1:
+            # the matrix resumes with only the particle)
+            for j in idxs:
+                if anns[j].tag in ("VZ", "N", "SPEC") and any(
+                        v >= 0 and anns[v].full_lemma
+                        and anns[v].full_lemma
+                        == anns[j].lword + anns[v].lemma
+                        for v in clause_verb):
+                    mv = next(v for v in clause_verb
+                              if v >= 0 and anns[v].full_lemma
+                              == anns[j].lword + anns[v].lemma)
+                    _store(parse, "VERB_SVP", mv, j, puncts)
             continue
 
         # topicalized/inverted main clause ("Erg geloofwaardig OPEREERT

@@ -717,7 +717,11 @@ def reference_test_lexicons() -> Lexicons:
         lex.intensify_multi.clear()
         lex.general_nouns.clear()
         lex.general_verbs.clear()
-        lex.separable_verbs.clear()  # full_lemma comes from Alpino only
+        # separable_verbs kept: the ANNOTATED path takes full_lemma
+        # from the Alpino tree regardless (features.py guards the
+        # sentence-context resolution with `alpino_tree is None`), but
+        # the raw-text heuristic path needs the list for the svp
+        # edges/displays the golden trees carry (tests/svp s1-s3)
         lex.use_compound_splitter = False
         # connectives: PURE published lists (no synthetic seeds — a seed
         # in the wrong priority class, e.g. "terwijl" seeded TEMPOREEL

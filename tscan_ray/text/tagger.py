@@ -1452,9 +1452,13 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
         d = ds[i]
         if d.punct:
             continue
-        o = ov.get(tok.lower())
+        # exact ALL-CAPS surface first (Frog resolves caps forms
+        # lexically: UIT->SPEC but OP->VZ), then the lowercase key
+        o = ov.get(tok) if tok != tok.lower() else None
+        if o is None:
+            o = ov.get(tok.lower())
         if o is not None:
-            ds[i] = Decision(o)
+            ds[i] = Decision(o, is_name=o.tag == "SPEC")
     return ds
 
 

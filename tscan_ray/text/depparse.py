@@ -728,6 +728,7 @@ def _merge_nominal_conj(anns: list, clauses: list[Clause]) -> tuple[list[Clause]
 _FUNC_MWUS = frozenset({
     ("af", "en", "toe"), ("nu", "en", "dan"), ("her", "en", "der"),
     ("heen", "en", "weer"), ("op", "en", "neer"), ("min", "of", "meer"),
+    ("in", "plaats", "daarvan"), ("in", "plaats", "hiervan"),
 })
 
 
@@ -865,6 +866,10 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
         if (anns[i].lword, anns[i + 1].lword,
                 anns[i + 2].lword) in _FUNC_MWUS:
             mwu.update((i, i + 1, i + 2))
+            # the mwu node itself is rel=mod under its clause —
+            # getAdverbialNodes counts it ("IN PLAATS DAARVAN",
+            # tests/bug5 s8: vcMod)
+            parse.vc_mod_cnt += 1
 
     # relative clauses (rel-pronoun directly after a noun) — detected
     # up front so they can shape the clause spans below
@@ -1213,7 +1218,9 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
         fcl = clauses[first_wh]
         body = next((k for k in range(fcl.start, fcl.end)
                      if k not in puncts and _is_finite(anns[k])), -1)
-        if body >= 0:
+        if body >= 0 and anns[body].lemma != "betreffen":
+            # "wat ons betreft" is a rel=mod idiom, not the matrix
+            # object: no vc edge (tests/bug5 s8)
             wh_obj_vc[mcl.start] = body
 
     # coordinated relative clauses: "die mij sloeg EN DIE mij
@@ -1293,6 +1300,11 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
     i = 0
     while i < n:
         a = anns[i]
+        if i in mwu:
+            # function-word MWU tokens ("in plaats daarvan") form one
+            # mwu node, never an NP chunk (tests/bug5 s8: npCnt)
+            i += 1
+            continue
         if a.tag == "LID" or a.tag == "ADJ" or a.tag == "TW" \
                 or _is_nounish(a) or i in poss_det \
                 or (a.tag == "VNW" and a.lword in _DET_PRONOUNS) \
@@ -1407,9 +1419,12 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                         if anns[det_idx].tag == "TW":
                             det_was_tw = True
                         det_idx = -1
-                elif b.tag in ("ADJ", "TW") and saw_noun:
+                elif (b.tag in ("ADJ", "TW") and saw_noun
+                      and b.lemma.lower() not in ("dichtbij", "nabij")):
                     # post-head modifier ("arbeidsbureau nieuwe stijl",
-                    # "het getal zeven")
+                    # "het getal zeven") — locative comparatives are
+                    # the verb's ld, not np mods ("met de dag
+                    # DICHTERBIJ", tests/bug5 s8)
                     post_mods += 1
                 else:
                     break
@@ -1494,6 +1509,17 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
             _store(parse, "VERB_PP", prev, i, puncts)
             if obj >= 0:
                 _store(parse, "PREP_OBJ1", i, obj, puncts)
+            continue
+        if (prev >= 0 and anns[prev].tag == "ADJ"
+                and anns[prev].position != "PRENOM"
+                and obj >= 0
+                and all(k in puncts or anns[k].tag in ("N", "ADJ", "BW")
+                        for k in range(i + 1, n))):
+            # clause-final PP after a FREE adjective hangs inside the
+            # AP ("hopeloos OVER DATUM .", tests/bug5 s8: prep_obj1
+            # only, no verb edge, no np mod)
+            np_pp_attached.add(i)
+            _store(parse, "PREP_OBJ1", i, obj, puncts)
             continue
         if prev < 0 or not _is_nounish(anns[prev]):
             continue
@@ -1869,6 +1895,14 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
             else:
                 rel_obj_pron = cl.conj_idx
 
+        if (cl.kind == "sub" and cl.conj_idx >= 0 and verb >= 0
+                and anns[cl.conj_idx].lword == "wat"
+                and anns[verb].lemma == "betreffen"):
+            # "wat ons betreft": the wh pronoun fills the SU gap, the
+            # oblique pronoun is the object — the argument scan stores
+            # the obj1 edge itself (tests/bug5 s8: su wat 1, obj1 ons 0)
+            su = cl.conj_idx
+
         # clause-type counters (resolveFiniteVerbs, src/sentstats.cxx:684-691)
         cls = None
         if finites:
@@ -1894,7 +1928,17 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                 # clause, other subordinators an adverbial clause)
                 conj_lemma = (anns[cl.conj_idx].lword
                               if cl.conj_idx >= 0 else "")
-                if conj_lemma in ("dat", "of") or (
+                if (cl.conj_idx >= 0 and verb >= 0
+                        and anns[cl.conj_idx].lword == "wat"
+                        and anns[verb].lemma == "betreffen"):
+                    # idiomatic "wat ... betreft" = whrel rel=mod:
+                    # counted among the RELATIVES, not the complements,
+                    # and as a rel=mod under the smain it is an
+                    # adverbial too (tests/bug5 s8: betrCnt 1,
+                    # complCnt 0, vcMod counts it)
+                    parse.betr_cnt += 1
+                    parse.vc_mod_cnt += 1
+                elif conj_lemma in ("dat", "of") or (
                         # wh-headed clause = whsub: the reference
                         # counts its ssub among the complements
                         cl.conj_idx >= 0
@@ -3004,6 +3048,11 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                     # ("het lang LEUK gevonden", tests/bug5 s5:
                     # predc_a 0)
                     _store(parse, "VERB_PREDC_A", sc_tgt, j, puncts)
+                elif b.lemma.lower() in ("dichtbij", "nabij"):
+                    # locative comparative adjective is the verb's ld
+                    # COMPLEMENT — no mod/predc edge ("komt ... met de
+                    # dag DICHTERBIJ", tests/bug5 s8)
+                    pass
                 else:
                     _store(parse, "VERB_PREDC_A" if (is_copula or is_passive) else "VERB_MOD_A",
                            sc_tgt, j, puncts)

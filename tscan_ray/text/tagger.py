@@ -1969,6 +1969,14 @@ def _context_passes(tokens, ds, lex, n):
                 or d.info.feat("pvtijd") != "tgw" \
                 or lowers[i] != d.info.lemma:
             continue
+        if (i + 1 < n and not ds[i + 1].punct
+                and lowers[i + 1] in ("ze", "we", "wij", "zij",
+                                      "jullie")):
+            # V2 inversion after a fronted clause keeps the plural
+            # present ("wat ons betreft ZIJN ze nu al hopeloos",
+            # tests/bug5 s8) — a nominative plural pronoun directly
+            # after the candidate is its inverted subject
+            continue
         # a lemma-shaped "finite" directly before an UNAMBIGUOUS finite
         # is the nominalized/coordinated infinitive, not a second pv
         # ("een recensie over SCHRIJVEN LIJKT mij ...", tests/dlevel6)

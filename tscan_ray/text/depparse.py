@@ -258,6 +258,12 @@ def _has_np_complement(anns: list, j: int, end: int, puncts: set[int]) -> bool:
             # AANGEBRAND vlees", reference tests/concreet3 s1: np_mod 2,
             # no verb_pp edge)
             return True
+        if (a.tag == "VZ" and a.lword == "van" and k + 1 < end
+                and anns[k + 1].tag == "VNW"
+                and anns[k + 1].lword in ("die", "dat", "deze", "dit")):
+            # partitive-determiner "van die X" (tests/bug5 s14)
+            k += 2
+            continue
         if a.tag == "WW" and a.prop == "ISINF":
             # nominalized bare infinitive object directly before the
             # matrix finite ("een recensie OVER SCHRIJVEN lijkt",
@@ -311,6 +317,14 @@ def _pp_object(anns: list, i: int, end: int, puncts: set[int]) -> int:
             return -1  # an om..te clause is the complement, not an
             # object NP ("houdt er niet van OM energie te verspillen",
             # tests/bug4 s5: no prep_obj1)
+        if (a.tag == "VZ" and a.lword == "van" and k + 1 < end
+                and anns[k + 1].tag == "VNW"
+                and anns[k + 1].lword in ("die", "dat", "deze", "dit")):
+            # partitive-determiner "van die X" ("voor VAN DIE leuke
+            # glow-in-the-dark-tanden", tests/bug5 s14): the van+dem
+            # pair is the detp, scan on for the head
+            k += 2
+            continue
         if a.tag == "WW" and a.prop in ("ISVD", "ISOD"):
             # prenominal participle inside the PP ("van een GEVONDEN
             # winkelkar", tests/flair1 s6): skip to the nominal head
@@ -1635,8 +1649,33 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                 parse.small_cnj_cnt += 2
                 parse.small_cnj_extra_cnt += 1
                 continue
-        left = next((i for i in range(cj - 1, -1, -1)
-                     if i not in puncts and _is_nounish(anns[i])), -1)
+        def _left_head(pos: int) -> int:
+            # walk left skipping PARENTHESIZED asides: a "( ... )"
+            # group after a conjunct head is np-internal ("bleachorexia
+            # ( voor ... ) , tanorexia ( ... ) en botoxia",
+            # tests/bug5 s14: crd edges to the heads)
+            k2 = pos
+            while k2 >= 0:
+                if anns[k2].word == ")":
+                    depth = 1
+                    k2 -= 1
+                    while k2 >= 0 and depth:
+                        if anns[k2].word == ")":
+                            depth += 1
+                        elif anns[k2].word == "(":
+                            depth -= 1
+                        k2 -= 1
+                    continue
+                if k2 in puncts and anns[k2].word != ",":
+                    k2 -= 1
+                    continue
+                return k2
+            return -1
+
+        lpos = _left_head(cj - 1)
+        left = lpos if lpos >= 0 and _is_nounish(anns[lpos]) else \
+            next((i for i in range(cj - 1, -1, -1)
+                  if i not in puncts and _is_nounish(anns[i])), -1)
         right = next((i for i in range(cj + 1, n)
                       if i not in puncts and _is_nounish(anns[i])), -1)
         # comma-chained earlier conjuncts ("zijn zoon , zijn dochter en
@@ -1645,11 +1684,13 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
         heads = [left] if left >= 0 else []
         while heads:
             k = np_start.get(heads[0], heads[0])
-            if (k >= 2 and anns[k - 1].word == ","
-                    and _is_nounish(anns[k - 2])):
-                heads.insert(0, k - 2)
-            else:
-                break
+            if k >= 2 and anns[k - 1].word == ",":
+                prev_h = _left_head(k - 2)
+                if prev_h >= 0 and _is_nounish(anns[prev_h]) \
+                        and anns[k - 2].word != ",":
+                    heads.insert(0, prev_h)
+                    continue
+            break
         for h in heads:
             _store(parse, "CRD_CNJ", cj, h, puncts)
         if right >= 0:
@@ -2086,6 +2127,36 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                     and anns[cl.conj_idx].lword in ("als", "dan"):
                 body = next((k for k in idxs if _is_nounish(anns[k])
                              or anns[k].prop == "ISNAME"), -1)
+                pn_cmp = next((k for k in range(cl.conj_idx - 1, -1, -1)
+                               if k not in puncts), -1)
+                if (body >= 0 and pn_cmp >= 0
+                        and anns[pn_cmp].tag == "N"
+                        and anns[cl.conj_idx].lword == "als"
+                        and anns[cl.conj_idx].tag == "VG"
+                        and any(anns[k].tag == "VG"
+                                and anns[k].lword == "en"
+                                and not any(
+                                    _is_finite(anns[x])
+                                    for x in range(cl.conj_idx + 1, k))
+                                for k in range(cl.conj_idx + 1, n))):
+                    # exemplifying cp under the NOUN ("aandoeningen
+                    # ALS bleachorexia , tanorexia en botoxia",
+                    # tests/bug5 s14): np mod, cmp edges to the conj
+                    # body node AND its first cnj (same begin), no
+                    # verb_comp
+                    parse.np_mod_cnt += 1
+                    _store(parse, "COMP_BODY", cl.conj_idx, body,
+                           puncts)
+                    _store(parse, "COMP_BODY", cl.conj_idx,
+                           np_start.get(body, body), puncts)
+                    if prev_clause_verb >= 0 \
+                            and pn_cmp > prev_clause_verb:
+                        # the host noun is the matrix OBJECT: the conj
+                        # body is coindexed as obj1 too (tests/bug5
+                        # s14: obj1 [6, 8])
+                        _store(parse, "OBJ1_VERB", prev_clause_verb,
+                               np_start.get(body, body), puncts)
+                    continue
                 if body >= 0:
                     _store(parse, "COMP_BODY", cl.conj_idx, body, puncts)
                 if prev_clause_verb >= 0 \

@@ -3311,6 +3311,27 @@ def _context_passes(tokens, ds, lex, n):
             continue
         if i > 0 and lowers[i - 1] in ("net", "zo", "evenals", "even"):
             continue  # comparative "net als X" keeps Frog's VG(onder)
+        pv_i = next((j for j in range(i - 1, -1, -1)
+                     if not ds[j].punct), -1)
+        if (pv_i >= 0 and not ds[pv_i].punct and not ds[pv_i].is_name
+                and (ds[pv_i].info is None  # unknown word: the final
+                     # guesser pass defaults it to N ("aandoeningen")
+                     or ds[pv_i].info.tag == "N")
+                and i + 1 < n and not ds[i + 1].punct
+                and not ds[i + 1].is_name
+                and (ds[i + 1].info is None  # unknown noun, guessed N
+                     # in the final guesser pass ("bleachorexia")
+                     or ds[i + 1].info.tag == "N")
+                and any(lowers[j] == "en" and ds[j].info is not None
+                        and ds[j].info.tag == "VG"
+                        and not any(_is_fin(ds[x])
+                                    for x in range(i + 1, j))
+                        for j in range(i + 2, n))):
+            # exemplifying enumeration "N als N1 , N2 en N3" keeps
+            # VG(onder) — the cp modifies the left noun
+            # ("aandoeningen ALS bleachorexia ( ... ) , tanorexia
+            # ( ... ) en botoxia", tests/bug5 s14)
+            continue
         has_fin = False
         between: list[int] = []
         for j in range(i + 1, n):

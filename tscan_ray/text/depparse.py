@@ -744,6 +744,10 @@ _FUNC_MWUS = frozenset({
     ("heen", "en", "weer"), ("op", "en", "neer"), ("min", "of", "meer"),
     ("in", "plaats", "daarvan"), ("in", "plaats", "hiervan"),
 })
+# two-token predicate MWUs: mwu head of a predc AP in the tree
+_PRED_MWUS_2 = frozenset({
+    ("in", "staat"), ("van", "plan"), ("op", "zoek"), ("aan", "bod"),
+})
 
 
 def parse_sentence(anns: list, lex=None) -> SentParse:
@@ -884,6 +888,12 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
             # getAdverbialNodes counts it ("IN PLAATS DAARVAN",
             # tests/bug5 s8: vcMod)
             parse.vc_mod_cnt += 1
+    for i in range(n - 1):
+        if (anns[i].lword, anns[i + 1].lword) in _PRED_MWUS_2:
+            # two-token predicate mwu ("IN STAAT zijn geweest om ...",
+            # tests/dlevel6 s8: mwu hd of the predc ap — no PP/NP
+            # reading for its tokens)
+            mwu.update((i, i + 1))
 
     # relative clauses (rel-pronoun directly after a noun) — detected
     # up front so they can shape the clause spans below
@@ -1496,6 +1506,13 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
             pp_objects.add(obj)
             k = obj + 1
             while k < n and k not in puncts and _is_nounish(anns[k]):
+                if (obj == i + 1 and anns[obj].prop != "ISNAME"
+                        and anns[k].prop != "ISNAME"):
+                    # bare (determinerless) pp object: a following
+                    # common noun is a SEPARATE constituent ("zonder
+                    # MACHINES STENEN van de grond te krijgen",
+                    # tests/dlevel6 s8: stenen = obj1 of krijgen)
+                    break
                 pp_objects.add(k)  # rest of the object NP run
                 k += 1
         # coordinated preposition ("in EN ROND hunebedden"): the right
@@ -1916,6 +1933,7 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
         # other candidate precedes the verb, else object ("de man die ik
         # zie": ik=su, die=obj1)
         rel_obj_pron = -1
+        measure_np = -1  # TW-quantified measure complement: no obj edge
         if cl.kind == "rel" and verb >= 0 and cl.conj_idx >= 0:
             if anns[cl.conj_idx].lword.startswith("waar"):
                 pass  # locative relativizer = modifier, not an argument
@@ -1927,6 +1945,7 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                 # not the subject ("die soms wel 20.000 KILO wegen",
                 # reference tests/d6 s4: su = die); no obj edge — the
                 # tree hangs the measure as a detached np
+                measure_np = su
                 su = cl.conj_idx
             elif anns[su].lemma.lower() in _TEMPORAL_NOUNS:
                 # temporal-NP adjunct is no subject: the rel pronoun
@@ -2345,7 +2364,11 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                                # WORDEN GEHOUDEN", tests/dlevel1 s2)
                                or (anns[aux_inf].lemma == "worden"
                                    and content in vd_parts))):
-                    _store(parse, "SUB_VERB", content, su_tgt, puncts)
+                    # coindexed su ref on the participle carries the
+                    # np node's BEGIN ("deze MENSEN ... zijn GEWEEST",
+                    # tests/dlevel6 s8: su->geweest from the detp)
+                    _store(parse, "SUB_VERB", content,
+                           np_start.get(su, su), puncts)
             # coordinated subject with a PHRASAL right conjunct: its head
             # gets its own su edge ("Jan en de MAN met de pet LIEPEN",
             # reference tests/depdist19: sub_verb [6, 3] -> mean 4.5;
@@ -2430,10 +2453,13 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                         pj4 = next((x for x in range(om_j2 - 1, -1, -1)
                                     if x not in puncts), -1)
                         if pj4 >= 0 and (_is_nounish(anns[pj4])
-                                         or anns[pj4].tag == "VZ"):
-                            # noun- or PP-hosted om..te body hangs
-                            # under that host, no verb_vc
-                            # (tests/dlevel2 s2, bug4 s5)
+                                         or anns[pj4].tag == "VZ"
+                                         or any(x in mwu for x in
+                                                range(cl.start, om_j2))):
+                            # noun-/PP-/predicate-mwu-hosted om..te
+                            # body hangs under that host, no verb_vc
+                            # (tests/dlevel2 s2, bug4 s5; "IN STAAT
+                            # ... om ... te krijgen", dlevel6 s8)
                             continue
                     # multi-infinitive clusters CHAIN ("heeft MOETEN
                     # HAASTEN", tests/dlevel6 s10: vc [0, 0], each inf
@@ -2677,7 +2703,7 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                     break
                 if anns[p].tag != "VZ" \
                         or anns[p].lword in ("als", "dan", "te") \
-                        or p in np_pp_attached:
+                        or p in np_pp_attached or p in mwu:
                     continue
                 pb = next((x for x in range(p - 1, cl.start - 1, -1)
                            if x not in puncts), -1)
@@ -2913,7 +2939,8 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                        and anns[jh].lemma.lower() not in
                        _MEASURE_NOUNS):
                     jh += 1
-                obj_cands.append(jh)
+                if jh != measure_np:
+                    obj_cands.append(jh)
             elif (b.tag == "TW" and is_copula
                   and not (j + 1 < cl.end and j + 1 not in puncts
                            and (_is_nounish(anns[j + 1])
@@ -3025,9 +3052,19 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                     # tests/mod_adv s3: al has no verb edge); SPEC
                     # abbreviations attach to the clause ("bijv.",
                     # reference tests/afk: verb_bw_mod 0)
-                if pv >= 0 and pv != verb and anns[pv].tag == "BW":
+                if (pv >= 0 and pv != verb and anns[pv].tag == "BW"
+                        and (anns[pv].lword, b.lword) != ("nog",
+                                                          "steeds")
+                        # only degree/negation heads absorb the next
+                        # adverb; "soms WEL" keeps both edges
+                        # (tests/dlevel6 s8: mod soms + mod wel)
+                        and not (anns[pv].lword == "soms")):
                     continue  # advp-internal ("niet MEER", "niet THUIS":
-                    # only the advp head keeps the verb edge)
+                    # only the advp head keeps the verb edge) — but in
+                    # "NOG STEEDS" the HEAD is steeds (dlevel6 s8)
+                if (b.lword == "nog" and nx >= 0
+                        and anns[nx].lword == "steeds"):
+                    continue  # the advp mod below the steeds head
                 if (b.tag == "VNW" and any(
                         anns[x].tag == "VZ" and x not in np_pp_attached
                         and not _has_np_complement(anns, x, cl.end,

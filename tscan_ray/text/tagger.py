@@ -1844,7 +1844,13 @@ def _context_passes(tokens, ds, lex, n):
                 # present, not the cluster infinitive
                 d.info = _pi("WW", "zijn", ("zijn",), wvorm="pv",
                              pvtijd="tgw")
-            elif prev_lw == "te" or (pv == "WW"):
+            elif (prev_lw == "te" or (pv == "WW")) and not (
+                    i >= 2 and (lowers[i - 2], prev_lw) in (
+                        ("in", "staat"), ("van", "plan"),
+                        ("op", "zoek"), ("aan", "bod"))):
+                # fixed PP-predicate before it ("in staat ZIJN
+                # geweest", tests/dlevel6 s8): staat is the noun, zijn
+                # the finite — the later fixed-PP pass re-tags staat
                 d.info = _pi("WW", "zijn", ("zijn",), wvorm="inf")
             else:
                 d.info = _pi("WW", "zijn", ("ben", "en"), wvorm="pv",
@@ -1958,6 +1964,36 @@ def _context_passes(tokens, ds, lex, n):
         pd = ds[i - 1]
         if not pd.punct and pd.info is not None and pd.info.tag == "LID":
             d.info = _pi("WW", lowers[i], (lowers[i],), wvorm="inf")
+
+    # -- material-adjective homograph "stenen": the ADJ reading needs a
+    # nominal head to its right ("stenen werktuigen"); bare it is the
+    # plural noun ("zonder machines STENEN van de grond te krijgen",
+    # tests/dlevel6 s8) --------------------------------------------------
+    for i in range(n):
+        d = ds[i]
+        if d.punct or d.is_name or lowers[i] != "stenen" \
+                or d.info is None or d.info.tag != "ADJ":
+            continue
+        nx2 = next((j for j in range(i + 1, n) if not ds[j].punct), -1)
+        if nx2 < 0 or ds[nx2].info is None \
+                or ds[nx2].info.tag not in ("N", "ADJ", "SPEC"):
+            ds[i] = Decision(_pi("N", "steen", ("steen", "en")))
+
+    # -- fixed PP-predicate nouns: "in staat (zijn)", "van plan", "op
+    # zoek" — the noun homograph wins over the verb after the bare
+    # preposition, unless an R-pronoun makes it a pronominal-adverb
+    # split ("waar het IN STAAT" keeps the verb) ------------------------
+    for i in range(1, n):
+        if ds[i].punct or ds[i].is_name:
+            continue
+        if (lowers[i - 1], lowers[i]) not in (
+                ("in", "staat"), ("van", "plan"), ("op", "zoek"),
+                ("aan", "bod")):
+            continue
+        if i >= 2 and lowers[i - 2] in ("er", "waar", "daar", "hier",
+                                        "het"):
+            continue
+        ds[i] = Decision(_pi("N", lowers[i]))
 
     # -- lemma-shaped present-plural verbs directly after another verb
     # or "te" are bare infinitives ("had HANGEN", "te zetten"): the

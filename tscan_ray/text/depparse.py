@@ -325,6 +325,13 @@ def _pp_object(anns: list, i: int, end: int, puncts: set[int]) -> int:
             # pair is the detp, scan on for the head
             k += 2
             continue
+        if (a.prop == "ISNAME" and a.word.endswith("s")
+                and k + 1 < end and anns[k + 1].tag == "N"
+                and anns[k + 1].prop != "ISNAME"):
+            # genitive name as determiner ("van LEENS gesnik",
+            # tests/bug4 s20: det Leens, hd gesnik)
+            k += 1
+            continue
         if a.tag == "WW" and a.prop in ("ISVD", "ISOD"):
             # prenominal participle inside the PP ("van een GEVONDEN
             # winkelkar", tests/flair1 s6): skip to the nominal head
@@ -1404,13 +1411,20 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                         # te vervoeren", tests/d6 s4: separate obj1)
                         break
                     if saw_noun:
+                        # genitive name as determiner ("LEENS gesnik",
+                        # tests/bug4 s20: det edge, no app mod)
+                        if (j > 0 and anns[j - 1].prop == "ISNAME"
+                                and anns[j - 1].word.endswith("s")
+                                and b.tag == "N"
+                                and b.prop != "ISNAME"):
+                            _store(parse, "NOUN_DET", j - 1, j, puncts)
                         # apposition / partitive second head ("De stad
                         # Antwerpen", "Drie liter melk": rel=mod/app
                         # under the NP — reference tests/npmod), but a
                         # multiword proper name ("Willem de Tweede") is
                         # ONE head: in-span name words add no mods
-                        if not (b.prop == "ISNAME" and j > 0
-                                and anns[j - 1].prop == "ISNAME"):
+                        elif not (b.prop == "ISNAME" and j > 0
+                                  and anns[j - 1].prop == "ISNAME"):
                             post_mods += 1
                     saw_noun = True
                     np_start[j] = i
@@ -1504,6 +1518,11 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
         obj = _pp_object(anns, i, n, puncts)
         if obj >= 0:
             pp_objects.add(obj)
+            for x in range(i + 1, obj):
+                if _is_nounish(anns[x]):
+                    # pp-internal nominals BEFORE the head (genitive
+                    # name det "van LEENS gesnik", tests/bug4 s20)
+                    pp_objects.add(x)
             k = obj + 1
             while k < n and k not in puncts and _is_nounish(anns[k]):
                 if (obj == i + 1 and anns[obj].prop != "ISNAME"
@@ -2038,10 +2057,18 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
             elif (verb_first and su >= 0 and su > finites[0]
                     and ci > 0 and clause_verb[ci - 1] >= 0
                     and _is_finite(anns[clause_verb[ci - 1]])
-                    and any(anns[x].word in ("'", '"', "’",
-                                             "”")
-                            for x in range(
-                                max(0, idxs[0] - 3), idxs[0]))):
+                    and (any(anns[x].word in ("'", '"', "’", "”")
+                             for x in range(
+                                 max(0, idxs[0] - 3), idxs[0]))
+                         # quote only OPENED at the sentence start +
+                         # a verbum-dicendi attribution (", MERK ik
+                         # aan ...", tests/bug4 s20)
+                         or (anns[0].word in ("'", '"', "‘", "“")
+                             and anns[verb].lemma in (
+                                 "zeggen", "merken", "denken",
+                                 "menen", "vinden", "roepen",
+                                 "snikken", "vragen", "antwoorden",
+                                 "fluisteren", "schreeuwen")))):
                 # verb-first speech-attribution clause after a QUOTED
                 # clause with its own verb: Alpino brackets a du whose
                 # attribution part is an sv1, not a second smain ("' Ze
@@ -3005,7 +3032,13 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                     aci_pron = j
             elif b.lword == "het" and b.tag in ("LID", "VNW"):
                 k = j + 1
-                while k < cl.end and anns[k].tag == "ADJ":
+                while k < cl.end and (
+                        anns[k].tag == "ADJ"
+                        # prenominal participles determine too ("het
+                        # GEWENSTE antewoord", tests/bug4 s20)
+                        or (anns[k].tag == "WW"
+                            and anns[k].prop in ("ISVD", "ISOD")
+                            and anns[k].position == "PRENOM")):
                     k += 1
                 if not (k < cl.end and _is_nounish(anns[k])):
                     # pronominal "het" with no noun to determine ("Ko het
@@ -3053,8 +3086,14 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                     # abbreviations attach to the clause ("bijv.",
                     # reference tests/afk: verb_bw_mod 0)
                 if (pv >= 0 and pv != verb and anns[pv].tag == "BW"
-                        and (anns[pv].lword, b.lword) != ("nog",
-                                                          "steeds")
+                        and not ((anns[pv].lword, b.lword) in
+                                 (("nog", "steeds"),
+                                  ("niet", "helemaal"))
+                                 # the advp HEAD is the second token
+                                 # unless an ADJ absorbs the whole
+                                 # advp ("niet helemaal DUIDELIJK")
+                                 and not (nx >= 0
+                                          and anns[nx].tag == "ADJ"))
                         # only degree/negation heads absorb the next
                         # adverb; "soms WEL" keeps both edges
                         # (tests/dlevel6 s8: mod soms + mod wel)
@@ -3062,9 +3101,14 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                     continue  # advp-internal ("niet MEER", "niet THUIS":
                     # only the advp head keeps the verb edge) — but in
                     # "NOG STEEDS" the HEAD is steeds (dlevel6 s8)
-                if (b.lword == "nog" and nx >= 0
-                        and anns[nx].lword == "steeds"):
-                    continue  # the advp mod below the steeds head
+                if (b.lword in ("nog", "niet") and nx >= 0
+                        and anns[nx].lword in ("steeds", "helemaal")
+                        and not any(anns[x].tag == "ADJ"
+                                    for x in range(nx + 1,
+                                                   min(nx + 2, cl.end))
+                                    if x not in puncts)):
+                    continue  # the advp mod below its second-token head
+                    # ("NOG steeds", "NIET helemaal het antewoord")
                 if (b.tag == "VNW" and any(
                         anns[x].tag == "VZ" and x not in np_pp_attached
                         and not _has_np_complement(anns, x, cl.end,

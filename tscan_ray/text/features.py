@@ -1031,9 +1031,14 @@ def analyze_sentence(
                 else:
                     break
             cluster = later + back
+            # prenominal participles are NP-internal adjectives, never
+            # cluster mates ("is ... het GEWENSTE antewoord",
+            # tests/bug4 s20: koppel stays)
             has_vd = any(b.tag == "WW" and b.prop == "ISVD"
+                         and b.position != "PRENOM"
                          for b in cluster)
             has_vc = any(b.tag == "WW" and b.prop in ("ISVD", "ISINF")
+                         and b.position != "PRENOM"
                          for b in cluster)
             predc = False
             skip_past = -1  # consumed PP object ("IS sinds JAREN de
@@ -1051,6 +1056,12 @@ def analyze_sentence(
                                                     "almaar")):
                     continue  # continuative "steeds maar"
                 if b.tag == "WW":
+                    if b.prop in ("ISVD", "ISOD") \
+                            and b.position == "PRENOM":
+                        # prenominal participle opens the predicate NP
+                        # ("is ... het GEWENSTE antewoord", tests/bug4
+                        # s20: koppel + predc)
+                        predc = True
                     break
                 if b.tag == "VZ":
                     if a.lemma not in KOPPELS:

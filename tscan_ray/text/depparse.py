@@ -1496,6 +1496,15 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
             # die; tests/bug1 s2: npCnt 7 incl. Ik/ik)
             parse.np_cnt += 1
             parse.np_size_sum += 1
+            if (a.lword in ("niets", "iets", "wat", "veel", "genoeg")
+                    and i + 1 < n and anns[i + 1].tag == "ADJ"
+                    and anns[i + 1].lword.endswith("s")):
+                # partitive-genitive adjective mods the quantifier np
+                # ("NIETS LEUKERS dan ...", tests/flair1 s28: np_mod,
+                # size 2)
+                parse.np_size_sum += 1
+                parse.np_mod_cnt += 1
+                i += 1
         i += 1
 
     # ---- NP-attached PPs: a preposition directly after a noun modifies
@@ -1831,6 +1840,15 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
             su = next((i for i in idxs if i < verb and i not in poss_det
                        and i not in pp_objects
                        and _is_su_candidate(anns[i])), -1)
+            if (su >= 0 and not finites
+                    and anns[verb].prop == "ISINF"
+                    and verb >= 1 and anns[verb - 1].lword == "te"
+                    and cl.kind == "sub" and cl.conj_idx >= 0
+                    and anns[cl.conj_idx].lword in ("dan", "als")):
+                # comparative te-infinitive body has NO overt subject:
+                # the pronoun is the object ("dan JE als ouwe lul te
+                # kleden", tests/flair1 s28: obj1 je->kleden)
+                su = -1
         if (verb >= 0 and idxs and idxs[0] < verb
                 and anns[idxs[0]].lword == "het"
                 and anns[idxs[0]].tag in ("VNW", "LID")
@@ -2861,15 +2879,29 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                     if pj < 0 or anns[pj].tag != "ADJ":
                         _store(parse, "VERB_COMP", sc_tgt, j, puncts)
                     k = j + 1
+                    saw_adj_body = False
                     while k < cl.end and anns[k].tag not in ("VZ", "WW"):
+                        if anns[k].tag == "ADJ":
+                            saw_adj_body = True
                         if _is_nounish(anns[k]) or anns[k].tag == "VNW" \
                                 or (anns[k].tag == "TW"
                                     and anns[k].lword.endswith("en")):
                             in_pp_until = k  # body consumed
-                            if not after_part and anns[k].tag == "TW":
+                            if saw_adj_body and not finites:
+                                # predm cp under the infinitive counts
+                                # among the adverbials ("als ouwe lul
+                                # te kleden", tests/flair1 s28: vcMod)
+                                parse.vc_mod_cnt += 1
+                            if not after_part and (
+                                    anns[k].tag == "TW"
+                                    # a MODIFIED body noun is a cat=np
+                                    # node with its own hd: the body
+                                    # edge exists ("als OUWE LUL",
+                                    # tests/flair1 s28: comp_body 1)
+                                    or saw_adj_body):
                                 # substantivized-numeral body keeps its
                                 # edge ("hielden ALS EERSTEN", d5 s3);
-                                # plain nouns don't ("als woordvoerder",
+                                # BARE nouns don't ("als woordvoerder",
                                 # mod_adv; "op als toetje", depdist15)
                                 _store(parse, "COMP_BODY", j, k, puncts)
                             break

@@ -1965,6 +1965,37 @@ def _context_passes(tokens, ds, lex, n):
         if not pd.punct and pd.info is not None and pd.info.tag == "LID":
             d.info = _pi("WW", lowers[i], (lowers[i],), wvorm="inf")
 
+    # -- comparative "dan": after a comparative adjective the particle
+    # is VG(onder) heading the obcomp ("Niets leukers DAN je als ouwe
+    # lul te kleden", tests/flair1 s28: d-level 5) --------------------
+    for i in range(1, n):
+        d = ds[i]
+        if d.punct or d.is_name or lowers[i] != "dan":
+            continue
+        if d.info is not None and d.info.tag == "VG":
+            continue
+        pv_d = next((j for j in range(i - 1, -1, -1)
+                     if not ds[j].punct), -1)
+        has_te_inf = any(
+            lowers[j] == "te" and j + 1 < n and not ds[j + 1].punct
+            and not ds[j + 1].is_name
+            and (ds[j + 1].info is None
+                 or ds[j + 1].info.tag == "WW"
+                 or lowers[j + 1].endswith("en"))
+            for j in range(i + 1, n)
+            if not (ds[j].punct and lowers[j] in (",", ";")))
+        if (pv_d >= 0
+                and (lowers[pv_d].endswith("ers")
+                     or (ds[pv_d].info is not None
+                         and ds[pv_d].info.tag == "ADJ"
+                         and lowers[pv_d].endswith("er")))
+                and has_te_inf):
+            # Frog keeps comparative "dan" BW before a bare nominal
+            # ("groter DAN Jantje", tests/d4 s1) but VG(onder) before
+            # clausal material ("leukers DAN je ... te kleden",
+            # tests/flair1 s28)
+            ds[i] = Decision(_pi("VG", "dan", conjtype="onder"))
+
     # -- material-adjective homograph "stenen": the ADJ reading needs a
     # nominal head to its right ("stenen werktuigen"); bare it is the
     # plural noun ("zonder machines STENEN van de grond te krijgen",

@@ -234,6 +234,25 @@ def _is_su_candidate(ann) -> bool:
     )
 
 
+def _obj_is_conj(anns: list, obj: int, end: int, puncts: set[int]) -> bool:
+    """True when the PP object at ``obj`` is a BARE noun heading a
+    nominal CONJUNCTION ("over bezit EN rechtspraak", "in rekenen EN
+    sterrenkunde"): the obj1 is then a cat=conj of leaf cnjs with no
+    recursible hd, so get_dependency_dist stores NO prep_obj edge
+    (reference tests/d5 s1, dlevel5 s4) — a PHRASAL first cnj ("van
+    EEN GAME en ...", tests/dlevel6 s9) keeps the edge."""
+    if obj >= 1 and anns[obj - 1].tag != "VZ":
+        return False  # phrasal first conjunct (det/adj before the hd)
+    k = obj + 1
+    while k < end and (k in puncts or _is_nounish(anns[k])):
+        k += 1
+    if k < end and anns[k].tag == "VG" and anns[k].conjtype != "onder":
+        nk = next((x for x in range(k + 1, end) if x not in puncts), -1)
+        return nk >= 0 and (_is_nounish(anns[nk])
+                            or anns[nk].tag in ("LID", "ADJ"))
+    return False
+
+
 def _has_np_complement(anns: list, j: int, end: int, puncts: set[int]) -> bool:
     """True when the preposition at ``j`` is followed by nominal material
     (the start of its own object NP) before the next VZ/WW/VG — a bare
@@ -841,12 +860,15 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                        if j not in puncts), -1)
             if (pj >= 0 and anns[pj].tag == "VZ"
                     and anns[pj].lword not in ("te", "om")):
-                # bare infinitive as a PP object directly before the
-                # matrix finite is a nominalization ("een recensie
-                # over SCHRIJVEN lijkt mij", tests/dlevel6 s9)
+                # bare infinitive as a PP object is a nominalization
+                # when no verbal material follows directly ("een
+                # recensie over SCHRIJVEN lijkt mij", tests/dlevel6
+                # s9; "bedreven in REKENEN en sterrenkunde",
+                # tests/dlevel5 s4)
                 nxtf = next((j for j in range(i + 1, n)
                              if j not in puncts), -1)
-                if nxtf >= 0 and _is_finite(anns[nxtf]):
+                if nxtf < 0 or _is_finite(anns[nxtf]) \
+                        or anns[nxtf].tag in ("VG", "N", "LET"):
                     demote.append(-i - 1)
                 continue
             if pj >= 0 and (anns[pj].tag == "LID"
@@ -1543,6 +1565,18 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                     break
                 pp_objects.add(k)  # rest of the object NP run
                 k += 1
+            if (k < n and anns[k].tag == "VG"
+                    and anns[k].conjtype != "onder"):
+                # coordinated pp object ("in rekenen EN STERRENKUNDE",
+                # tests/dlevel5 s4): the right cnj is pp-internal too
+                k2 = next((x for x in range(k + 1, n)
+                           if x not in puncts), -1)
+                while k2 >= 0 and k2 < n and (
+                        _is_nounish(anns[k2])
+                        or anns[k2].tag in ("LID", "ADJ")):
+                    if _is_nounish(anns[k2]):
+                        pp_objects.add(k2)
+                    k2 += 1
         # coordinated preposition ("in EN ROND hunebedden"): the right
         # conjunct inherits the left one's attachment; the conj counts
         # as ONE np modifier
@@ -1550,7 +1584,8 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                 and anns[prev - 1].tag == "VZ":
             if prev - 1 in np_pp_attached:
                 np_pp_attached.add(i)
-                if obj >= 0:
+                if obj >= 0 and not _obj_is_conj(anns, obj, n,
+                                                 puncts):
                     _store(parse, "PREP_OBJ1", i, obj, puncts)
             continue
         if (prev >= 0
@@ -1566,19 +1601,30 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
             np_pp_attached.add(i)
             parse.np_mod_cnt += 1
             _store(parse, "VERB_PP", prev, i, puncts)
-            if obj >= 0:
+            if obj >= 0 and not _obj_is_conj(anns, obj, n, puncts):
                 _store(parse, "PREP_OBJ1", i, obj, puncts)
             continue
-        if (prev >= 0 and anns[prev].tag == "ADJ"
+        if (prev >= 0
+                and (anns[prev].tag == "ADJ"
+                     # predc participles host pc PPs the same way
+                     # ("was ... BEDREVEN in rekenen", dlevel5 s4)
+                     or (anns[prev].tag == "WW"
+                         and anns[prev].prop == "ISVD"))
                 and anns[prev].position != "PRENOM"
                 and obj >= 0
-                and all(k in puncts or anns[k].tag in ("N", "ADJ", "BW")
-                        for k in range(i + 1, n))):
-            # clause-final PP after a FREE adjective hangs inside the
-            # AP ("hopeloos OVER DATUM .", tests/bug5 s8: prep_obj1
+                and all(k in puncts or anns[k].tag in ("N", "ADJ", "BW",
+                                                       "WW", "VG")
+                        for k in range(
+                            i + 1,
+                            next((x for x in range(i + 1, n)
+                                  if anns[x].word == ","), n)))):
+            # PP after a FREE adjective/predicate participle hangs
+            # inside the AP/ppart up to the next clause break
+            # ("hopeloos OVER DATUM .", tests/bug5 s8: prep_obj1
             # only, no verb edge, no np mod)
             np_pp_attached.add(i)
-            _store(parse, "PREP_OBJ1", i, obj, puncts)
+            if not _obj_is_conj(anns, obj, n, puncts):
+                _store(parse, "PREP_OBJ1", i, obj, puncts)
             continue
         if prev < 0 or not _is_nounish(anns[prev]):
             continue
@@ -1806,6 +1852,7 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
     clause_verb: list[int] = []        # per clause: its verb index (-1)
     prev_su = -1          # subject of the previous clausal conjunct (VP coord)
     prev_clause_verb = -1  # matrix verb for VERB_COMP / left crd edges
+    pending_comp = -1     # fronted-cp cmp awaiting its matrix verb
     for ci, cl in enumerate(clauses):
         idxs = [i for i in range(cl.start, cl.end) if i not in puncts]
         if not idxs:
@@ -2647,6 +2694,14 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                     if anns[cl.conj_idx].tag == "VNW":
                         _store(parse, "VERB_VC", prev_clause_verb, verb,
                                puncts)
+                elif (prev_clause_verb < 0
+                      and cl.conj_idx == next(
+                          (x for x in range(n) if x not in puncts), -1)
+                      and anns[cl.conj_idx].tag == "VG"):
+                    # fronted adverbial cp: the comp edge runs from the
+                    # LATER matrix verb ("HOEWEL ... , WAS hij ...",
+                    # tests/dlevel5 s4: verb_comp 8)
+                    pending_comp = cl.conj_idx
             elif any(i not in puncts and i < cl.conj_idx
                      for i in range(0, cl.conj_idx)):
                 # a SENTENCE-INITIAL coordinator ("En dat wordt ...")
@@ -2695,6 +2750,10 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                         _store(parse, "CRD_CNJ", cl.conj_idx,
                                clause_verb[lj - 1], puncts)
                     lj -= 1
+        if pending_comp >= 0 and finites and cl.kind != "sub":
+            # matrix of a fronted adverbial cp (tests/dlevel5 s4)
+            _store(parse, "VERB_COMP", finites[0], pending_comp, puncts)
+            pending_comp = -1
         matrix_verb = prev_clause_verb  # verb of the PREVIOUS clause
         prev_clause_verb = verb
 
@@ -2759,7 +2818,8 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                     continue  # bare particle / stranded preposition
                 _store(parse, "VERB_PP", content, p, puncts)
                 parse.vc_mod_cnt += 1
-                _store(parse, "PREP_OBJ1", p, obj, puncts)
+                if not _obj_is_conj(anns, obj, cl.end, puncts):
+                    _store(parse, "PREP_OBJ1", p, obj, puncts)
 
         if (cl.kind not in ("sub", "rel") and idxs and verb >= 0
                 and idxs[0] != su and anns[idxs[0]].lword in (
@@ -2940,7 +3000,8 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                 # object of the preposition (head NP; skip its run)
                 obj = _pp_object(anns, j, cl.end, puncts)
                 if obj >= 0:
-                    _store(parse, "PREP_OBJ1", j, obj, puncts)
+                    if not _obj_is_conj(anns, obj, cl.end, puncts):
+                        _store(parse, "PREP_OBJ1", j, obj, puncts)
                     in_pp_until = obj
                     while in_pp_until + 1 < cl.end \
                             and in_pp_until + 1 not in puncts \
@@ -3494,6 +3555,14 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                 lkey = {"smain": "smain_cnj_cnt", "ssub": "ssub_cnj_cnt",
                         "sv1": "sv1_cnj_cnt"}[clause_cls[lj]]
                 setattr(parse, lkey, getattr(parse, lkey) + 1)
+                # a fronted adverbial cp before the FIRST conjunct is
+                # coindexed into every cnj, so its ssub sits under the
+                # conj node too ("HOEWEL ... , was hij ... , en sprak
+                # hij ...", tests/dlevel5 s4: ssubCnj 1)
+                for lk in range(lj):
+                    if clauses[lk].kind == "sub" \
+                            and clause_cls[lk] == "ssub":
+                        parse.ssub_cnj_cnt += 1
 
     # coordinated rel conjuncts: both bodies count as ssub conjuncts;
     # the conj node between np and rel blocks the D-level-6 su-rel probe

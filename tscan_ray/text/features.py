@@ -1031,14 +1031,22 @@ def analyze_sentence(
                 else:
                     break
             cluster = later + back
-            # prenominal participles are NP-internal adjectives, never
-            # cluster mates ("is ... het GEWENSTE antewoord",
-            # tests/bug4 s20: koppel stays)
-            has_vd = any(b.tag == "WW" and b.prop == "ISVD"
-                         and b.position != "PRENOM"
-                         for b in cluster)
-            has_vc = any(b.tag == "WW" and b.prop in ("ISVD", "ISINF")
-                         and b.position != "PRENOM"
+            # prenominal participles are NP-internal adjectives, and a
+            # bare infinitive right after a preposition is a
+            # nominalized PP object ("bedreven IN REKENEN",
+            # tests/dlevel5 s4) — neither is a cluster mate
+            def _cluster_ww(b, prop_set) -> bool:
+                if b.tag != "WW" or b.prop not in prop_set \
+                        or b.position == "PRENOM":
+                    return False
+                bi2 = next((x for x, a2 in enumerate(anns)
+                            if a2 is b), -1)
+                return not (bi2 >= 1 and anns[bi2 - 1].tag == "VZ"
+                            and anns[bi2 - 1].lword not in ("te", "om")
+                            and b.prop == "ISINF")
+
+            has_vd = any(_cluster_ww(b, ("ISVD",)) for b in cluster)
+            has_vc = any(_cluster_ww(b, ("ISVD", "ISINF"))
                          for b in cluster)
             predc = False
             skip_past = -1  # consumed PP object ("IS sinds JAREN de

@@ -93,6 +93,19 @@ def main() -> None:
                                 != (h.tag, h.lemma, h.prop)):
                             caps_mismatched.add(w)
                         continue
+                    if g.tag == "SPEC" and "eigen" not in tok.full_tag:
+                        # SPEC(vreemd): foreign words resolved
+                        # lexically by Frog ("on", "textbook", "but" —
+                        # tests/mtld s4); NOT names — emit with a
+                        # spectype marker so the tagger keeps
+                        # is_name False
+                        golden[lw].add(("SPEC", g.lemma,
+                                        tuple(tok.morphemes) or (lw,),
+                                        (("spectype", "vreemd"),)))
+                        if (g.tag, g.lemma, g.prop) != (h.tag, h.lemma,
+                                                        h.prop):
+                            mismatched.add(lw)
+                        continue
                     if g.tag == "SPEC" or "eigen" in tok.full_tag:
                         names.add(lw)
                         continue

@@ -793,6 +793,30 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
     n = len(anns)
     puncts = {i for i, a in enumerate(anns) if a.prop == "ISLET"}
 
+    # foreign-majority fragment: Alpino groups an (English) run into a
+    # du/mwu with NO clause structure and no dependency edges ("Before
+    # is Taro's name on textbook but", tests/mtld s4: clause 0, all
+    # distances NA, AL NaN) — only the Frog-chunker NP count survives
+    nonp = [a for i, a in enumerate(anns) if i not in puncts]
+    foreign_cnt = sum(1 for a in nonp
+                      if a.tag == "SPEC" and a.prop != "ISNAME")
+    if foreign_cnt >= 3 and foreign_cnt * 2 >= len(nonp):
+        i2 = 0
+        while i2 < n:
+            a2 = anns[i2]
+            if a2.tag in ("N", "SPEC") or (
+                    a2.tag == "VNW" and a2.lword not in
+                    _NON_CHUNK_PRONOUNS):
+                parse.np_cnt += 1
+                size2 = 1
+                while (i2 + 1 < n and i2 + 1 not in puncts
+                       and anns[i2 + 1].tag in ("N", "SPEC")):
+                    i2 += 1
+                    size2 += 1
+                parse.np_size_sum += size2
+            i2 += 1
+        return parse
+
     # Frog tags a clause-final plural-present homograph after a modal
     # as pv ("wou ik 2 repen KOPEN ,", tests/bug3 s2) but the Alpino
     # TREE still forms the verb cluster (verb_vc [3] there).  The word

@@ -1458,7 +1458,8 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
         if o is None:
             o = ov.get(tok.lower())
         if o is not None:
-            ds[i] = Decision(o, is_name=o.tag == "SPEC")
+            ds[i] = Decision(o, is_name=o.tag == "SPEC"
+                             and o.feat("spectype") != "vreemd")
     return ds
 
 

@@ -769,6 +769,15 @@ _FUNC_MWUS = frozenset({
     ("af", "en", "toe"), ("nu", "en", "dan"), ("her", "en", "der"),
     ("heen", "en", "weer"), ("op", "en", "neer"), ("min", "of", "meer"),
     ("in", "plaats", "daarvan"), ("in", "plaats", "hiervan"),
+    ("a", "la", "minute"),
+})
+# complex prepositions: one mwu node heading a pp; the prep_obj edge
+# runs from the mwu's resolved hd word (its 2nd token) to the object
+_COMPLEX_PREPS = frozenset({
+    ("met", "behulp", "van"), ("in", "plaats", "van"),
+    ("ten", "opzichte", "van"), ("op", "basis", "van"),
+    ("aan", "de", "hand"), ("met", "betrekking", "tot"),
+    ("in", "tegenstelling", "tot"), ("naar", "aanleiding", "van"),
 })
 # two-token predicate MWUs: mwu head of a predc AP in the tree
 _PRED_MWUS_2 = frozenset({
@@ -947,6 +956,25 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
             # tests/dlevel6 s8: mwu hd of the predc ap — no PP/NP
             # reading for its tokens)
             mwu.update((i, i + 1))
+    complex_pps: list[int] = []
+    complex_pp_objs: set[int] = set()
+    for i in range(n - 2):
+        if (anns[i].lword, anns[i + 1].lword,
+                anns[i + 2].lword) in _COMPLEX_PREPS:
+            # complex preposition ("MET BEHULP VAN Rogier",
+            # tests/connective3 s1): one pp whose hd is the mwu — the
+            # prep_obj edge runs from the mwu's 2nd token, and the pp
+            # is a rel=mod adverbial
+            mwu.update((i, i + 1, i + 2))
+            cobj = next((x for x in range(i + 3, n)
+                         if x not in puncts
+                         and (_is_nounish(anns[x])
+                              or anns[x].tag == "VNW")), -1)
+            if cobj >= 0:
+                _store(parse, "PREP_OBJ1", i + 1, cobj, puncts)
+                complex_pp_objs.add(cobj)
+            complex_pps.append(i)
+            parse.vc_mod_cnt += 1
 
     # relative clauses (rel-pronoun directly after a noun) — detected
     # up front so they can shape the clause spans below
@@ -1557,7 +1585,7 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
     # that noun, not the clause verb ("de man met de pet gaat...", reference
     # tests/depdist2/16/17: verb_pp NA, prep_obj only) ----------------------
     np_pp_attached: set[int] = set()
-    pp_objects: set[int] = set()
+    pp_objects: set[int] = set(complex_pp_objs)
     for i in range(n):
         if anns[i].tag != "VZ" or anns[i].lword in ("als", "dan",
                                                     "te") \
@@ -1909,7 +1937,7 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
         su = -1
         if verb >= 0:
             su = next((i for i in idxs if i < verb and i not in poss_det
-                       and i not in pp_objects
+                       and i not in pp_objects and i not in mwu
                        and _is_su_candidate(anns[i])), -1)
             if (su >= 0 and not finites
                     and anns[verb].prop == "ISINF"
@@ -2319,7 +2347,7 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
         # not verb-initial (verb-initial + no su = sv1/imperative above)
         if su < 0 and finites and idxs[0] != finites[0] and cl.kind != "sub":
             su = next((i for i in idxs if i > verb and i not in poss_det
-                       and i not in pp_objects
+                       and i not in pp_objects and i not in mwu
                        and _is_su_candidate(anns[i])), -1)
         if cls == "smain" and finites and main_verb_idx == finites[0] \
                 and main_su < 0:
@@ -2708,8 +2736,12 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                         # a pronoun-tagged dat-complement keeps its
                         # edges across the comma ("vond , DAT Artur wel
                         # erg raar deed", tests/dlevel3 s3: verb_comp 0
-                        # + vc vond->deed)
-                        or anns[cl.conj_idx].tag == "VNW"):
+                        # + vc vond->deed); concessive (al)hoewel-cps
+                        # stay rel=mod with a comp edge even across a
+                        # comma (tests/connective3 s1: verb_comp 4)
+                        or anns[cl.conj_idx].tag == "VNW"
+                        or anns[cl.conj_idx].lword in ("alhoewel",
+                                                       "hoewel")):
                     # comma before the subordinator -> Alpino detaches the
                     # cp as a discourse unit (du/dp), no verb_comp edge
                     # ("... bij , zodat Ko ...", reference tests/depdist20)
@@ -2778,6 +2810,14 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
             # matrix of a fronted adverbial cp (tests/dlevel5 s4)
             _store(parse, "VERB_COMP", finites[0], pending_comp, puncts)
             pending_comp = -1
+        if finites:
+            for cp_i in complex_pps:
+                if cl.start <= cp_i < cl.end:
+                    # complex-prep pp is a rel=mod of the clause: the
+                    # verb_pp edge runs from the mwu node's begin
+                    # ("MET BEHULP VAN Rogier komt Ko",
+                    # tests/connective3 s1: verb_pp 3)
+                    _store(parse, "VERB_PP", finites[0], cp_i, puncts)
         matrix_verb = prev_clause_verb  # verb of the PREVIOUS clause
         prev_clause_verb = verb
 

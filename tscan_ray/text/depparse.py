@@ -2140,6 +2140,19 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                         cl.conj_idx >= 0
                         and anns[cl.conj_idx].tag != "VG"):
                     parse.compl_cnt += 1
+                    if (conj_lemma in ("dat", "of") and ci > 0
+                            and clauses[ci - 1].kind == "sub"
+                            and clauses[ci - 1].conj_idx >= 0
+                            and anns[clauses[ci - 1].conj_idx].tag
+                            == "VNW"
+                            and anns[clauses[ci - 1].conj_idx].lword
+                            in ("wat", "wie", "welke")):
+                        # a dat-cp nested INSIDE a fronted whrel: its
+                        # ssub is counted under the whrel too ("Wat
+                        # ... wil zeggen DAT ...", tests/bug4 s7:
+                        # complCnt 3; src/sentstats.cxx complWhrelPath
+                        # counts every descendant ssub)
+                        parse.compl_cnt += 1
                 else:
                     parse.bijw_cnt += 1
                     # an adverbial cp is itself a rel=mod under the
@@ -2683,6 +2696,18 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                 cj = cl.conj_idx
                 if (anns[cj].lword in ("wat", "wie", "welke")
                         and (cj == 0 or anns[cj - 1].tag != "VZ")
+                        and su < 0 and verb >= 0):
+                    # subjectless fronted wh clause: the wh pronoun
+                    # fills the SU gap, coindexed into the cluster
+                    # infinitives too ("WAT trouwens niet wil zeggen
+                    # dat ...", tests/bug4 s7: su wat->wil + ->zeggen)
+                    _store(parse, "SUB_VERB", verb, cj, puncts)
+                    for w2 in range(verb + 1, cl.end):
+                        if (anns[w2].tag == "WW"
+                                and anns[w2].prop == "ISINF"):
+                            _store(parse, "SUB_VERB", w2, cj, puncts)
+                if (anns[cj].lword in ("wat", "wie", "welke")
+                        and (cj == 0 or anns[cj - 1].tag != "VZ")
                         and su >= 0 and su != cj):
                     # bare fronted wh clause with its own subject: the
                     # wh pronoun fills the obj1 gap of the clause's
@@ -2744,11 +2769,27 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                                                        "hoewel")):
                     # comma before the subordinator -> Alpino detaches the
                     # cp as a discourse unit (du/dp), no verb_comp edge
-                    # ("... bij , zodat Ko ...", reference tests/depdist20)
-                    _store(parse, "VERB_COMP", prev_clause_verb, cl.conj_idx,
+                    # ("... bij , zodat Ko ...", reference tests/depdist20).
+                    # The edge source is the LAST verb of the governing
+                    # cluster, not its finite ("wil ZEGGEN dat ...",
+                    # tests/bug4 s7: verb_comp 0 + vc zeggen->is)
+                    comp_src = next(
+                        (x for x in range(cl.conj_idx - 1, -1, -1)
+                         if x not in puncts), -1)
+                    if comp_src < 0 or anns[comp_src].tag != "WW":
+                        comp_src = prev_clause_verb
+                    _store(parse, "VERB_COMP", comp_src, cl.conj_idx,
                            puncts)
                     if anns[cl.conj_idx].tag == "VNW":
-                        _store(parse, "VERB_VC", prev_clause_verb, verb,
+                        _store(parse, "VERB_VC", comp_src, verb,
+                               puncts)
+                    elif (anns[cl.conj_idx].lword == "dat"
+                          and cl.conj_idx - 1 not in puncts
+                          and verb >= 0):
+                        # verb-attached dat-cp is the verb's vc: the
+                        # edge runs to the body's finite (bug4 s7:
+                        # vc zeggen->is 6)
+                        _store(parse, "VERB_VC", comp_src, verb,
                                puncts)
                 elif (prev_clause_verb < 0
                       and cl.conj_idx == next(

@@ -993,6 +993,23 @@ def analyze_sentence(
                     # the main clause's participle)
                     end = j
                     break
+                if (anns[j].word == "," and j + 2 < len(anns)
+                        and anns[j + 1].tag == "VNW"
+                        and anns[j + 2].tag == "WW"
+                        and anns[j + 2].prop.startswith("ISPV")):
+                    # comma + pronoun subject + finite = asyndetic next
+                    # clause ("oprecht IS , het zijn gewoon ...",
+                    # tests/bug4 s7: the is-window stops at the comma)
+                    end = j
+                    break
+                if (anns[j].tag == "VNW"
+                        and anns[j].lword in ("die", "dat")
+                        and j >= 1 and anns[j - 1].tag in ("N", "SPEC")):
+                    # relative clause boundary ("twee dingen DIE je
+                    # uit elkaar moet houden", tests/bug4 s7: the
+                    # zijn-window must not see the rel's cluster)
+                    end = j
+                    break
                 if anns[j].tag != "VG":
                     continue
                 if (anns[j].lword == "maar" and j > 0
@@ -1094,7 +1111,13 @@ def analyze_sentence(
             nxt_content = next((b for b in later
                                 if b.prop != "ISLET"), None)
             if not predc and (nxt_content is None
-                              or nxt_content.tag in ("VG", "WW")):
+                              or nxt_content.tag in ("VG", "WW")
+                              # a comma directly after the verb closes
+                              # its clause: the predicate PRECEDES
+                              # ("minder oprecht IS ,", tests/bug4 s7)
+                              or (k + 1 < len(anns)
+                                  and anns[k + 1].prop == "ISLET"
+                                  and anns[k + 1].word == ",")):
                 # verb-final subordinate clause: the predicate PRECEDES
                 # the copula ("omdat ie moe was", "de beste SKIER van
                 # Nederland te ZIJN" — the te marker is skipped).  A

@@ -1818,6 +1818,11 @@ def _context_passes(tokens, ds, lex, n):
                 # nounish-ahead scan must not see a possessive
                 # (tests/dlevel2 s9)
                 d.info = _pi("WW", "zijn", ("zijn",), wvorm="inf")
+            elif prev_lw == "het" and i >= 2 and ds[i - 2].punct:
+                # "... , HET ZIJN gewoon twee dingen": het + zijn after
+                # a clause break is the plural copula (tests/bug4 s7)
+                d.info = _pi("WW", "zijn", ("zijn",), wvorm="pv",
+                             pvtijd="tgw")
             elif (prev_lw in ("dit", "dat", "we", "wij", "ze", "zij",
                               "jullie")
                   and nx >= 0 and ds[nx].info is not None

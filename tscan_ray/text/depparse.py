@@ -742,6 +742,30 @@ def _merge_nominal_conj(anns: list, clauses: list[Clause]) -> tuple[list[Clause]
                       if anns[i].prop != "ISLET"), -1)
         v_initial = (cl.kind == "coord" and first >= 0
                      and _is_finite(anns[first]))
+        # coordinated participles under ONE clause-final aux stay one
+        # clause ("geordend EN op elkaar gestapeld zijn", tests/d2 s3:
+        # the en joins the ppart cnjs, zijn is the shared finite)
+        if (cl.kind == "coord" and out and not v_initial
+                and has_finite(cl) and cl.conj_idx >= 1):
+            last_np = next((i for i in range(cl.end - 1, cl.start - 1,
+                                             -1)
+                            if anns[i].prop != "ISLET"), -1)
+            lprev = next((i for i in range(cl.conj_idx - 1, -1, -1)
+                          if anns[i].prop != "ISLET"), -1)
+            if (last_np >= 1 and _is_finite(anns[last_np])
+                    and anns[last_np].lemma in ("zijn", "worden",
+                                                "hebben")
+                    and anns[last_np - 1].tag == "WW"
+                    and anns[last_np - 1].prop == "ISVD"
+                    and lprev >= 0 and anns[lprev].tag == "WW"
+                    and anns[lprev].prop == "ISVD"
+                    and not any(_is_finite(anns[i])
+                                for i in range(cl.start, last_np))):
+                prev = out[-1]
+                out[-1] = Clause(prev.start, cl.end, prev.kind,
+                                 prev.conj_idx)
+                nominal.append(cl.conj_idx)
+                continue
         if cl.kind == "coord" and out and not v_initial and (
             not has_finite(cl) or not has_finite(out[-1])
         ):
@@ -1617,6 +1641,20 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                     break
                 pp_objects.add(k)  # rest of the object NP run
                 k += 1
+            if k < n and anns[k].word == ",":
+                # comma-APPOSITION inside the pp ("om hunebedden ,
+                # grote STEENFORMATIES die ...", tests/d2 s3): the
+                # appositive np joins pp_objects (no obj edges)
+                k3 = k + 1
+                while k3 < n and (k3 in puncts
+                                  or anns[k3].tag in ("LID", "ADJ")):
+                    k3 += 1
+                if (k3 < n and anns[k3].tag == "N"
+                        and anns[k3].prop != "ISNAME"
+                        and k3 + 1 < n
+                        and anns[k3 + 1].tag == "VNW"
+                        and anns[k3 + 1].lword in ("die", "dat")):
+                    pp_objects.add(k3)
             if (k < n and anns[k].tag == "VG"
                     and anns[k].conjtype != "onder"):
                 # coordinated pp object ("in rekenen EN STERRENKUNDE",
@@ -1769,6 +1807,22 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
             parse.small_cnj_cnt += 2
             parse.small_cnj_extra_cnt += 1
             continue
+        if (lnb >= 0 and anns[lnb].tag == "WW"
+                and anns[lnb].prop in ("ISVD", "ISINF")):
+            rww2 = next((k for k in range(cj + 1, n)
+                         if k not in puncts and anns[k].tag == "WW"
+                         and anns[k].prop in ("ISVD", "ISINF")), -1)
+            if rww2 >= 0 and not any(_is_finite(anns[k])
+                                     for k in range(cj + 1, rww2)):
+                # coordinated participles under a shared aux: crd
+                # edges to the VD heads, skipping the right cnj's own
+                # modifiers ("geordend EN op elkaar GESTAPELD zijn",
+                # tests/d2 s3: crd [0, 2])
+                _store(parse, "CRD_CNJ", cj, lnb, puncts)
+                _store(parse, "CRD_CNJ", cj, rww2, puncts)
+                parse.small_cnj_cnt += 2
+                parse.small_cnj_extra_cnt += 1
+                continue
         if lnb >= 0 and rnb >= 0 \
                 and anns[lnb].tag in ("VZ", "WW", "BW") \
                 and anns[rnb].tag in ("VZ", "WW", "BW"):
@@ -2580,10 +2634,21 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                         # the conj node, not the aux's vc (the crd edges
                         # come from the conj scan); its coindexed su ref
                         # still fires (reference smallconjuncts s16:
-                        # su we->verkend 9, vc hebben->gewandeld only)
+                        # su we->verkend 9, vc hebben->gewandeld only).
+                        # In a PASSIVE the surface subject coindexes as
+                        # the conjunct participle's OBJ1 ("geordend en
+                        # GESTAPELD zijn", tests/d2 s3)
                         if su >= 0:
-                            _store(parse, "SUB_VERB", w,
-                                   np_start.get(su, su), puncts)
+                            if (anns[w].prop == "ISVD"
+                                    and anns[verb].lemma in ("zijn",
+                                                             "worden")
+                                    and anns[w].lemma not in
+                                    _UNACCUSATIVES):
+                                _store(parse, "OBJ1_VERB", w,
+                                       np_start.get(su, su), puncts)
+                            else:
+                                _store(parse, "SUB_VERB", w,
+                                       np_start.get(su, su), puncts)
                         continue
                     # te-infinitive complement of a light-verb OBJECT
                     # noun ("heb het gevoel nergens bij TE HOREN",

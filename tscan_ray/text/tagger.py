@@ -1850,6 +1850,23 @@ def _context_passes(tokens, ds, lex, n):
                 # present, not the cluster infinitive
                 d.info = _pi("WW", "zijn", ("zijn",), wvorm="pv",
                              pvtijd="tgw")
+            elif (pv == "WW" and prev_lw != "te"
+                  and all(ds[j].punct for j in range(i + 1, n))
+                  and ds[i - 1].info is not None
+                  and ds[i - 1].info.tag == "WW"
+                  and ds[i - 1].info.feat("wvorm") == "vd"
+                  and not any(ds[j].info is not None
+                              and ds[j].info.tag == "WW"
+                              and ds[j].info.feat("wvorm") == "pv"
+                              for j in range(_seg_start(ds, lowers, i),
+                                             i))):
+                # sentence-final "participle + ZIJN" with no other
+                # finite in the segment is the passive/perfect FINITE
+                # ("geordend en op elkaar gestapeld ZIJN .",
+                # tests/d2 s3) — with a modal earlier it stays the
+                # cluster infinitive ("zou gestapeld zijn")
+                d.info = _pi("WW", "zijn", ("zijn",), wvorm="pv",
+                             pvtijd="tgw")
             elif (prev_lw == "te" or (pv == "WW")) and not (
                     i >= 2 and (lowers[i - 2], prev_lw) in (
                         ("in", "staat"), ("van", "plan"),
@@ -2077,6 +2094,19 @@ def _context_passes(tokens, ds, lex, n):
                 "maar", "ook", "wel", "niet", "eens", "even", "toch"):
             pj -= 1
         if ds[pj].punct:
+            continue
+        if (lowers[i] == "zijn" and ds[pj].info is not None
+                and ds[pj].info.tag == "WW"
+                and ds[pj].info.feat("wvorm") == "vd"
+                and all(ds[j].punct for j in range(i + 1, n))
+                and not any(ds[j].info is not None
+                            and ds[j].info.tag == "WW"
+                            and ds[j].info.feat("wvorm") == "pv"
+                            for j in range(_seg_start(ds, lowers, i),
+                                           i))):
+            # segment-final "participle + ZIJN" with no other finite
+            # is the passive/perfect FINITE ("geordend en op elkaar
+            # gestapeld ZIJN .", tests/d2 s3), not a cluster inf
             continue
         if (ds[pj].info is not None and ds[pj].info.tag == "WW") \
                 or lowers[pj] == "te":

@@ -84,13 +84,11 @@ def main() -> None:
                         caps_golden[w].add(
                             (g.tag, g.lemma,
                              tuple(tok.morphemes) or (w,), feats_c))
-                        # only FUNCTION-word surfaces are safe: a
-                        # content reading (NEEM, VLUG, OPEREERT) still
-                        # drives the Alpino parse, so a SPEC override
-                        # would break every parse metric
-                        if (g.tag == "SPEC" and h.tag == "VZ"
-                                and (g.tag, g.lemma, g.prop)
-                                != (h.tag, h.lemma, h.prop)):
+                        # the parse-side uses a lowercased re-analysis
+                        # (features.py parse_anns), so content-word
+                        # SPEC overrides are safe for the tree metrics
+                        if (g.tag, g.lemma, g.prop) != (h.tag, h.lemma,
+                                                        h.prop):
                             caps_mismatched.add(w)
                         continue
                     if g.tag == "SPEC" and "eigen" not in tok.full_tag:

@@ -1376,7 +1376,24 @@ def analyze_sentence(
         parse = SentParse()
         c["parseFailCnt"] += 1
     else:
-        parse = depparse.parse_sentence(anns, lex)
+        # ALL-CAPS tokens Frog resolved to SPEC still parse by their
+        # lowercase reading in the Alpino tree ("Erg geloofwaardig
+        # OPEREERT hij als woordvoerder NIET", tests/mod_adv s1: the
+        # word tag is SPEC, the tree hd a verb) — re-analyze on a
+        # parse-only clone with the caps forms lowercased
+        caps_idx = [i for i, a in enumerate(anns)
+                    if a.prop == "ISNAME" and len(a.word) >= 2
+                    and a.word.isupper() and a.word.isalpha()]
+        parse_anns = anns
+        if caps_idx and alpino_tree is None:
+            low_words = [a.word.lower() if i in set(caps_idx)
+                         else a.word for i, a in enumerate(anns)]
+            try:
+                low_fold = analyze_sentence(low_words, None, lex, cfg)
+                parse_anns = low_fold.words
+            except RecursionError:  # defensive: never recurse twice
+                parse_anns = anns
+        parse = depparse.parse_sentence(parse_anns, lex)
     f.parses.append(parse)
     if parse.imperative_idx >= 0:
         anns[parse.imperative_idx].is_imperative = True

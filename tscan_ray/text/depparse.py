@@ -809,7 +809,8 @@ _PRED_MWUS_2 = frozenset({
 })
 
 
-def parse_sentence(anns: list, lex=None) -> SentParse:
+def parse_sentence(anns: list, lex=None,
+                   ladder_anns: list | None = None) -> SentParse:
     """Run the reduced parser over one sentence of ``WordAnn`` records.
 
     Rule cascade (deterministic, left-to-right):
@@ -948,7 +949,10 @@ def parse_sentence(anns: list, lex=None) -> SentParse:
                     continue
                 demote.append(-i - 1)  # negative marker = noun demotion
 
-    orig_anns = anns
+    # the D-level ladder counts FROG word tags; with a lowercased
+    # parse clone (caps-SPEC re-analysis) the caller passes the word
+    # anns separately (tests/mod_adv s1: als VG -> level 5)
+    orig_anns = ladder_anns if ladder_anns is not None else anns
     nom_inf_heads: set[int] = set()
     if demote:
         import dataclasses

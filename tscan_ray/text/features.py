@@ -1393,7 +1393,9 @@ def analyze_sentence(
                 parse_anns = low_fold.words
             except RecursionError:  # defensive: never recurse twice
                 parse_anns = anns
-        parse = depparse.parse_sentence(parse_anns, lex)
+        parse = depparse.parse_sentence(
+            parse_anns, lex,
+            ladder_anns=anns if parse_anns is not anns else None)
     f.parses.append(parse)
     if parse.imperative_idx >= 0:
         anns[parse.imperative_idx].is_imperative = True

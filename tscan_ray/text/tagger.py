@@ -1448,6 +1448,7 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
     # lexicalisms like behoren->be+hoor+en; see
     # tools/learn_word_overrides.py for the consistency guarantee)
     ov = _word_overrides()
+    swallowed_pv = False
     for i, tok in enumerate(tokens):
         d = ds[i]
         if d.punct:
@@ -1458,8 +1459,25 @@ def tag_sentence(tokens: list[str], lex: Lexicons) -> list[Decision]:
         if o is None:
             o = ov.get(tok.lower())
         if o is not None:
+            if (d.info is not None and d.info.tag == "WW"
+                    and d.info.feat("wvorm") == "pv"
+                    and o.tag == "SPEC"):
+                swallowed_pv = True
             ds[i] = Decision(o, is_name=o.tag == "SPEC"
                              and o.feat("spectype") != "vreemd")
+    # a caps-SPEC override may have swallowed the sentence's only
+    # finite verb — Frog's "als" then stays VG(onder) ("Erg
+    # geloofwaardig OPEREERT hij ALS woordvoerder NIET",
+    # tests/mod_adv s1: d-level 5, causal connective)
+    if swallowed_pv and not any(
+            d2.info is not None and d2.info.tag == "WW"
+            and d2.info.feat("wvorm") == "pv"
+            for d2 in ds):
+        for i, tok in enumerate(tokens):
+            d2 = ds[i]
+            if (not d2.punct and tok.lower() == "als"
+                    and d2.info is not None and d2.info.tag == "VZ"):
+                ds[i] = Decision(_pi("VG", "als", conjtype="onder"))
     return ds
 
 

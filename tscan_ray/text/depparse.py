@@ -1465,6 +1465,10 @@ def parse_sentence(anns: list, lex=None,
                     continue
                 if (b.tag == "LID" or j in poss_det
                         or (b.tag == "VNW" and b.lword in _DET_PRONOUNS)
+                        # "heel wat" quantifier detp ("heel WAT
+                        # hunebedden", tests/dlevel4 s7: det wat)
+                        or (b.tag == "VNW" and b.lword == "wat"
+                            and j >= 1 and anns[j - 1].lword == "heel")
                         or (b.tag == "ADJ" and b.lword == "allerlei")
                         # NP-initial CARDINAL numeral is rel=det in
                         # Alpino ("2 repen", reference tests/bug1 s2);
@@ -1475,6 +1479,12 @@ def parse_sentence(anns: list, lex=None,
                     # "allerlei" is rel=det in Alpino ("ALLERLEI
                     # verhalen", reference tests/relativeclauses s16)
                     det_idx = j
+                elif (b.tag == "ADJ" and b.lword == "heel"
+                      and j + 1 < n and anns[j + 1].lword == "wat"
+                      and not saw_noun):
+                    # "heel wat" is detp-internal, not an np mod
+                    # (tests/dlevel4 s7)
+                    pass
                 elif (b.tag == "ADJ" or (
                         b.tag == "WW" and b.prop in ("ISVD", "ISOD")
                         and b.position == "PRENOM")
@@ -2844,7 +2854,11 @@ def parse_sentence(anns: list, lex=None,
                     # tests/bug4 s7: verb_comp 0 + vc zeggen->is)
                     comp_src = next(
                         (x for x in range(cl.conj_idx - 1, -1, -1)
-                         if x not in puncts), -1)
+                         if x not in puncts
+                         # connective adverbs sit between the clause
+                         # and its cp ("verdwenen , BIJVOORBEELD
+                         # omdat ...", tests/dlevel4 s7)
+                         and anns[x].tag not in ("BW", "TSW")), -1)
                     if comp_src < 0 or anns[comp_src].tag != "WW":
                         comp_src = prev_clause_verb
                     _store(parse, "VERB_COMP", comp_src, cl.conj_idx,
@@ -3736,6 +3750,13 @@ def parse_sentence(anns: list, lex=None,
                 for lk in range(lj):
                     if clauses[lk].kind == "sub" \
                             and clause_cls[lk] == "ssub":
+                        parse.ssub_cnj_cnt += 1
+                # a trailing sub clause inside the LAST conjunct sits
+                # under the conj node too ("..., want ... verdwenen ,
+                # bijvoorbeeld OMDAT ...", tests/dlevel4 s7: ssubCnj 1)
+                for rk in range(ci + 1, len(clauses)):
+                    if clauses[rk].kind == "sub" \
+                            and clause_cls[rk] == "ssub":
                         parse.ssub_cnj_cnt += 1
 
     # coordinated rel conjuncts: both bodies count as ssub conjuncts;

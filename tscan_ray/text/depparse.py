@@ -2350,6 +2350,22 @@ def parse_sentence(anns: list, lex=None,
                 parse.ssub_cnt += 1
                 cls = "ssub"
                 parse.compl_cnt += 1
+            elif (cl.kind == "coord" and ci > 0
+                    and clause_cls[ci - 1] == "ssub"
+                    and clauses[ci - 1].kind == "sub"
+                    # verb-FINAL right conjunct after a dat/omdat-ssub
+                    # continues the subordinate field ("dat ze ... een
+                    # oprit maakten , en ronde stammetjes GEBRUIKTEN
+                    # om ...", tests/d3 s4: ssub 2, smain 1)
+                    and idxs[0] != finites[0]
+                    and sum(1 for k in idxs
+                            if k < finites[0]) >= 2
+                    and finites[0] == max(
+                        (i2 for i2 in idxs if anns[i2].tag == "WW"
+                         and i2 <= finites[0]), default=finites[0])):
+                parse.ssub_cnt += 1
+                cls = "ssub"
+                parse.compl_cnt += 1
             else:
                 parse.smain_cnt += 1
                 cls = "smain"

@@ -1600,7 +1600,14 @@ def parse_sentence(anns: list, lex=None,
                 # mooi"): Frog's chunker still opens a B-NP chunk
                 parse.np_cnt += 1
                 parse.np_size_sum += 1
-        elif a.tag == "VNW" and a.lword not in _NON_CHUNK_PRONOUNS:
+        elif a.tag == "VNW" and (
+                a.lword not in _NON_CHUNK_PRONOUNS
+                # mid-clause locative R-pronoun is chunked ("besteedt
+                # de PvdA DAAR aandacht aan", tests/afk s2: npCnt 4);
+                # clause-initial it is not ("DAAR horen ...", bug2 s8)
+                or (a.lword in ("daar", "hier") and i >= 1
+                    and i - 1 not in puncts
+                    and anns[i - 1].tag not in ("VG", "LET"))):
             # bare pronoun NP chunk: np_length counts FROG CHUNKER "NP"
             # chunks (src/tscan.cxx:2105-2124), and the chunker marks
             # standalone pronouns B-NP ("Hij", "iedereen", relative

@@ -255,9 +255,13 @@ def _build_word_ann(token: str, lword: str, info, is_name: bool,
             else "LOC" if lword in _NER_LOC
             or lword.endswith(_NER_LOC_SUFFIX)
             else "ORG" if lword in _NER_ORG
+            # acronym-shaped names (VARA, PvdA: >=2 capitals, or
+            # mixed-case with internal capitals) are organisations
+            # (tests/afk s2: nerORG 2)
+            else "ORG" if sum(1 for ch in token if ch.isupper()) >= 2
+            and token.isalpha()
             # Frog's NER reads a standalone capitalized token as a
-            # person by default (first names dominate); all-caps
-            # acronyms and mixed tokens stay MISC
+            # person by default (first names dominate)
             else "PER" if token[:1].isupper() and not token.isupper()
             and token[1:].islower() and len(token) > 2
             else "MISC"
@@ -1381,9 +1385,15 @@ def analyze_sentence(
         # OPEREERT hij als woordvoerder NIET", tests/mod_adv s1: the
         # word tag is SPEC, the tree hd a verb) — re-analyze on a
         # parse-only clone with the caps forms lowercased
+        from tscan_ray.text.tagger import _word_overrides
+        _ov = _word_overrides()
         caps_idx = [i for i, a in enumerate(anns)
                     if a.prop == "ISNAME" and len(a.word) >= 2
-                    and a.word.isupper() and a.word.isalpha()]
+                    and a.word.isupper() and a.word.isalpha()
+                    # only override-driven caps-SPEC forms have a known
+                    # lowercase reading (OPEREERT -> opereren); a plain
+                    # all-caps NAME (VARA) stays a name in the parse
+                    and a.word in _ov]
         parse_anns = anns
         if caps_idx and alpino_tree is None:
             low_words = [a.word.lower() if i in set(caps_idx)

@@ -2938,7 +2938,20 @@ def parse_sentence(anns: list, lex=None,
                                clause_verb[lv], puncts)
                 else:
                     _store(parse, "CRD_CNJ", cl.conj_idx, verb, puncts)
-                    if prev_clause_verb >= 0:
+                    # the left crd edge lands on the left MAIN
+                    # conjunct's verb, skipping embedded sub/rel
+                    # clauses ("Ik WIST het pas toen ... , dus KOCHT",
+                    # tests/bug2 s5: crd [7, 0])
+                    lv2 = ci - 1
+                    while lv2 > 0 and clauses[lv2].kind in ("sub",
+                                                            "rel"):
+                        lv2 -= 1
+                    if (lv2 >= 0 and lv2 < ci - 1
+                            and clauses[lv2].kind not in ("sub", "rel")
+                            and clause_verb[lv2] >= 0):
+                        _store(parse, "CRD_CNJ", cl.conj_idx,
+                               clause_verb[lv2], puncts)
+                    elif prev_clause_verb >= 0:
                         _store(parse, "CRD_CNJ", cl.conj_idx,
                                prev_clause_verb, puncts)
                 # asyndetic run: comma-joined conjuncts before the
@@ -3651,6 +3664,10 @@ def parse_sentence(anns: list, lex=None,
         # edges from BOTH conjunct verbs)
         if (obj1_tgt >= 0 and cl.kind == "coord" and shared_su
                 and matrix_verb >= 0
+                # the left conjunct must be a MAIN clause verb, not an
+                # embedded sub's ("toen het 18 april WAS , dus kocht",
+                # tests/bug2 s5: no was->reep edge)
+                and not (ci > 0 and clause_cls[ci - 1] == "ssub")
                 and all(i in puncts
                         for i in range(matrix_verb + 1, cl.conj_idx))):
             _store(parse, "OBJ1_VERB", matrix_verb, obj1_tgt, puncts)

@@ -1794,7 +1794,12 @@ def _context_passes(tokens, ds, lex, n):
         if lw == "het":
             # article before an NP head OR a substantivized adjective
             # ("het weinige dat ...", reference tests/d6)
-            if nx >= 0 and (_nounish_ahead(tokens, ds, nx, lex)
+            if (nx >= 0 and lowers[nx].isdigit() and nx + 1 < n
+                    and lowers[nx + 1] in _SPEC_WORDS):
+                # expletive het before a DATE predicate ("toen HET 18
+                # april was", tests/bug2 s5: VNW subject)
+                d.info = _pi("VNW", "het", vwtype="pers", persoon="3")
+            elif nx >= 0 and (_nounish_ahead(tokens, ds, nx, lex)
                             or (ds[nx].info is not None
                                 and (ds[nx].info.tag == "ADJ"
                                      # substantivized quantifier ("het

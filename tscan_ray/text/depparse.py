@@ -2897,13 +2897,18 @@ def parse_sentence(anns: list, lex=None,
                         # vc zeggen->is 6)
                         _store(parse, "VERB_VC", comp_src, verb,
                                puncts)
-                elif (prev_clause_verb < 0
-                      and cl.conj_idx == next(
-                          (x for x in range(n) if x not in puncts), -1)
+                elif ((prev_clause_verb < 0
+                       and cl.conj_idx == next(
+                           (x for x in range(n) if x not in puncts),
+                           -1)
+                       or (cl.conj_idx >= 1
+                           and anns[cl.conj_idx - 1].word in (":",
+                                                              ";")))
                       and anns[cl.conj_idx].tag == "VG"):
-                    # fronted adverbial cp: the comp edge runs from the
-                    # LATER matrix verb ("HOEWEL ... , WAS hij ...",
-                    # tests/dlevel5 s4: verb_comp 8)
+                    # fronted adverbial cp at a sentence/segment start:
+                    # the comp edge runs from the LATER matrix verb
+                    # ("HOEWEL ... , WAS hij", tests/dlevel5 s4;
+                    # ": ALS ik meedoe WIN ik", tests/bug2 s4)
                     pending_comp = cl.conj_idx
             elif any(i not in puncts and i < cl.conj_idx
                      for i in range(0, cl.conj_idx)):
@@ -3405,7 +3410,10 @@ def parse_sentence(anns: list, lex=None,
                 if (pv >= 0 and pv != verb and anns[pv].tag == "BW"
                         and not ((anns[pv].lword, b.lword) in
                                  (("nog", "steeds"),
-                                  ("niet", "helemaal"))
+                                  ("niet", "helemaal"),
+                                  # "misschien WEL": wel is its own
+                                  # ap mod (tests/bug2 s4)
+                                  ("misschien", "wel"))
                                  # the advp HEAD is the second token
                                  # unless an ADJ absorbs the whole
                                  # advp ("niet helemaal DUIDELIJK")
@@ -3696,7 +3704,11 @@ def parse_sentence(anns: list, lex=None,
         a0 = anns[first]
         if a0.tag == "VNW" and a0.lword in _REL_PRONOUNS:
             parse.los_betr_cnt = 1
-        elif a0.tag == "VG" and a0.conjtype == "onder":
+        elif (a0.tag == "VG" and a0.conjtype == "onder"
+              and parse.smain_cnt + parse.sv1_cnt == 0):
+            # LOOSE only without a matrix clause ("Toen ik de actie
+            # zag , DACHT ik" is a regular fronted cp — tests/bug2 s4:
+            # losBijw 0)
             parse.los_bijw_cnt = 1
     # multiple-embedding proxies: finite sub clauses beyond the first
     n_fin_sub = sum(1 for c in clause_cls if c == "ssub")

@@ -3407,25 +3407,28 @@ def parse_sentence(anns: list, lex=None,
                     # tests/mod_adv s3: al has no verb edge); SPEC
                     # abbreviations attach to the clause ("bijv.",
                     # reference tests/afk: verb_bw_mod 0)
+                if (b.lword == "dus" and j == next(
+                        (x for x in range(n) if x not in puncts), -1)
+                        and nx >= 0 and anns[nx].tag == "BW"):
+                    continue  # sentence-initial "DUS nu stuur ik" is
+                    # a du dlink, not a clause mod (tests/bug2 s7)
                 if (pv >= 0 and pv != verb and anns[pv].tag == "BW"
-                        and not ((anns[pv].lword, b.lword) in
+                        # advp-INTERNAL pairs where the first token is
+                        # the head and the second gets no edge ("niet
+                        # MEER", "niet THUIS"); most adjacent adverbs
+                        # are independent mods ("maar NIET", "soms
+                        # WEL", "misschien WEL" — tests/bug2 s3,
+                        # dlevel6 s8, bug2 s4)
+                        and ((anns[pv].lword == "niet"
+                              and b.lword in ("meer", "minder",
+                                              "thuis", "vaker",
+                                              "langer", "eens"))
+                             or ((anns[pv].lword, b.lword) in
                                  (("nog", "steeds"),
-                                  ("niet", "helemaal"),
-                                  # "misschien WEL": wel is its own
-                                  # ap mod (tests/bug2 s4)
-                                  ("misschien", "wel"))
-                                 # the advp HEAD is the second token
-                                 # unless an ADJ absorbs the whole
-                                 # advp ("niet helemaal DUIDELIJK")
-                                 and not (nx >= 0
-                                          and anns[nx].tag == "ADJ"))
-                        # only degree/negation heads absorb the next
-                        # adverb; "soms WEL" keeps both edges
-                        # (tests/dlevel6 s8: mod soms + mod wel)
-                        and not (anns[pv].lword == "soms")):
-                    continue  # advp-internal ("niet MEER", "niet THUIS":
-                    # only the advp head keeps the verb edge) — but in
-                    # "NOG STEEDS" the HEAD is steeds (dlevel6 s8)
+                                  ("niet", "helemaal"))
+                                 and nx >= 0
+                                 and anns[nx].tag == "ADJ"))):
+                    continue
                 if (b.lword in ("nog", "niet") and nx >= 0
                         and anns[nx].lword in ("steeds", "helemaal")
                         and not any(anns[x].tag == "ADJ"

@@ -458,7 +458,14 @@ def _split_clauses(anns: list) -> list[Clause]:
         if a.word == "(":
             open_i = i
         elif a.word == ")" and open_i >= 0:
-            if any(_is_finite(anns[j]) for j in range(open_i + 1, i)):
+            if (any(_is_finite(anns[j]) for j in range(open_i + 1, i))
+                    # a paren pair wrapping the WHOLE sentence is
+                    # transparent ("( Daar horen dus ... bij ! )",
+                    # tests/bug2 s8: one smain)
+                    and not (open_i == 0
+                             and all(anns[k].prop == "ISLET"
+                                     for k in range(i + 1,
+                                                    len(anns))))):
                 clausal_parens.update((open_i, i))
             open_i = -1
     start = 0
@@ -953,12 +960,31 @@ def parse_sentence(anns: list, lex=None,
     # parse clone (caps-SPEC re-analysis) the caller passes the word
     # anns separately (tests/mod_adv s1: als VG -> level 5)
     orig_anns = ladder_anns if ladder_anns is not None else anns
+    # PROMOTION: Frog tags a V2 plural-present homograph after a
+    # clause-initial R-pronoun as INF, but the tree reads the inverted
+    # finite ("( Daar HOREN dus eigenlijk nog 2 spaarpunten bij ! )",
+    # tests/bug2 s8: smain) — promote on the parse clone when the
+    # sentence has no finite at all
+    if not any(_is_finite(a) for a in anns):
+        first_np2 = next((i for i in range(n)
+                          if anns[i].prop != "ISLET"), -1)
+        if (first_np2 >= 0 and first_np2 + 1 < n
+                and anns[first_np2].tag == "VNW"
+                and anns[first_np2].lword in ("daar", "er", "hier")
+                and anns[first_np2 + 1].tag == "WW"
+                and anns[first_np2 + 1].prop == "ISINF"
+                and anns[first_np2 + 1].lword
+                == anns[first_np2 + 1].lemma):
+            demote.append(first_np2 + 1 + 2 * n)  # promotion marker
     nom_inf_heads: set[int] = set()
     if demote:
         import dataclasses
         anns = list(anns)
         for j in demote:
-            if j < 0:
+            if j >= 2 * n:
+                k = j - 2 * n
+                anns[k] = dataclasses.replace(anns[k], prop="ISPVTGW")
+            elif j < 0:
                 k = -j - 1
                 anns[k] = dataclasses.replace(anns[k], tag="N", prop="")
                 nom_inf_heads.add(k)
